@@ -1,0 +1,163 @@
+"""Window (analytic) functions — absent from the reference (SURVEY §2.B).
+
+Ranking, running frames, and lag/lead. Every ORDER BY inside a window has a
+deterministic tiebreak column so results are reproducible and oracle-stable.
+
+100 TB: a window = one shuffle on partitionBy keys + per-partition sort.
+Partition keys here (customer, user) are high-cardinality so the state per
+key is small; skewed users would be handled by AQE or pre-bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_sm_spark.operators._parity import date_str, date_str_sql
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+_RANK_ORACLE = """
+SELECT c_custkey AS custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY custkey, rn
+"""
+
+
+@REGISTRY.register(
+    "window_rank_top_orders",
+    oracle=_RANK_ORACLE,
+    description="row_number ranking: top-3 orders per customer",
+    headline=True,
+    tags=("window",),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("custkey", "rn")
+    )
+
+
+_RUNNING_ORACLE = f"""
+SELECT o_custkey AS custkey, o_orderkey,
+       {date_str_sql('o_orderdate')} AS odate,
+       round((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS VARCHAR))::DOUBLE, 2) AS running_total
+FROM orders
+ORDER BY custkey, odate, o_orderkey
+"""
+
+
+@REGISTRY.register(
+    "window_running_total",
+    oracle=_RUNNING_ORACLE,
+    description="cumulative sum frame per customer over order date",
+    tags=("window",),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderkey",
+            date_str("o_orderdate").alias("odate"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast(
+                    "double"
+                ),
+                2,
+            ).alias("running_total"),
+        )
+        .orderBy("custkey", "odate", "o_orderkey")
+    )
+
+
+_LAG_ORACLE = """
+SELECT user_id, event_id,
+       lag(event_type)  OVER w AS prev_type,
+       lead(event_type) OVER w AS next_type,
+       round(value - coalesce(lag(value) OVER w, 0.0), 6) AS delta_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
+@REGISTRY.register(
+    "window_lag_lead_events",
+    oracle=_LAG_ORACLE,
+    description="lag/lead navigation over per-user event streams",
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.round(
+                F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 6
+            ).alias("delta_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_MOVAVG_ORACLE = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+@REGISTRY.register(
+    "window_moving_avg",
+    oracle=_MOVAVG_ORACLE,
+    description="3-row moving average frame per user",
+    tags=("window",),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 6).alias("mov_avg3"),
+        )
+        .orderBy("user_id", "event_id")
+    )

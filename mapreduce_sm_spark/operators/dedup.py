@@ -1,0 +1,338 @@
+"""Deduplication operators (north-star extension, SURVEY §2.C).
+
+Ladder of techniques, each registered as its own query:
+  dedup_exact            — hash-groupBy on raw content
+  dedup_exact_normalized — same after text normalization
+  dedup_ngram_jaccard    — exact Jaccard pairs via prefix-filtered
+                           inverted-index join (AllPairs/PPJoin-style)
+  dedup_minhash          — MinHash band-bucket candidates -> exact verify
+
+Scale posture (100 TB):
+- exact dedup is one shuffle on the content hash (not the content itself).
+- exact Jaccard NEVER does an all-pairs product: each doc indexes only its
+  prefix shingles (any pair with J >= t must share one of the first
+  n - ceil(t*n) + 1 shingles under a global shingle order), so the join is
+  linear in corpus size + true candidate count.
+- MinHash banding is the probabilistic blocking alternative: candidates
+  come from band-bucket equality joins; signatures are computed with ONE
+  md5 pass per shingle (permutations are cheap int arithmetic on top).
+- every hash is the portable md5-based hash60 so the DuckDB oracle
+  reproduces results bit-for-bit (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_sm_spark.functions.hashing import (
+    hash60,
+    hash60_sql,
+    minhash_permutation_params,
+)
+from mapreduce_sm_spark.functions.text import char_shingles, char_shingles_sql
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY text
+ORDER BY keep_doc_id
+"""
+
+
+@REGISTRY.register(
+    "dedup_exact",
+    oracle=_EXACT_ORACLE,
+    description="exact dedup: group by content, keep lowest doc_id",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keep_doc_id", "n_copies")
+        .orderBy("keep_doc_id")
+    )
+
+
+_EXACT_NORM_ORACLE = """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+)
+GROUP BY norm
+ORDER BY keep_doc_id
+"""
+
+
+@REGISTRY.register(
+    "dedup_exact_normalized",
+    oracle=_EXACT_NORM_ORACLE,
+    description="exact dedup after lowercase/punct-collapse normalization",
+    tags=("dedup",),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(norm.alias("norm"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keep_doc_id", "n_copies")
+        .orderBy("keep_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via prefix filtering.
+#
+# Any pair with J(A,B) >= t shares its smallest common shingle (under the
+# lexicographic global order) inside BOTH docs' prefixes of length
+# n - ceil(t*n) + 1: elements before the smallest common shingle are by
+# definition unshared, and there are at most n - |A∩B| <= n - ceil(t*n) of
+# them. We index prefixes for a slightly lower bound (0.75 vs the 0.8
+# output threshold) so float noise and round(j,4) boundary cases can never
+# drop a true pair.
+# ---------------------------------------------------------------------------
+
+_JACCARD_K = 5
+_JACCARD_THRESHOLD = 0.8
+_PREFIX_THRESHOLD = 0.75  # safety margin for the prefix filter
+
+_SH = char_shingles_sql("text", _JACCARD_K)
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, lang, list_distinct({_SH}) AS s
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 4) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+            / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 4) >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.array_sort(
+            F.array_distinct(char_shingles("text", _JACCARD_K))
+        ).alias("s"),
+    )
+
+
+def _jaccard(sa, sb):
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_distinct(F.concat(sa, sb)))
+    return F.round(inter.cast("double") / union.cast("double"), 4)
+
+
+@REGISTRY.register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    description="exact 5-gram Jaccard pairs via prefix-filtered index join",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_sets(spark, sf_dir).withColumn("n", F.size("s"))
+    # prefix length n - ceil(t*n) + 1, computed as floor((1-t)*n) + 2 with a
+    # +1 safety margin (a longer prefix only adds candidates, never loses)
+    pref_len = (
+        F.floor(F.col("n") * F.lit(1.0 - _PREFIX_THRESHOLD)) + F.lit(2)
+    ).cast("int")
+    idx = sh.select(
+        "doc_id", "lang", F.explode(F.slice("s", F.lit(1), pref_len)).alias("tok")
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = sh.select("doc_id", "s")
+    pairs = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")),
+            "doc_b",
+        )
+    )
+    return (
+        pairs.select("doc_a", "doc_b", _jaccard(F.col("sa"), F.col("sb")).alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding — the 100 TB near-dup path.
+#
+# shingle --(one md5 pass)--> 31-bit int -> k permutations (a*x+b) mod p ->
+# minhash signature -> band hashes -> candidates join on (band, hash) ->
+# exact-Jaccard verification. All arithmetic stays in int64 in both engines.
+# ---------------------------------------------------------------------------
+
+_MH_NUM_PERM = 16
+_MH_BANDS = 4
+_MH_ROWS = _MH_NUM_PERM // _MH_BANDS
+_MH_PRIME = 2147483647  # 2^31 - 1: keeps a*x + b < 2^62
+_MH_PARAMS = minhash_permutation_params(_MH_NUM_PERM, seed=42)
+
+
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh15) — md5 is computed once per shingle; the k
+    permutations are integer ops over the pre-hashed array."""
+    hashed = docs.withColumn(
+        "h", F.transform(F.col("sh"), lambda s: hash60(s) % _MH_PRIME)
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("h"), lambda x: (F.lit(a) * x + F.lit(b)) % _MH_PRIME
+            )
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    ]
+    return hashed.select("doc_id", *sig_cols)
+
+
+def _band_cols_spark():
+    cols = []
+    for band in range(_MH_BANDS):
+        members = [F.col(f"mh{band * _MH_ROWS + r}") for r in range(_MH_ROWS)]
+        sig = F.concat_ws("_", *[m.cast("string") for m in members])
+        cols.append(hash60(sig, salt=f"band{band}").alias(f"b{band}"))
+    return cols
+
+
+def _minhash_cols_sql() -> list[str]:
+    return [
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {_MH_PRIME})) AS mh{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
+    ]
+
+
+def _band_cols_sql() -> list[str]:
+    cols = []
+    for band in range(_MH_BANDS):
+        members = " || '_' || ".join(
+            f"mh{band * _MH_ROWS + r}::VARCHAR" for r in range(_MH_ROWS)
+        )
+        cols.append(f"{hash60_sql(members, salt=f'band{band}')} AS b{band}")
+    return cols
+
+
+_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_SH}) AS sh
+  FROM documents
+), hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> {hash60_sql('s')} % {_MH_PRIME}) AS h
+  FROM sh
+), sig AS (
+  SELECT doc_id, {', '.join(_minhash_cols_sql())} FROM hashed
+), banded AS (
+  SELECT doc_id, {', '.join(_band_cols_sql())} FROM sig
+), bands AS (
+  SELECT doc_id, band_idx, CASE band_idx
+      {' '.join(f'WHEN {i} THEN b{i}' for i in range(_MH_BANDS))} END AS bh
+  FROM banded, (SELECT unnest(generate_series(0, {_MH_BANDS - 1})) AS band_idx)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+             / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 4) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = doc_a
+JOIN sh sb ON sb.doc_id = doc_b
+WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+            / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 4) >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@REGISTRY.register(
+    "dedup_minhash",
+    oracle=_MINHASH_ORACLE,
+    description="MinHash-LSH banding candidates + exact-Jaccard verify",
+    headline=True,
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(char_shingles("text", _JACCARD_K)).alias("sh")
+    )
+    sig = _minhash_sigs(docs)
+    banded = sig.select("doc_id", *_band_cols_spark())
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(i).alias("band_idx"), F.col(f"b{i}").alias("bh"))
+            for i in range(_MH_BANDS)
+        ]
+    )
+    bands = banded.select("doc_id", F.explode(band_structs).alias("e")).select(
+        "doc_id", "e.band_idx", "e.bh"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = (
+        cand.join(
+            docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
+            "doc_b",
+        )
+    )
+    return (
+        pairs.select("doc_a", "doc_b", _jaccard(F.col("sa"), F.col("sb")).alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,164 @@
+"""Event-table operators: JSON extraction and time windows
+(tumbling / sliding / session) — the batch semantics that
+streaming/windows.py reuses under Structured Streaming.
+
+100 TB: tumbling/sliding windows are plain grouped aggregates on a derived
+bucket key — one shuffle, partial-agg friendly. Session windows shuffle on
+user_id; per-user state is bounded by the gap timeout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_sm_spark.operators._parity import ts_str, ts_str_sql
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+_JSON_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n,
+       min(event_id) AS first_event
+FROM events
+GROUP BY k_bucket
+ORDER BY k_bucket
+"""
+
+
+@REGISTRY.register(
+    "json_extract_events",
+    oracle=_JSON_ORACLE,
+    description="JSON property extraction (get_json_object) + group",
+    tags=("json",),
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket"),
+            "event_id",
+        )
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.min("event_id").alias("first_event"))
+        .orderBy("k_bucket")
+    )
+
+
+_TUMBLING_ORACLE = f"""
+SELECT {ts_str_sql("time_bucket(INTERVAL '1 hour', ts)")} AS win_start,
+       event_type, count(*) AS n, round((CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR))::DOUBLE, 4) AS sum_value
+FROM events
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""
+
+
+@REGISTRY.register(
+    "tumbling_window_events",
+    oracle=_TUMBLING_ORACLE,
+    description="1-hour tumbling window counts per event type",
+    headline=True,
+    tags=("window", "time"),
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            ts_str(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+# sliding window: width 1h, slide 30m — every event lands in exactly two
+# windows; the oracle materializes both membership rows explicitly.
+_SLIDING_ORACLE = f"""
+SELECT {ts_str_sql('win_start')} AS win_start, event_type, count(*) AS n
+FROM (
+  SELECT unnest([
+           time_bucket(INTERVAL '30 minutes', ts),
+           time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+         ]) AS win_start,
+         event_type
+  FROM events
+)
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""
+
+
+@REGISTRY.register(
+    "sliding_window_events",
+    oracle=_SLIDING_ORACLE,
+    description="1-hour window sliding by 30 minutes",
+    tags=("window", "time"),
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(ts_str(F.col("w.start")).alias("win_start"), "event_type", "n")
+        .orderBy("win_start", "event_type")
+    )
+
+
+# session window, 30-minute gap: oracle is the classic gaps-and-islands.
+_SESSION_ORACLE = f"""
+WITH marks AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marks
+)
+SELECT user_id,
+       {ts_str_sql('min(ts)')} AS session_start,
+       {ts_str_sql("max(ts) + INTERVAL '30 minutes'")} AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@REGISTRY.register(
+    "session_window_events",
+    oracle=_SESSION_ORACLE,
+    description="session windows with 30-minute inactivity gap per user",
+    tags=("window", "time", "session"),
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            ts_str(F.col("w.start")).alias("session_start"),
+            ts_str(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -1,0 +1,149 @@
+"""Multimodal-column plumbing (north-star extension §2.C).
+
+Images/audio/video are opaque `binary` columns with typed metadata. The
+Spark-side plumbing — binary schema, Arrow-batched mapInPandas, partition
+shape — is real and tested; the actual codec step is STUBBED with a
+deterministic fake (this container ships no image/audio libraries), clearly
+marked below. At 100 TB the decode is embarrassingly parallel map-side work:
+no shuffle, batch size bounded by Arrow batch bytes.
+
+The fake decode derives metadata from an md5 of the payload, which the
+DuckDB oracle reproduces — so even the mapInPandas path is hash-checked.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+
+def _fake_decode_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """STUB: stands in for a real image decode (PIL/libvips unavailable).
+
+    A real implementation would be:
+        try:
+            from PIL import Image
+        except ImportError:
+            raise NotImplementedError("image codec not available")
+    The deterministic fake derives (width, height, channels, phash) from
+    md5(payload) so results are reproducible and oracle-checkable.
+    """
+    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    width = h % 1920 + 1
+    height = (h // 1920) % 1080 + 1
+    channels = h % 3 + 1
+    phash = h % 1_000_000_007
+    return width, height, channels, phash
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        metas = [_fake_decode_meta(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "width": pd.Series([m[0] for m in metas], dtype="int64"),
+                "height": pd.Series([m[1] for m in metas], dtype="int64"),
+                "channels": pd.Series([m[2] for m in metas], dtype="int64"),
+                "phash": pd.Series([m[3] for m in metas], dtype="int64"),
+            }
+        )
+
+
+# The oracle mirrors the md5 arithmetic of the fake decode. payload is the
+# utf-8 encoding of `text`, so md5(payload) == md5(text).
+_H = "('0x' || substr(md5(text), 1, 15))::BIGINT"
+
+_MM_ORACLE = f"""
+SELECT doc_id,
+       strlen(text) AS n_bytes,
+       {_H} % 1920 + 1 AS width,
+       ({_H} // 1920) % 1080 + 1 AS height,
+       {_H} % 3 + 1 AS channels,
+       {_H} % 1000000007 AS phash
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@REGISTRY.register(
+    "multimodal_image_meta",
+    oracle=_MM_ORACLE,
+    description="binary-column decode plumbing: Arrow mapInPandas over payload bytes",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # payload: a real BinaryType column (stands in for image bytes)
+    payloads = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    decoded = payloads.mapInPandas(
+        _decode_batches,
+        schema="doc_id long, n_bytes long, width long, height long, "
+        "channels long, phash long",
+    )
+    return decoded.orderBy("doc_id")
+
+
+# --- video frame sampling stub -------------------------------------------
+
+_FRAME_BYTES = 64  # fake fixed-size frames inside the payload
+_SAMPLE_EVERY = 8
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB codec: treats the payload as a stream of 64-byte 'frames' and
+    samples every 8th; a real build would call ffmpeg/pyav here (absent in
+    this container — see module docstring)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) // _FRAME_BYTES
+            sampled = list(range(0, n_frames, _SAMPLE_EVERY))
+            first = (
+                int.from_bytes(payload[:4], "big") if len(payload) >= 4 else 0
+            )
+            rows.append((int(doc_id), n_frames, len(sampled), first))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_frames", "n_sampled", "first_word"]
+        )
+
+
+_FRAMES_ORACLE = f"""
+SELECT doc_id,
+       strlen(text) // {_FRAME_BYTES} AS n_frames,
+       CASE WHEN strlen(text) // {_FRAME_BYTES} = 0 THEN 0
+            ELSE (strlen(text) // {_FRAME_BYTES} + {_SAMPLE_EVERY - 1}) // {_SAMPLE_EVERY}
+       END AS n_sampled,
+       CASE WHEN strlen(text) >= 4 THEN
+         ascii(substr(text,1,1))*16777216 + ascii(substr(text,2,1))*65536
+         + ascii(substr(text,3,1))*256 + ascii(substr(text,4,1))
+       ELSE 0 END AS first_word
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@REGISTRY.register(
+    "multimodal_frame_sample",
+    oracle=_FRAMES_ORACLE,
+    description="video-style frame sampling plumbing over binary payloads",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(
+        _sample_frames,
+        schema="doc_id long, n_frames long, n_sampled long, first_word long",
+    ).orderBy("doc_id")

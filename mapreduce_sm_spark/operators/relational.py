@@ -1,0 +1,533 @@
+"""Relational operators the reference entirely lacks (SURVEY §2.B):
+joins of every flavor, standard/grouped/distinct aggregation, grouping
+sets (rollup/cube), set operations, top-k, scalar function surface.
+
+All plans are declarative DataFrame expressions — Catalyst supplies
+predicate pushdown, column pruning, join selection, and AQE supplies
+runtime skew handling. Scale annotations are per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_sm_spark.operators._parity import (
+    CHARGE_SQL,
+    DISC_PRICE_SQL,
+    charge,
+    date_str,
+    date_str_sql,
+    decimal_sum,
+    decimal_sum_sql,
+    disc_price,
+    exact_avg,
+    exact_avg_sql,
+    money_sum,
+    money_sum_sql,
+)
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+
+# ---------------------------------------------------------------------------
+# q1 — pricing summary (TPC-H Q1 shape): scan-heavy filter + wide aggregate.
+# 100 TB: single shuffle on a 6-value grouping key; partial aggregation
+# reduces the exchange to a handful of rows per input partition.
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag, l_linestatus,
+  {money_sum_sql('l_quantity')} AS sum_qty,
+  {money_sum_sql('l_extendedprice')} AS sum_base_price,
+  {decimal_sum_sql(DISC_PRICE_SQL)} AS sum_disc_price,
+  {decimal_sum_sql(CHARGE_SQL)} AS sum_charge,
+  {exact_avg_sql('l_quantity')} AS avg_qty,
+  {exact_avg_sql('l_extendedprice')} AS avg_price,
+  {exact_avg_sql('l_discount')} AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@REGISTRY.register(
+    "q1_pricing_summary",
+    oracle=_Q1_ORACLE,
+    description="TPC-H Q1-shape scan+filter+grouped aggregate",
+    headline=True,
+    tags=("aggregate",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            decimal_sum(disc_price()).alias("sum_disc_price"),
+            decimal_sum(charge()).alias("sum_charge"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3 — shipping priority: 3-way join + aggregate + top-k.
+# 100 TB: customer filter prunes before the join; orders⋈lineitem is the
+# big shuffle join (AQE-skew-safe); top-10 is TakeOrderedAndProject —
+# no global sort materialization.
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = f"""
+SELECT
+  l_orderkey,
+  {decimal_sum_sql(DISC_PRICE_SQL)} AS revenue,
+  {date_str_sql('o_orderdate')} AS orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@REGISTRY.register(
+    "q3_shipping_priority",
+    oracle=_Q3_ORACLE,
+    description="TPC-H Q3-shape 3-way join + agg + top-k",
+    headline=True,
+    tags=("join", "aggregate", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            date_str("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(decimal_sum(disc_price()).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5 — local supplier volume: 6-way star join.
+# 100 TB: region/nation/customer/supplier are dimensions -> broadcast;
+# only orders⋈lineitem shuffles. Join order written smallest-first but
+# Catalyst/AQE may reorder freely.
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = f"""
+SELECT
+  n_name,
+  {decimal_sum_sql(DISC_PRICE_SQL)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+@REGISTRY.register(
+    "q5_local_supplier_volume",
+    oracle=_Q5_ORACLE,
+    description="TPC-H Q5-shape 6-way star join with broadcast dimensions",
+    headline=True,
+    tags=("join", "aggregate"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    dim_nation = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(dim_nation, supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(decimal_sum(disc_price()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins: semi / anti — the EXISTS / NOT EXISTS shapes.
+# 100 TB: left-semi/anti shuffle only the join keys of the probe side.
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+ORDER BY c_custkey
+"""
+
+
+@REGISTRY.register(
+    "join_semi_big_spenders",
+    oracle=_SEMI_ORACLE,
+    description="left-semi join (EXISTS): customers with a >300k order",
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .orderBy("c_custkey")
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@REGISTRY.register(
+    "join_anti_no_orders",
+    oracle=_ANTI_ORACLE,
+    description="left-anti join (NOT EXISTS): customers with no orders",
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# outer join + null handling
+# ---------------------------------------------------------------------------
+
+_OUTER_ORACLE = f"""
+SELECT c_custkey, count(o_orderkey) AS n_orders,
+       coalesce({money_sum_sql('o_totalprice')}, 0.0) AS total_spent
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+"""
+
+
+@REGISTRY.register(
+    "join_outer_order_counts",
+    oracle=_OUTER_ORACLE,
+    description="left-outer join + per-customer order count/total (null-safe)",
+    tags=("join", "aggregate"),
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(money_sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct aggregation
+# ---------------------------------------------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       count(DISTINCT c_nationkey) AS n_nations
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@REGISTRY.register(
+    "agg_distinct_segments",
+    oracle=_DISTINCT_ORACLE,
+    description="count + count(distinct) per group (expand-based distinct agg)",
+    tags=("aggregate",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping sets: rollup & cube (the reference has no grouping at all beyond
+# a single key — SURVEY §2.B). grouping() flags disambiguate NULL-as-total.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag)::INT AS g_rf, grouping(l_linestatus)::INT AS g_ls,
+       {money_sum_sql('l_quantity')} AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@REGISTRY.register(
+    "rollup_lineitem",
+    oracle=_ROLLUP_ORACLE,
+    description="ROLLUP grouping-set aggregate with grouping() flags",
+    tags=("aggregate", "grouping-sets"),
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            money_sum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "n")
+        .orderBy(
+            "g_rf",
+            "g_ls",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus)::INT AS g_st, grouping(o_orderpriority)::INT AS g_pr,
+       count(*) AS n, {money_sum_sql('o_totalprice')} AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@REGISTRY.register(
+    "cube_orders",
+    oracle=_CUBE_ORACLE,
+    description="CUBE grouping-set aggregate over orders",
+    tags=("aggregate", "grouping-sets"),
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_st"),
+            F.grouping("o_orderpriority").cast("int").alias("g_pr"),
+            F.count("*").alias("n"),
+            money_sum("o_totalprice").alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_st", "g_pr", "n", "total")
+        .orderBy(
+            "g_st",
+            "g_pr",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+_SETOP_ORACLE = """
+WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+SELECT 'union' AS op, nk FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)
+UNION ALL
+SELECT 'intersect' AS op, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+UNION ALL
+SELECT 'except' AS op, nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+ORDER BY op, nk
+"""
+
+
+@REGISTRY.register(
+    "setops_nations",
+    oracle=_SETOP_ORACLE,
+    description="UNION / INTERSECT / EXCEPT over customer vs supplier nations",
+    tags=("setop",),
+)
+def setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    sn = (
+        table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nk"))
+        .distinct()
+    )
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "nk")  # noqa: E731
+    return (
+        tag(cn.union(sn).distinct(), "union")
+        .unionAll(tag(cn.intersect(sn), "intersect"))
+        .unionAll(tag(cn.exceptAll(sn).distinct(), "except"))
+        .orderBy("op", "nk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k: TakeOrderedAndProject — never a full global sort.
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+@REGISTRY.register(
+    "topk_orders",
+    oracle=_TOPK_ORACLE,
+    description="top-100 orders by price (TakeOrderedAndProject, no global sort)",
+    tags=("topk", "sort"),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar function surface: string/date/math per-row (no FP aggregation, so
+# parity is trivially exact). LIMIT keeps the check set small.
+# ---------------------------------------------------------------------------
+
+_SCALAR_ORACLE = """
+SELECT
+  o_orderkey,
+  upper(substr(o_orderpriority, 1, 8)) AS prio_u,
+  length(o_orderpriority) AS prio_len,
+  concat(o_orderstatus, '-', CAST(o_custkey AS VARCHAR)) AS status_cust,
+  year(o_orderdate) AS oyear,
+  month(o_orderdate) AS omonth,
+  datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since,
+  round(o_totalprice / 1000.0, 3) AS price_k,
+  CAST(floor(sqrt(o_totalprice)) AS BIGINT) AS sqrt_floor,
+  abs(o_custkey - 100) AS custdist
+FROM orders
+ORDER BY o_orderkey
+LIMIT 500
+"""
+
+
+@REGISTRY.register(
+    "scalar_functions",
+    oracle=_SCALAR_ORACLE,
+    description="string/date/math scalar function surface, row-level",
+    tags=("scalar",),
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_u"),
+            F.length("o_orderpriority").alias("prio_len"),
+            F.concat_ws(
+                "-", F.col("o_orderstatus"), F.col("o_custkey").cast("string")
+            ).alias("status_cust"),
+            F.year("o_orderdate").alias("oyear"),
+            F.month("o_orderdate").alias("omonth"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).cast("long").alias("days_since"),
+            F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k"),
+            F.floor(F.sqrt("o_totalprice")).cast("long").alias("sqrt_floor"),
+            F.abs(F.col("o_custkey") - 100).alias("custdist"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )

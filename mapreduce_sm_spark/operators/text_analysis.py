@@ -1,0 +1,226 @@
+"""Text-analysis operators for training-data pipelines (§2.C):
+quality stats, language-ID heuristic, BPE-ish token counting, and
+rolling-hash document fingerprints. All pure column expressions —
+JVM-side, codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_sm_spark.functions.text import char_shingles
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+# ---------------------------------------------------------------------------
+# quality stats
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+')) AS n_tokens,
+       length(text) AS n_chars,
+       round(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+             / length(text)::DOUBLE, 6) AS punct_ratio,
+       round(length(text)::DOUBLE
+             / nullif(len(regexp_extract_all(text, '[A-Za-z]+')), 0)::DOUBLE, 6)
+           AS chars_per_token
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@REGISTRY.register(
+    "text_quality_stats",
+    oracle=_STATS_ORACLE,
+    description="per-doc quality stats: token count, punct ratio, chars/token",
+    tags=("text",),
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0)))
+    n_chars = F.length("text")
+    punct = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", ""))
+    return (
+        docs.select(
+            "doc_id",
+            n_tokens.cast("long").alias("n_tokens"),
+            n_chars.cast("long").alias("n_chars"),
+            F.round(punct.cast("double") / n_chars.cast("double"), 6).alias(
+                "punct_ratio"
+            ),
+            F.round(
+                n_chars.cast("double")
+                / F.nullif(n_tokens, F.lit(0)).cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic: stopword-hit scoring with a fixed priority order.
+# (The fixture corpus is synthetic word soup, so the interesting property is
+# determinism + plumbing, not linguistic accuracy.)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "zh": ("de", "le", "shi", "wo", "ni"),
+}
+_LANG_ORDER = ("en", "es", "fr", "de", "zh")
+
+
+def _score_sql(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return (
+        f"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+        f"t -> t IN ({inlist})))"
+    )
+
+
+_LANG_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} >= greatest("
+        + ", ".join(f"s_{o}" for o in _LANG_ORDER if o != lang)
+        + f") THEN '{lang}'"
+        for lang in _LANG_ORDER
+    )
+    + " ELSE 'unknown' END"
+)
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS declared_lang,
+         {', '.join(f'{_score_sql(lang)} AS s_{lang}' for lang in _LANG_ORDER)}
+  FROM documents
+)
+SELECT doc_id, declared_lang, {_LANG_CASE_SQL} AS predicted_lang,
+       ({_LANG_CASE_SQL} = declared_lang) AS agree
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@REGISTRY.register(
+    "lang_id_heuristic",
+    oracle=_LANGID_ORACLE,
+    description="n-gram/stopword language-ID heuristic with deterministic argmax",
+    tags=("text",),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+
+    def score(lang: str):
+        words = _STOPWORDS[lang]
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        *[score(lang).alias(f"s_{lang}") for lang in _LANG_ORDER],
+    )
+    pred = F.lit("unknown")
+    # build CASE from last to first so earlier langs win ties (same priority
+    # order as the SQL CASE above)
+    for lang in reversed(_LANG_ORDER):
+        others = [F.col(f"s_{o}") for o in _LANG_ORDER if o != lang]
+        pred = F.when(
+            (F.col(f"s_{lang}") > 0)
+            & (F.col(f"s_{lang}") >= F.greatest(*others)),
+            F.lit(lang),
+        ).otherwise(pred)
+    # Note: building from reversed order with nested otherwise gives the
+    # FIRST matching lang priority, matching SQL CASE evaluation order.
+    pred_expr = pred
+    return (
+        scored.select(
+            "doc_id",
+            "declared_lang",
+            pred_expr.alias("predicted_lang"),
+            (pred_expr == F.col("declared_lang")).alias("agree"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting per language group
+# ---------------------------------------------------------------------------
+
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+_TOKCOUNT_ORACLE = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS total_tokens,
+       sum(len(string_split(text, ' '))) AS total_ws_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@REGISTRY.register(
+    "token_count",
+    oracle=_TOKCOUNT_ORACLE,
+    description="BPE-ish + whitespace token counts per language",
+    tags=("text",),
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+    ws = F.size(F.split("text", " ", -1))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(bpe.cast("long")).alias("total_tokens"),
+            F.sum(ws.cast("long")).alias("total_ws_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint: polynomial rolling hash over characters,
+# acc = (acc*131 + code(ch)) mod 1e9+7 — identical fold in both engines.
+# ---------------------------------------------------------------------------
+
+_FP_MOD = 1_000_000_007
+
+_FP_ORACLE = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(list_transform(generate_series(1, length(text)), i -> substr(text, i, 1)),
+                          c -> ascii(c)::BIGINT)),
+         (acc, c) -> (acc * 131 + c) % {_FP_MOD}
+       ) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@REGISTRY.register(
+    "doc_fingerprint",
+    oracle=_FP_ORACLE,
+    description="polynomial rolling-hash fingerprint per document",
+    tags=("text", "hash"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    chars = char_shingles(F.col("text"), 1)
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 131 + F.ascii(ch).cast("long")) % _FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")

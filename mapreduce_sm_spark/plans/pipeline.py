@@ -1,0 +1,121 @@
+"""Pipeline — the engine's public job-spec API.
+
+This is the Spark-first counterpart of the reference's `mapreduce_opts`
+struct (/root/reference/include/mapreduce.h:107-122), which exposed five C
+function-pointer hooks: splitter, map, reduce, sort comparator, output
+writer. Here each hook is a declarative slot; the "plan" the user builds is
+a Catalyst logical plan, so predicate pushdown / column pruning / partial
+aggregation happen automatically — none of that existed in the reference
+(SURVEY §4.1).
+
+Slot mapping (reference -> here):
+  splitter  -> none needed: Spark's file-split + record reading
+  map       -> `map(fn)` where fn: DataFrame -> DataFrame (1:1 via select,
+               1:N via explode — flatMap semantics, mapreduce.h:100)
+  reduce    -> `reduce(keys, aggs)` built-in aggregations (with map-side
+               partial agg the reference lacked), or
+               `reduce_apply(keys, fn, schema)` -> applyInPandas for
+               arbitrary grouped UDFs (Arrow-batched)
+  sort      -> `sort(SortSpec(col, ascending))` ≡ comparator + SORT_ASC/DESC
+               (mapreduce.h:9-10); Spark plans a range-partitioned sort
+               instead of the reference's per-thread sort + serial merge
+  writer    -> `write_formatted(fmt, cols, path)` ≡ output_writer
+               (mapreduce.c:354-357), rendered by format_string JVM-side
+
+Defaults mirror `mapreduce_default_opts` (mapreduce.c:366-374): identity
+reduce, ascending string sort on the first column, "%s\t%s" writer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class SortSpec:
+    """≡ reference comparator + direction (SORT_ASC/SORT_DESC)."""
+
+    column: str
+    ascending: bool = True
+
+    def to_column(self) -> Column:
+        c = F.col(self.column)
+        return c.asc() if self.ascending else c.desc()
+
+
+class Pipeline:
+    """Composable source -> map -> reduce -> sort -> sink job builder.
+
+    Every stage only *declares* plan nodes; nothing executes until an action
+    (`to_df(...)` consumers, or `write_*`). Safe at any scale: no collect(),
+    no driver-side loops.
+    """
+
+    def __init__(self, source: Callable[..., DataFrame] | DataFrame):
+        self._source = source
+        self._stages: list[Callable[[DataFrame], DataFrame]] = []
+
+    # -- map slot (flatMap semantics: fn may explode rows 1:N) ------------
+    def map(self, fn: Callable[[DataFrame], DataFrame]) -> "Pipeline":
+        self._stages.append(fn)
+        return self
+
+    # -- reduce slot ------------------------------------------------------
+    def reduce(
+        self, keys: Sequence[str], aggs: Sequence[Column] | None = None
+    ) -> "Pipeline":
+        """Grouped aggregation. aggs=None ≡ the reference's identity_reducer
+        (group without aggregating — a no-op in relational terms)."""
+        if aggs:
+            self._stages.append(lambda df: df.groupBy(*keys).agg(*aggs))
+        return self
+
+    def reduce_apply(
+        self, keys: Sequence[str], fn: Callable, schema: str
+    ) -> "Pipeline":
+        """Arbitrary grouped reduce UDF via applyInPandas (Arrow-batched) —
+        the escape hatch matching the reference's free-form C reduce hook."""
+        self._stages.append(lambda df: df.groupBy(*keys).applyInPandas(fn, schema))
+        return self
+
+    # -- sort slot --------------------------------------------------------
+    def sort(self, *specs: SortSpec) -> "Pipeline":
+        if specs:
+            self._stages.append(
+                lambda df: df.orderBy(*[s.to_column() for s in specs])
+            )
+        return self
+
+    # -- build / sink -----------------------------------------------------
+    def to_df(self, *source_args) -> DataFrame:
+        df = (
+            self._source
+            if isinstance(self._source, DataFrame)
+            else self._source(*source_args)
+        )
+        for stage in self._stages:
+            df = stage(df)
+        return df
+
+    def write_formatted(
+        self,
+        fmt: str,
+        cols: Sequence[str],
+        path: str,
+        *source_args,
+        single_file: bool = False,
+    ) -> None:
+        """Formatted text sink ≡ output_writer. `fmt` is a printf-style
+        format ("%s\t%d", "%d:%s"). single_file=True coalesces to one file —
+        test-scale only, like the reference's single FILE* output."""
+        df = self.to_df(*source_args)
+        out = df.select(
+            F.format_string(fmt, *[F.col(c) for c in cols]).alias("value")
+        )
+        if single_file:
+            out = out.coalesce(1)
+        out.write.mode("overwrite").text(path)

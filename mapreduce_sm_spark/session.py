@@ -1,0 +1,110 @@
+"""SparkSession bootstrap tuned for both local testing and cluster scale.
+
+The reference hand-rolls its runtime (threads, MPMC queue, per-partition
+mutex hash store — /root/reference/src/mapreduce.c:376-512). Here the
+equivalent is one function that returns a properly configured SparkSession;
+Spark's scheduler/shuffle/AQE replace all of it.
+
+Scale posture (100 TB readiness):
+- AQE on: runtime partition coalescing, skew-join splitting, dynamic
+  broadcast decisions survive a 1000x scale-up where static plans don't.
+- shuffle.partitions is a *starting* number; AQE coalesces down locally and
+  fans out on a real cluster (set higher via SPARKSM_SHUFFLE_PARTITIONS).
+- Arrow enabled so any pandas_udf path is vectorized batch transfer.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle and are cluster-node independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mapreduce-sm-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the engine's SparkSession.
+
+    Local default: local[$SPARK_GRAFT_CPUS] (falls back to all cores).
+    On a real cluster, pass master=None with spark-submit providing it.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARKSM_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- adaptive execution: the 100 TB safety net ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- python <-> JVM transfer is always Arrow-batched ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- deterministic timestamp semantics (matches DuckDB oracle) ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # quieter local runs; harmless on cluster
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    if os.environ.get("SPARKSM_DRIVER_MEMORY"):
+        builder = builder.config(
+            "spark.driver.memory", os.environ["SPARKSM_DRIVER_MEMORY"]
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+
+
+# Fixture tables materialized by the test-data driver (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one fixture table. Column pruning/predicate pushdown happen at
+    the parquet scan because callers select/filter on the returned frame.
+
+    The events fixture stores TIMESTAMP(NANOS) which Spark's vectorized
+    parquet reader rejects; we read nanos as long (legacy flag) and convert
+    to a micros timestamp (floor division — matching DuckDB's nanos->micros
+    truncation)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)

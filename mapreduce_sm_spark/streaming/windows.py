@@ -1,0 +1,84 @@
+"""Structured Streaming operators (extension — the reference is batch-only,
+"sm" = shared memory, SURVEY §2.B).
+
+The batch queries in operators/events.py define the window semantics; this
+module runs the same logical plan under `readStream` with a watermark, so
+batch and streaming answers coincide on a closed input (verified in
+tests/test_streaming.py via the availableNow trigger).
+
+Scale posture: stateful windowed aggregation keyed by (window, event_type);
+watermark bounds state (late events beyond 1 hour are dropped); state store
+is RocksDB-compatible on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# The events fixture stores TIMESTAMP(NANOS); the stream reads it as long
+# (with spark.sql.legacy.parquet.nanosAsLong) and converts to micros below —
+# mirroring session.table()'s batch-side handling.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_ = TimestampType  # kept for callers building micros-native event schemas
+
+
+def streaming_tumbling_counts(stream: DataFrame) -> DataFrame:
+    """1-hour tumbling counts per event_type with a 1-hour watermark —
+    the streaming twin of operators/events.py::tumbling_window."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def run_streaming_tumbling_counts(
+    spark: SparkSession, events_parquet_dir: str, query_name: str = "tumbling_counts"
+) -> DataFrame:
+    """Run the streaming plan over a (closed) parquet directory with the
+    availableNow trigger and return the complete result from the memory
+    sink. Exercises the real streaming engine: source -> watermark ->
+    stateful agg -> sink."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_parquet_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    out = streaming_tumbling_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(query_name)

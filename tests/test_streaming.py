@@ -1,0 +1,35 @@
+"""Structured Streaming: the streaming tumbling-window plan must agree with
+its batch twin on a closed input (SURVEY §7.1 step 7)."""
+
+from __future__ import annotations
+
+import os
+
+from tests.conftest import SF_DIR
+
+
+def test_streaming_tumbling_equals_batch(spark, tmp_path):
+    import shutil
+
+    from mapreduce_sm_spark.operators.events import tumbling_window
+    from mapreduce_sm_spark.streaming.windows import run_streaming_tumbling_counts
+
+    batch = {
+        (r.win_start, r.event_type): r.n
+        for r in tumbling_window(spark, SF_DIR).collect()
+    }
+
+    # the file stream source requires a directory of files
+    events_dir = str(tmp_path / "events_stream")
+    os.makedirs(events_dir)
+    shutil.copy(
+        os.path.join(SF_DIR, "events.parquet"),
+        os.path.join(events_dir, "part-0.parquet"),
+    )
+    streamed_df = run_streaming_tumbling_counts(
+        spark, events_dir, query_name="t_stream_test"
+    )
+    streamed = {
+        (r.win_start, r.event_type): r.n for r in streamed_df.collect()
+    }
+    assert streamed == batch
