@@ -17,6 +17,8 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
     relational,
     analytic,
     events,
+    joins_advanced,
+    udf_surface,
     dedup,
     similarity,
     text_analysis,

@@ -336,3 +336,126 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — near-dup detection for token-level similarity.
+#
+# 32-bit simhash: token -> hash60 % 2^32; bit j of the signature is the
+# sign (>= 0) of sum over tokens of (2*bit_j(h) - 1). All-integer, so the
+# oracle replays it exactly. Pair search blocks on lang here; the 100 TB
+# blocking is chunked-signature banding (split the signature into b > d
+# chunks; pigeonhole guarantees pairs within hamming distance d share a
+# chunk), which turns the search into an equality join exactly like
+# MinHash banding.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+_SIMHASH_MOD = 1 << 32
+_HAMMING_MAX = 6
+
+
+def _simhash_spark(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, simhash) from a (doc_id, lang, text) frame."""
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    h = (hash60(F.col("tok")) % _SIMHASH_MOD).alias("h")
+    bit_sums = [
+        F.sum(
+            F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    sums = toks.select("doc_id", "lang", h).groupBy("doc_id", "lang").agg(*bit_sums)
+    sig = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", "lang", sig.cast("long").alias("simhash"))
+
+
+def _simhash_sql_cte() -> str:
+    h = f"({hash60_sql('t')} % {_SIMHASH_MOD})"
+    bit_sums = ", ".join(
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(h, x -> "
+        f"((x // {1 << j}) % 2) * 2 - 1)), (a, b) -> a + b) AS s{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, lang,
+         list_transform(regexp_extract_all(lower(text), '[a-z]+'), t -> {h}) AS h
+  FROM documents
+), sums AS (
+  SELECT doc_id, lang, {bit_sums} FROM toks
+), sig AS (
+  SELECT doc_id, lang, ({sig})::BIGINT AS simhash FROM sums
+)"""
+
+
+_SIMHASH_ORACLE = f"""
+WITH {_simhash_sql_cte()}
+SELECT doc_id, simhash FROM sig ORDER BY doc_id
+"""
+
+
+@REGISTRY.register(
+    "dedup_simhash",
+    oracle=_SIMHASH_ORACLE,
+    description="32-bit SimHash signature per document (all-integer, portable)",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return _simhash_spark(docs).select("doc_id", "simhash").orderBy("doc_id")
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_simhash_sql_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+@REGISTRY.register(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_PAIRS_ORACLE,
+    description="SimHash near-dup pairs (hamming <= 6) within lang blocks",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sig = _simhash_spark(docs)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("simhash").alias("ha"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("simhash").alias("hb"),
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )

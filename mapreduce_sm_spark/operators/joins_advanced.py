@@ -1,0 +1,152 @@
+"""Joins Spark lacks as built-ins: as-of (time-travel) join and range
+(band) join — the task spec's canonical "custom operator" cases, built as
+compositions of existing DataFrame ops (option (a) of the spec's ladder),
+not UDFs.
+
+As-of join, the scalable construction (no N x M join, no per-key loop):
+union both sides tagged, window per key ordered by time, carry the last
+non-null right-side attributes forward, keep left rows. One shuffle on the
+key — the same cost as a regular sort-merge join, resilient to skew via
+AQE. (A naive implementation — join on key with t_r <= t_l then argmax —
+shuffles the full cross product per key; at 100 TB the union+window wins.)
+
+Range join: small band dimension broadcast, inequality predicate evaluated
+map-side (BroadcastNestedLoopJoin) — the right plan when one side is tiny;
+for two large sides you'd bucketize the range into join keys first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_sm_spark.operators._parity import ts_str, ts_str_sql
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+# ---------------------------------------------------------------------------
+# as-of join: each event -> the latest order of that customer at/before ts.
+# Orders are pre-collapsed to one row per (custkey, orderdate) with a
+# deterministic winner (max orderkey) so tie semantics are pinned in both
+# engines (DuckDB's ASOF JOIN is otherwise tie-ambiguous).
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = f"""
+WITH o1 AS (
+  SELECT o_custkey, o_orderdate,
+         max(o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders
+  GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, {ts_str_sql('e.ts')} AS ets,
+       o.o_orderkey AS last_orderkey, o.o_totalprice AS last_totalprice
+FROM events e
+ASOF LEFT JOIN o1 o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+@REGISTRY.register(
+    "join_asof_events_orders",
+    oracle=_ASOF_ORACLE,
+    description="as-of join via union + last-value window (one shuffle)",
+    headline=True,
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderdate").alias("t"),
+            F.lit(0).alias("is_event"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("o_orderkey"),
+            F.col("o_totalprice"),
+        )
+    )
+    events = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    # at equal t the order row (is_event=0) sorts first => inclusive "<="
+    w = (
+        Window.partitionBy("key")
+        .orderBy("t", "is_event", F.col("o_orderkey").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = orders.unionByName(events).select(
+        "key",
+        "t",
+        "is_event",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("last_totalprice"),
+    )
+    return (
+        merged.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            ts_str("t").alias("ets"),
+            "last_orderkey",
+            "last_totalprice",
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# range (band) join: classify events into value bands.
+# ---------------------------------------------------------------------------
+
+_BANDS = [
+    ("low", 0.0, 50.0),
+    ("mid", 50.0, 150.0),
+    ("high", 150.0, 300.0),
+    ("extreme", 300.0, 1e9),
+]
+
+_BANDS_VALUES_SQL = ", ".join(
+    f"('{name}', {lo}, {hi})" for name, lo, hi in _BANDS
+)
+
+_RANGE_ORACLE = f"""
+SELECT b.band, e.event_type, count(*) AS n
+FROM events e
+JOIN (VALUES {_BANDS_VALUES_SQL}) AS b(band, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band, e.event_type
+ORDER BY band, event_type
+"""
+
+
+@REGISTRY.register(
+    "join_range_value_bands",
+    oracle=_RANGE_ORACLE,
+    description="range/band join with broadcast interval dimension",
+    tags=("join", "range"),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band", "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("band", "event_type")
+    )

@@ -531,3 +531,40 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(500)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles (linear interpolation — Spark `percentile` and DuckDB
+# `quantile_cont` agree bit-for-bit; verified empirically at sf0.01)
+# ---------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.50) AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@REGISTRY.register(
+    "percentiles_order_price",
+    oracle=_PCT_ORACLE,
+    description="exact interpolated percentiles per order priority",
+    tags=("aggregate", "percentile"),
+)
+def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+            F.percentile("o_totalprice", F.lit(0.50)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

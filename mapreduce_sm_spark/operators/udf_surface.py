@@ -1,0 +1,206 @@
+"""The engine's UDF surface (SURVEY §2.A row 12): the reference exposes 5 C
+function-pointer hooks; here each Spark UDF flavor is exercised by a
+registered, oracle-checked query:
+
+  scalar SQL UDF registration  — spark.udf.register + spark.sql
+  pandas_udf GROUPED_AGG       — arbitrary grouped reduce (Arrow-batched)
+  applyInPandas (GROUPED_MAP)  — the free-form per-group hook, like the
+                                 reference's reduce writing multiple rows
+  sql_interface                — the spark.sql() entry point over temp views
+
+Determinism note: Python-side float accumulation is ordered explicitly
+(sort by a unique key, then strict left-to-right adds) so the result is
+reproducible and the DuckDB oracle can replay it with list_reduce over the
+identically-ordered list. Python UDFs are the engine's slow path by
+design — every one of these has a built-in alternative used elsewhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+# ---------------------------------------------------------------------------
+# pandas_udf GROUPED_AGG: weighted average price per return flag.
+# ---------------------------------------------------------------------------
+
+
+def _make_wavg_price():
+    # created lazily: pandas_udf parses its DDL type against the active
+    # session, so module import must stay session-free
+    @pandas_udf("double")
+    def _wavg_price(
+        price: pd.Series, qty: pd.Series, okey: pd.Series, lnum: pd.Series
+    ) -> float:
+        """sum(price*qty)/sum(qty), accumulated strictly in (okey, lnum)
+        order so the float64 result is row-order independent."""
+        df = pd.DataFrame({"p": price, "q": qty, "k": okey, "l": lnum})
+        df = df.sort_values(["k", "l"], kind="mergesort")
+        num = 0.0
+        den = 0.0
+        for p, q in zip(df["p"], df["q"]):
+            num += p * q
+            den += q
+        return num / den if den else None
+
+    return _wavg_price
+
+
+_WAVG_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag,
+         list(l_extendedprice * l_quantity ORDER BY l_orderkey, l_linenumber) AS pq,
+         list(l_quantity ORDER BY l_orderkey, l_linenumber) AS q
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       round(list_reduce(pq, (a, b) -> a + b)
+             / list_reduce(q, (a, b) -> a + b), 6) AS wavg_price
+FROM g
+ORDER BY l_returnflag
+"""
+
+
+@REGISTRY.register(
+    "udaf_weighted_avg",
+    oracle=_WAVG_ORACLE,
+    description="pandas_udf GROUPED_AGG custom aggregate (Arrow-batched)",
+    tags=("udf", "aggregate"),
+)
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    _wavg_price = _make_wavg_price()
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                _wavg_price(
+                    F.col("l_extendedprice"),
+                    F.col("l_quantity"),
+                    F.col("l_orderkey"),
+                    F.col("l_linenumber"),
+                ),
+                6,
+            ).alias("wavg_price")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# applyInPandas: per-language top-2 longest documents — the reference's
+# free-form grouped reduce (emit any number of rows per group).
+# ---------------------------------------------------------------------------
+
+
+def _top2_longest(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.sort_values(
+        ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(2)
+    return out[["lang", "doc_id", "n_chars"]]
+
+
+_TOP2_ORACLE = """
+SELECT lang, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+WHERE rn <= 2
+ORDER BY lang, n_chars DESC, doc_id
+"""
+
+
+@REGISTRY.register(
+    "grouped_map_top2_docs",
+    oracle=_TOP2_ORACLE,
+    description="applyInPandas free-form grouped reduce (top-2 per group)",
+    tags=("udf", "aggregate"),
+)
+def grouped_map_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return (
+        docs.groupBy("lang")
+        .applyInPandas(_top2_longest, schema="lang string, doc_id long, n_chars long")
+        .orderBy("lang", F.col("n_chars").desc(), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar UDF registration + the spark.sql() interface.
+# The scalar logic (price banding) is trivially expressible as a CASE — it
+# exists to prove the registration path; the CASE twin keeps it honest.
+# ---------------------------------------------------------------------------
+
+_SQL_IFACE_ORACLE = """
+SELECT year(o_orderdate) AS oyear,
+       CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice < 300000 THEN 'medium'
+            ELSE 'large' END AS size_band,
+       count(*) AS n
+FROM orders
+GROUP BY oyear, size_band
+ORDER BY oyear, size_band
+"""
+
+
+@REGISTRY.register(
+    "sql_interface_udf",
+    oracle=_SQL_IFACE_ORACLE,
+    description="spark.udf.register + temp view + spark.sql() entry point",
+    tags=("udf", "sql"),
+)
+def sql_interface_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def size_band(price: float) -> str:
+        if price < 100_000:
+            return "small"
+        if price < 300_000:
+            return "medium"
+        return "large"
+
+    spark.udf.register("size_band", size_band, "string")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS oyear,
+               size_band(o_totalprice) AS size_band,
+               count(*) AS n
+        FROM orders_v
+        GROUP BY oyear, size_band
+        ORDER BY oyear, size_band
+        """
+    ).withColumn("oyear", F.col("oyear").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# approximate aggregation: HLL distinct counts. Approximate by design, so
+# no SQL oracle (driver records rows-only); the pytest suite checks the
+# estimate against the exact count within tolerance.
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    "approx_distinct_users",
+    oracle=None,
+    description="approx_count_distinct (HyperLogLog++) per event type",
+    tags=("aggregate", "approx"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,71 @@
+"""Sink connectors (SURVEY §2.A row 9: the reference's only sink is a
+single formatted text file via a printf-style output_writer,
+/root/reference/src/mapreduce.c:354-357,457-489).
+
+`write_formatted_text` reproduces that contract with format_string
+rendered JVM-side. Everything else is the posture a 100 TB pipeline needs:
+partitioned/bucketed parquet so downstream joins and scans prune.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_formatted_text(
+    df: DataFrame,
+    fmt: str,
+    cols: Sequence[str],
+    path: str,
+    single_file: bool = False,
+) -> None:
+    """printf-formatted text sink ≡ output_writer ("%s\\t%d", "%d:%s").
+
+    single_file=True coalesces to one file like the reference's lone
+    FILE* — acceptable only at test scale; the default writes one file per
+    partition (total order across files is preserved by the upstream
+    range-partitioned sort: files sort lexicographically by part number)."""
+    out = df.select(F.format_string(fmt, *[F.col(c) for c in cols]).alias("value"))
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partitioned parquet: the layout that makes 100 TB scans prunable
+    (partition pruning on partition_by columns happens at planning time)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] = (),
+) -> None:
+    """Bucketed managed table: pre-shuffles once at write time so future
+    joins/aggregations on bucket_cols are exchange-free (the scale answer
+    to the reference's hash-partitioned in-memory store,
+    mapreduce.c:145-153)."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> None:
+    df.write.mode("overwrite").option("header", header).option("sep", sep).csv(path)

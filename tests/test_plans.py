@@ -1,0 +1,76 @@
+"""Physical-plan audits: the 100 TB posture checks (task spec: "push down
+and prune", "broadcast small dims", "TakeOrdered not global sort",
+"partial aggregation before the exchange")."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    from mapreduce_sm_spark.operators.relational import q1_pricing_summary
+
+    plan = _formatted(q1_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_string_match_column_pruning(spark):
+    from mapreduce_sm_spark.operators.string_match import string_match
+
+    plan = _formatted(string_match(spark, SF_DIR))
+    # the scan must read only doc_id+text, not lang/source/n_chars
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "n_chars" not in read_schema and "source" not in read_schema
+
+
+def test_q5_uses_broadcast_joins(spark):
+    from mapreduce_sm_spark.operators.relational import q5_local_supplier_volume
+
+    plan = _plan(q5_local_supplier_volume(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    from mapreduce_sm_spark.operators.relational import topk_orders
+
+    plan = _plan(topk_orders(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_wordcount_has_partial_aggregation(spark):
+    from mapreduce_sm_spark.operators.wordcount import wordcount
+
+    plan = _plan(wordcount(spark, SF_DIR))
+    # partial + final HashAggregate pair around the exchange — the map-side
+    # combine the reference lacked (SURVEY §4.3)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(word" in plan
+
+
+def test_semi_join_planned_as_semi(spark):
+    from mapreduce_sm_spark.operators.relational import join_semi
+
+    plan = _plan(join_semi(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    from mapreduce_sm_spark.operators.relational import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, SF_DIR)
+    df.collect()  # AQE: codegen spans appear only in the final plan
+    plan = _plan(df)
+    # "*(n) " prefixes mark WholeStageCodegen spans in the compact plan
+    assert "*(1)" in plan or "WholeStageCodegen" in plan

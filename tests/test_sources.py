@@ -1,0 +1,88 @@
+"""Source/sink connector round-trips (SURVEY §2.B: formats beyond the
+reference's single local text file)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_text_roundtrip_with_line_numbers(spark, tmp_path):
+    from mapreduce_sm_spark.sources import read_text, write_formatted_text
+    from mapreduce_sm_spark.session import table
+
+    docs = table(spark, SF_DIR, "documents").orderBy("doc_id").limit(50)
+    out = str(tmp_path / "lines")
+    write_formatted_text(docs, "%s", ["text"], out, single_file=True)
+
+    lines = read_text(spark, out, with_line_numbers=True)
+    assert lines.count() == 50
+    rows = lines.orderBy("line_no").collect()
+    want = [r.text for r in docs.collect()]
+    assert [r.value for r in rows] == want
+    assert [r.line_no for r in rows] == list(range(50))
+
+
+def test_string_match_formatted_output(spark, tmp_path):
+    """The reference's "%d:%s" writer (string_match.c:107-110)."""
+    from mapreduce_sm_spark.operators.string_match import string_match
+    from mapreduce_sm_spark.sources import write_formatted_text
+
+    df = string_match(spark, SF_DIR).limit(10)
+    out = str(tmp_path / "sm")
+    write_formatted_text(df, "%d:%s", ["line_no", "line"], out, single_file=True)
+    lines = [r.value for r in spark.read.text(out).collect()]
+    assert all(":" in l and l.split(":")[0].isdigit() for l in lines)
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    from mapreduce_sm_spark.sources import read_csv, read_json, write_csv
+    from mapreduce_sm_spark.session import table
+
+    cust = table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    csv_path = str(tmp_path / "cust_csv")
+    write_csv(cust, csv_path)
+    back = read_csv(spark, csv_path, schema="c_custkey long, c_name string, c_acctbal double")
+    assert back.count() == cust.count()
+    assert {r.c_custkey for r in back.collect()} == {
+        r.c_custkey for r in cust.collect()
+    }
+
+    json_path = str(tmp_path / "cust_json")
+    cust.write.mode("overwrite").json(json_path)
+    back_j = read_json(spark, json_path, schema="c_custkey long, c_name string, c_acctbal double")
+    assert back_j.count() == cust.count()
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    from mapreduce_sm_spark.sources import write_parquet
+    from mapreduce_sm_spark.session import table
+
+    docs = table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "docs_part")
+    write_parquet(docs, out, partition_by=["lang"])
+
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: only the lang=en directory is scanned
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
+    assert "PartitionFilters" in plan
+
+
+def test_bucketed_table_join_avoids_exchange(spark, tmp_path):
+    from mapreduce_sm_spark.sources.sinks import write_bucketed_table
+    from mapreduce_sm_spark.session import table
+
+    orders = table(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    write_bucketed_table(orders, "orders_bucketed", ["o_custkey"], 8)
+
+    t = spark.table("orders_bucketed")
+    agg = t.groupBy("o_custkey").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    # aggregation on the bucket key needs no shuffle
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
