@@ -148,6 +148,15 @@ def _jaccard(sa, sb):
     return F.round(inter.cast("double") / union.cast("double"), 4)
 
 
+def _jaccard_sized(sa, sb, na, nb):
+    """Jaccard when both arrays are already distinct: |A∪B| = na+nb-|A∩B|.
+
+    Avoids materializing array_distinct(concat(...)) per pair — at verify
+    time that union array dominates the shuffle bytes."""
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    return F.round(inter / (na.cast("double") + nb.cast("double") - inter), 4)
+
+
 @REGISTRY.register(
     "dedup_ngram_jaccard",
     oracle=_JACCARD_ORACLE,
@@ -155,14 +164,30 @@ def _jaccard(sa, sb):
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_sets(spark, sf_dir).withColumn("n", F.size("s"))
+    # cached: the shingle frame feeds the prefix index and both
+    # verification join-backs (3 plan branches)
+    sh = _shingle_sets(spark, sf_dir).withColumn("n", F.size("s")).cache()
+    # AllPairs/PPJoin prefix filter: under ANY global total order on
+    # shingles, two sets with J >= t must share a token inside both of
+    # their prefixes of length n - ceil(t*n) + 1. Ordering by GLOBAL
+    # DOCUMENT FREQUENCY (rarest first, shingle value as tiebreak) makes
+    # prefixes consist of rare shingles, so the equality join below stays
+    # near-linear instead of degenerating to all-pairs on common shingles.
+    toks = sh.select("doc_id", "lang", "n", F.explode("s").alias("tok"))
+    df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
     # prefix length n - ceil(t*n) + 1, computed as floor((1-t)*n) + 2 with a
     # +1 safety margin (a longer prefix only adds candidates, never loses)
     pref_len = (
         F.floor(F.col("n") * F.lit(1.0 - _PREFIX_THRESHOLD)) + F.lit(2)
     ).cast("int")
-    idx = sh.select(
-        "doc_id", "lang", F.explode(F.slice("s", F.lit(1), pref_len)).alias("tok")
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    idx = (
+        toks.join(df_counts, "tok")
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= pref_len)
+        .select("doc_id", "lang", "n", "tok")
     )
     a, b = idx.alias("a"), idx.alias("b")
     cand = (
@@ -170,26 +195,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= t forces t*|A| <= |B| <= |A|/t
+            & (
+                F.col("b.n").cast("double")
+                >= F.col("a.n") * F.lit(_PREFIX_THRESHOLD)
+            )
+            & (
+                F.col("b.n").cast("double")
+                <= F.col("a.n") / F.lit(_PREFIX_THRESHOLD)
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sets = sh.select("doc_id", "s")
+    # verify on long-hashed shingles: md5-60bit is injective in practice
+    # (collision odds ~n²/2^61), so Jaccard over hashes == Jaccard over
+    # shingles, at a fraction of the per-pair shuffle bytes and compare cost.
+    sets = sh.select(
+        "doc_id",
+        "n",
+        F.transform("s", lambda t: hash60(t)).alias("hs"),
+    )
     pairs = (
         cand.join(
-            sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")),
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hs").alias("sa"),
+                F.col("n").alias("na"),
+            ),
             "doc_a",
         )
         .join(
-            sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")),
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("hs").alias("sb"),
+                F.col("n").alias("nb"),
+            ),
             "doc_b",
         )
     )
     return (
-        pairs.select("doc_a", "doc_b", _jaccard(F.col("sa"), F.col("sb")).alias("jaccard"))
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            _jaccard_sized(
+                F.col("sa"), F.col("sb"), F.col("na"), F.col("nb")
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
@@ -297,6 +352,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(char_shingles("text", _JACCARD_K)).alias("sh")
     )
+    # the shingle frame feeds three plan branches (signatures + both
+    # verification join-backs); cache so shingling runs once, not 3x.
+    # At cluster scale this would be persist(MEMORY_AND_DISK).
+    docs = docs.cache()
     sig = _minhash_sigs(docs)
     banded = sig.select("doc_id", *_band_cols_spark())
     band_structs = F.array(
@@ -321,18 +380,37 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sets = docs.select(
+        "doc_id",
+        F.size("sh").alias("n"),
+        F.transform("sh", lambda t: hash60(t)).alias("hs"),
+    )
     pairs = (
         cand.join(
-            docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hs").alias("sa"),
+                F.col("n").alias("na"),
+            ),
             "doc_a",
         )
         .join(
-            docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("hs").alias("sb"),
+                F.col("n").alias("nb"),
+            ),
             "doc_b",
         )
     )
     return (
-        pairs.select("doc_a", "doc_b", _jaccard(F.col("sa"), F.col("sb")).alias("jaccard"))
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            _jaccard_sized(
+                F.col("sa"), F.col("sb"), F.col("na"), F.col("nb")
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
@@ -437,7 +515,7 @@ ORDER BY doc_a, doc_b
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    sig = _simhash_spark(docs)
+    sig = _simhash_spark(docs).cache()  # both join sides share one compute
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),
