@@ -30,8 +30,12 @@ def main() -> None:
     registry = load_all_operators()
     spark = get_spark("bench")
 
-    # warm the JVM/codegen paths once with a trivial action
+    # warm the JVM once: codegen, parquet reader, and the noop commit path
+    # all have multi-second first-use cost that would otherwise be charged
+    # to whichever query runs first (BASELINE.md: warm-session timings).
     spark.range(1000).count()
+    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    warm.groupBy("r_name").count().write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for q in registry.headline():

@@ -32,7 +32,7 @@ from mapreduce_sm_spark.functions.hashing import (
 )
 from mapreduce_sm_spark.functions.text import char_shingles, char_shingles_sql
 from mapreduce_sm_spark.registry import REGISTRY
-from mapreduce_sm_spark.session import table
+from mapreduce_sm_spark.session import fan_out, table
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -133,7 +133,11 @@ ORDER BY doc_a, doc_b
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "documents").select(
+    # fan_out: shingling expands each row ~60x; widen BEFORE the expansion
+    return fan_out(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id",
+    ).select(
         "doc_id",
         "lang",
         F.array_sort(
@@ -349,7 +353,9 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "lsh"),
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
+    docs = fan_out(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select(
         "doc_id", F.array_distinct(char_shingles("text", _JACCARD_K)).alias("sh")
     )
     # the shingle frame feeds three plan branches (signatures + both
@@ -435,7 +441,7 @@ _HAMMING_MAX = 6
 
 def _simhash_spark(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, simhash) from a (doc_id, lang, text) frame."""
-    toks = docs.select(
+    toks = fan_out(docs, "doc_id").select(
         "doc_id",
         "lang",
         F.explode(

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_sm_spark.functions.text import WORD_TOKEN_RE_SQL, tokenize_words
 from mapreduce_sm_spark.registry import REGISTRY
-from mapreduce_sm_spark.session import table
+from mapreduce_sm_spark.session import fan_out, table
 
 _ORACLE = f"""
 SELECT word, count(*) AS cnt
@@ -43,7 +43,7 @@ ORDER BY cnt DESC, word ASC
     tags=("reference", "aggregate", "sort"),
 )
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("text")
+    docs = fan_out(table(spark, sf_dir, "documents").select("text"))
     return (
         docs.select(F.explode(tokenize_words("text")).alias("word"))
         .groupBy("word")

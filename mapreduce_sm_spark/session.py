@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- shuffle sizing ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- scan split sizing ---
+        # Spark floors split size at openCostInBytes; the 4 MB default
+        # leaves a 10 MB parquet file at ~3 tasks on a 32-core local run.
+        # 512 KB is a truer open-cost for parquet and lets small inputs
+        # split to cluster width; at 100 TB split size is governed by
+        # maxPartitionBytes (128 MB default), so this is scale-neutral.
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         # --- python <-> JVM transfer is always Arrow-batched ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- deterministic timestamp semantics (matches DuckDB oracle) ---
@@ -86,6 +93,20 @@ TABLES = (
     "documents",
     "embeddings",
 )
+
+
+def fan_out(df, *keys: str):
+    """Repartition a frame to cluster width before a compute-expanding stage.
+
+    Small parquet scans (documents at test SF is one input split) would
+    otherwise run per-row-heavy stages (shingling, md5, tokenize+explode)
+    single-threaded. The shuffle moves the raw rows once — cheap relative to
+    the ~10x expansion the next stage produces. On a real cluster the same
+    holds: pre-expansion is the cheapest point to widen, and if the scan is
+    already wide AQE coalesces the extra exchange instead of paying it."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, *keys) if keys else df.repartition(n)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str):
