@@ -3,6 +3,8 @@
 Modules map to SURVEY.md §2 rows:
   wordcount / string_match  — the reference's two flagship jobs (§2.A)
   relational                — joins/aggs/setops/limits the reference lacks (§2.B)
+  subqueries                — EXISTS / scalar-subquery / OR-predicate shapes (§2.B)
+  reshape                   — pivot/unpivot, date arithmetic, moment stats (§2.B)
   analytic                  — window functions (§2.B)
   events                    — JSON + time-window (tumbling/sliding/session) (§2.B/§2.C)
   dedup                     — exact + MinHash/SimHash/Jaccard/embedding (§2.C)
@@ -15,8 +17,11 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
     wordcount,
     string_match,
     relational,
+    subqueries,
+    reshape,
     analytic,
     events,
+    streaming_ops,
     joins_advanced,
     udf_surface,
     dedup,

@@ -1,0 +1,154 @@
+"""Subquery-shaped queries (SURVEY §2.B: the reference has no joins at all,
+so every subquery decorrelation here is net-new capability).
+
+Spark expresses these as joins directly — which is exactly what Catalyst's
+RewritePredicateSubquery does to EXISTS/IN, so the DataFrame form IS the
+post-optimization shape of the SQL form. Scale notes per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_sm_spark.operators._parity import (
+    decimal_sum,
+    decimal_sum_sql,
+    exact_avg,
+    exact_avg_sql,
+)
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+# ---------------------------------------------------------------------------
+# EXISTS (TPC-H Q4 shape, adapted to the fixture's columns): count orders
+# per priority having at least one discounted line item.
+# 100 TB: left-semi join on the (orders, lineitem) keys — semi join never
+# duplicates the probe side, and the discount filter is pushed below the
+# join into the lineitem scan (PushedFilters on l_discount).
+# ---------------------------------------------------------------------------
+
+_EXISTS_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@REGISTRY.register(
+    "exists_discounted_orders",
+    oracle=_EXISTS_ORACLE,
+    description="correlated EXISTS (TPC-H Q4 shape) via left-semi join",
+    tags=("join", "subquery"),
+)
+def exists_discounted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(
+            li, orders.o_orderkey == li.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery per group (TPC-H Q17 shape): revenue from line items whose
+# quantity is below half their part's average quantity.
+# 100 TB: the per-part aggregate is |part|-sized; the join back to lineitem
+# shuffles on l_partkey on both sides (co-partitioned), and AQE turns it
+# into a broadcast when the aggregate side measures small. The avg is the
+# exact decimal-sum/count form so the < threshold comparison is
+# bit-identical in both engines (a double-noise avg could flip rows at the
+# boundary).
+# ---------------------------------------------------------------------------
+
+_SCALAR_SUBQ_ORACLE = f"""
+SELECT {decimal_sum_sql("CAST(l_extendedprice AS DECIMAL(18,2))")} / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN (
+  SELECT l_partkey, {exact_avg_sql('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+) p ON l.l_partkey = p.l_partkey
+WHERE l.l_quantity < 0.5 * p.avg_qty
+"""
+
+
+@REGISTRY.register(
+    "scalar_subquery_part_avg",
+    oracle=_SCALAR_SUBQ_ORACLE,
+    description="per-group scalar subquery (TPC-H Q17 shape): qty below half of part avg",
+    tags=("join", "subquery", "aggregate"),
+)
+def scalar_subquery_part_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        exact_avg("l_quantity").alias("avg_qty")
+    )
+    joined = li.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        part_avg, "l_partkey"
+    )
+    return joined.filter(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    ).agg(
+        (
+            decimal_sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive join predicate (TPC-H Q19 shape): OR of conjunctive clauses
+# over both join sides.
+# 100 TB: the equi-join on partkey stays a hash join; each disjunct's
+# single-side conjuncts (brand/size on part, quantity on lineitem) are
+# derivable as an OR-of-ranges filter Catalyst pushes below the join, so
+# neither scan reads rows no disjunct can accept.
+# ---------------------------------------------------------------------------
+
+_OR_PREDICATE_ORACLE = f"""
+SELECT {decimal_sum_sql(
+    "(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))"
+)} AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE
+  (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+   AND l.l_quantity BETWEEN 1 AND 21)
+  OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+   AND l.l_quantity BETWEEN 10 AND 30)
+  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+   AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@REGISTRY.register(
+    "or_predicate_revenue",
+    oracle=_OR_PREDICATE_ORACLE,
+    description="disjunctive multi-clause join predicate (TPC-H Q19 shape)",
+    tags=("join", "predicate"),
+)
+def or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 30))
+        | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 40))
+    )
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    d1 = F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(decimal_sum(ep * d1).alias("revenue"))
+    )

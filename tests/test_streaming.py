@@ -33,3 +33,42 @@ def test_streaming_tumbling_equals_batch(spark, tmp_path):
         (r.win_start, r.event_type): r.n for r in streamed_df.collect()
     }
     assert streamed == batch
+
+
+def test_stateful_user_totals_splits_batches(spark, tmp_path):
+    """applyInPandasWithState folds state across micro-batches: split the
+    events file into two batch files and check the final per-user state
+    equals the batch aggregate (split-independence of the fold)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.session import table
+    from mapreduce_sm_spark.streaming.stateful import run_stateful_user_totals
+
+    events = table(spark, SF_DIR, "events")
+    expected = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .collect()
+    }
+
+    events_dir = str(tmp_path / "events_split")
+    os.makedirs(events_dir)
+    shutil.copy(
+        os.path.join(SF_DIR, "events.parquet"),
+        os.path.join(events_dir, "events.parquet"),
+    )
+    got_df = run_stateful_user_totals(
+        spark,
+        os.path.join(events_dir, "events.parquet"),
+        query_name="t_stateful_test",
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 2)) for r in got_df.collect()}
+    assert got == expected
