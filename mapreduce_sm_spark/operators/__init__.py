@@ -19,6 +19,9 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
     relational,
     subqueries,
     reshape,
+    olap,
+    scale,
+    arrays,
     analytic,
     events,
     streaming_ops,

@@ -161,3 +161,53 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution / navigation window functions: ntile, percent_rank,
+# cume_dist, first/last value over a running frame. Same single-shuffle
+# scale shape as the ranking query.
+# ---------------------------------------------------------------------------
+
+_DISTRIB_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(o_orderkey) OVER w AS first_key,
+       last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+ORDER BY o_orderpriority, o_totalprice, o_orderkey
+LIMIT 1000
+"""
+
+
+@REGISTRY.register(
+    "window_distribution_funcs",
+    oracle=_DISTRIB_ORACLE,
+    description="ntile/percent_rank/cume_dist/first/last_value window surface",
+    tags=("window",),
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.first("o_orderkey").over(w).alias("first_key"),
+            F.last("o_orderkey").over(w_full).alias("last_key"),
+        )
+        .orderBy("o_orderpriority", F.col("pct_rank").asc(), "o_orderkey")
+        .limit(1000)
+    )

@@ -1,0 +1,98 @@
+"""Array / map / higher-order function surface (SURVEY §2.B scalar-function
+row; the reference's only value type is an opaque void*).
+
+Exercised over the embeddings fixture's array<float> column. Float->double
+parity: both engines cast each element to double FIRST, then run the
+identical sequential fold (Spark `aggregate` and DuckDB `list_reduce` both
+fold left-to-right), so results are bit-equal without rounding tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+_ARRAY_ORACLE = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(embedding, x -> x::DOUBLE)), (a, b) -> a + b), 6) AS vec_sum,
+       round(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b), 6) AS vec_norm2,
+       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) AS vec_max,
+       round(list_min(list_transform(embedding, x -> x::DOUBLE)), 6) AS vec_min,
+       round((list_transform(embedding, x -> x::DOUBLE))[1], 6) AS first_dim,
+       round(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(embedding[1:8], x -> x::DOUBLE)), (a, b) -> a + b), 6) AS head_sum,
+       len(list_filter(list_transform(embedding, x -> x::DOUBLE), x -> x > 0)) AS n_positive
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@REGISTRY.register(
+    "array_functions_surface",
+    oracle=_ARRAY_ORACLE,
+    description="higher-order array functions: fold, map, filter, slice, minmax",
+    tags=("scalar", "array"),
+)
+def array_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(fold(vec), 6).alias("vec_sum"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("vec_norm2"),
+        F.round(F.array_max(vec), 6).alias("vec_max"),
+        F.round(F.array_min(vec), 6).alias("vec_min"),
+        F.round(F.element_at(vec, 1), 6).alias("first_dim"),
+        F.round(fold(F.slice(vec, 1, 8)), 6).alias("head_sum"),
+        F.size(F.filter(vec, lambda x: x > 0)).cast("long").alias("n_positive"),
+    ).orderBy("vec_id")
+
+
+_MAP_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(DISTINCT json_extract_string(props, '$.k')) AS distinct_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@REGISTRY.register(
+    "json_schema_parse_events",
+    oracle=_MAP_ORACLE,
+    description="from_json schema-parsed map access + per-type JSON stats",
+    tags=("json", "map"),
+)
+def json_schema_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "map<string,string>").alias("m"),
+    ).select(
+        "event_type", F.element_at("m", "k").cast("long").alias("k")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct(F.col("k").cast("string")).alias("distinct_k"),
+        )
+        .orderBy("event_type")
+    )

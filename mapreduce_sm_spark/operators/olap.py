@@ -1,0 +1,129 @@
+"""OLAP reporting shapes: GROUPING SETS with grouping_id, conditional
+(CASE) bucket aggregation, and conditional-ratio aggregates (TPC-H Q12/Q14
+shapes). All single-shuffle partial+final aggregates at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_sm_spark.operators._parity import (
+    DISC_PRICE_SQL,
+    decimal_sum,
+    decimal_sum_sql,
+    disc_price,
+)
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with an explicit grouping_id: totals by (status, priority),
+# by status alone, and grand total — one pass, no self-union.
+# Spark's DataFrame API exposes rollup/cube only; arbitrary grouping sets
+# are the SQL surface, which is itself part of the engine's API
+# (spark.sql over a registered view).
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@REGISTRY.register(
+    "grouping_sets_orders",
+    oracle=_GSETS_ORACLE,
+    description="arbitrary GROUPING SETS + grouping_id in one aggregation pass",
+    tags=("aggregate", "grouping-sets", "sql"),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gsets_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               count(*) AS n
+        FROM orders_gsets_v
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional bucket aggregation (TPC-H Q12 shape, adapted: the fixture
+# lineitem has no shipmode, so bucket orders by status): urgency split per
+# order status via CASE inside SUM.
+# ---------------------------------------------------------------------------
+
+_CASE_ORACLE = """
+SELECT o_orderstatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@REGISTRY.register(
+    "case_bucket_orders",
+    oracle=_CASE_ORACLE,
+    description="CASE-bucketed conditional counts (TPC-H Q12 shape)",
+    tags=("aggregate", "conditional"),
+)
+def case_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional-ratio aggregate (TPC-H Q14 shape): PROMO revenue share.
+# Join prunes part to (p_partkey, p_type); at 100 TB AQE broadcasts the
+# dimension side when it fits, else shuffle-hash on partkey.
+# ---------------------------------------------------------------------------
+
+_PROMO_ORACLE = f"""
+SELECT round(
+  100.0 * {decimal_sum_sql(f"CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE_SQL} ELSE CAST(0 AS DECIMAL(19,6)) END")}
+        / {decimal_sum_sql(DISC_PRICE_SQL)}, 6) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+@REGISTRY.register(
+    "promo_revenue_ratio",
+    oracle=_PROMO_ORACLE,
+    description="conditional revenue share (TPC-H Q14 shape)",
+    tags=("aggregate", "join", "conditional"),
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = disc_price()
+    zero = F.lit(0).cast("decimal(19,6)")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * decimal_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            / decimal_sum(rev),
+            6,
+        ).alias("promo_revenue_pct")
+    )
