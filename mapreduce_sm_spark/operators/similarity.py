@@ -203,3 +203,132 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= _PAIRS_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: distributed k-means partitions the corpus into
+# K cells; a query probes only the nprobe nearest cells. This is the
+# classic billion-vector scale path (FAISS IVF shape): index build is
+# O(iters * N * K) distributed work, query cost drops by ~K/nprobe.
+#
+# The Lloyd loop is genuinely iterative — the driver holds only the K
+# centroid vectors between iterations (K*dim doubles, never corpus data),
+# every distance/mean is a distributed DataFrame op. Iterative algorithms
+# have no single-statement SQL oracle (per the driver contract such ops
+# get a rows-only check); the pytest suite instead proves nprobe=K
+# degenerates IVF to EXACTLY the brute-force result, which validates all
+# the index machinery except cell pruning, and cell pruning is checked
+# structurally (results come only from probed cells).
+# ---------------------------------------------------------------------------
+
+_IVF_K = 16
+_IVF_ITERS = 3
+_IVF_NPROBE = 4
+
+
+def _l2(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_centroids(
+    spark: SparkSession, vecs: DataFrame, k: int, iters: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic distributed Lloyd iterations over (vec_id, v) rows.
+    Init = the k lowest vec_ids. Returns [(cid, centroid_vector)]."""
+    init = vecs.orderBy("vec_id").limit(k).select("v").collect()
+    cents = [(i, list(r.v)) for i, r in enumerate(init)]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, schema="cid int, cvec array<double>")
+        # argmin as min(struct(d2, cid)) — struct ordering is lexicographic,
+        # so this is the (d2, cid)-minimum with map-side partial aggregation
+        # and NO per-key sort (a row_number window would sort N*K rows).
+        assigned = (
+            vecs.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "v", "cid", _l2(F.col("v"), F.col("cvec")).alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cid")).alias("s"),
+                F.first("v").alias("v"),
+            )
+            .select("vec_id", F.col("s.cid").alias("cid"), "v")
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select("cid", F.col("pm.m").alias("cvec"))
+            .collect()
+        )
+        new = {r.cid: list(r.cvec) for r in means}
+        cents = [(i, new.get(i, c)) for i, c in cents]  # empty cell keeps old
+    return cents
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "embedding",
+    )
+    cents = _kmeans_centroids(spark, emb.select("vec_id", "v"), _IVF_K, _IVF_ITERS)
+    cdf = spark.createDataFrame(cents, schema="cid int, cvec array<double>")
+
+    # corpus-side cell assignment (argmin L2 over broadcast centroids),
+    # min-struct aggregate: partial-aggregable, no per-key sort
+    corpus = (
+        emb.crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id", "embedding", "cid", _l2(F.col("v"), F.col("cvec")).alias("d2")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cid")).alias("s"),
+            F.first("embedding").alias("cv"),
+        )
+        .select(F.col("vec_id").alias("c_id"), "cv", F.col("s.cid").alias("cid"))
+    )
+
+    # query-side probe list: the nprobe nearest cells per query vector
+    w_probe = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    probes = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qvd"),
+                F.col("embedding").alias("qv"))
+        .crossJoin(F.broadcast(cdf))
+        .select("q_id", "qv", "cid", _l2(F.col("qvd"), F.col("cvec")).alias("d2"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "qv", "cid")
+    )
+
+    # search only inside probed cells
+    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    w_rank = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        corpus.join(F.broadcast(probes), "cid")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", sim.alias("cos"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+@REGISTRY.register(
+    "ann_ivf_topk",
+    oracle=None,  # iterative (k-means) — no single-statement SQL oracle
+    description="IVF ANN: distributed k-means cells + nprobe-pruned cosine top-k",
+    tags=("similarity", "ivf", "iterative"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk(spark, sf_dir, _IVF_NPROBE)

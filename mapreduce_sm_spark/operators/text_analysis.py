@@ -224,3 +224,80 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, ch: (acc * 131 + F.ascii(ch).cast("long")) % _FP_MOD,
     )
     return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document. The idf is the LOG-FREE rational variant
+# idf = (N + 1) / (df + 1): natural log is libm-dependent (JVM vs DuckDB
+# need not round identically), while integer-ratio division is a single
+# correctly-rounded double op in both engines — so scores and therefore
+# rankings match bit-for-bit.
+# 100 TB: two shuffles (term df aggregate, per-doc window) — the df side
+# is vocabulary-sized and broadcast back.
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPN = 3
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, score, rn AS rank
+FROM (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (n.n_docs + 1)::DOUBLE / (df.df + 1)::DOUBLE, 6) AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY round(tf.tf * (n.n_docs + 1)::DOUBLE / (df.df + 1)::DOUBLE, 6) DESC,
+                                     tf.term ASC) AS rn
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+WHERE rn <= {_TFIDF_TOPN}
+ORDER BY doc_id, rank
+"""
+
+
+@REGISTRY.register(
+    "tfidf_top_terms",
+    oracle=_TFIDF_ORACLE,
+    description="TF-IDF (rational idf) top-3 terms per document",
+    tags=("text", "aggregate", "window"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from mapreduce_sm_spark.session import fan_out
+
+    docs = fan_out(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()  # scalar job; at scale a cheap metadata count
+    score = F.round(
+        F.col("tf") * F.lit(float(n_docs + 1)) / (F.col("df") + 1).cast("double"),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .select("doc_id", "term", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_TOPN)
+        .orderBy("doc_id", "rank")
+    )
