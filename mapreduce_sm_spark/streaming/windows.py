@@ -82,3 +82,69 @@ def run_streaming_tumbling_counts(
     )
     q.awaitTermination(120)
     return spark.table(query_name)
+
+
+def streaming_sliding_counts(stream: DataFrame) -> DataFrame:
+    """1-hour windows sliding by 30 min — streaming twin of
+    operators/events.py::sliding_window."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def streaming_session_counts(stream: DataFrame) -> DataFrame:
+    """30-minute-gap session windows per user — streaming twin of
+    operators/events.py::session_window. session_window is the stateful
+    merge-on-overlap operator; the watermark closes sessions once no
+    event can extend them."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
+def run_streaming_query(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    plan_fn,
+    query_name: str,
+) -> DataFrame:
+    """Run any closed-input streaming plan with availableNow + complete
+    mode into a memory sink and return the result table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_parquet_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    q = (
+        plan_fn(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(query_name)

@@ -74,3 +74,47 @@ def test_whole_stage_codegen_on_hot_path(spark):
     plan = _plan(df)
     # "*(n) " prefixes mark WholeStageCodegen spans in the compact plan
     assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+def test_exists_planned_as_semi_join(spark):
+    from mapreduce_sm_spark.operators.subqueries import exists_discounted_orders
+
+    plan = _plan(exists_discounted_orders(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_or_predicate_pushed_below_join(spark):
+    from mapreduce_sm_spark.operators.subqueries import or_predicate_revenue
+
+    plan = _formatted(or_predicate_revenue(spark, SF_DIR))
+    # each side's OR-of-ranges filter must reach its parquet scan:
+    # brand/size on part, quantity on lineitem
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l for l in pushed)
+    assert any("l_quantity" in l for l in pushed)
+
+
+def test_salted_agg_is_two_stage(spark):
+    from mapreduce_sm_spark.operators.scale import skew_salted_agg
+
+    plan = _plan(skew_salted_agg(spark, SF_DIR))
+    # stage 1 groups on (user_id, salt), stage 2 on user_id alone
+    assert "Exchange hashpartitioning(user_id" in plan
+    assert "salt" in plan
+
+
+def test_minhash_candidates_are_equality_join(spark):
+    from mapreduce_sm_spark.operators.dedup import dedup_minhash
+
+    plan = _plan(dedup_minhash(spark, SF_DIR))
+    # banding must produce an equi-join (SortMerge or Hash), never a
+    # nested-loop cartesian over the corpus
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scalar_subquery_aggregate_is_partial(spark):
+    from mapreduce_sm_spark.operators.subqueries import scalar_subquery_part_avg
+
+    plan = _plan(scalar_subquery_part_avg(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2

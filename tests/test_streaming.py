@@ -72,3 +72,56 @@ def test_stateful_user_totals_splits_batches(spark, tmp_path):
     )
     got = {r.user_id: (r.n_events, round(r.total_value, 2)) for r in got_df.collect()}
     assert got == expected
+
+
+def _stream_events_dir(tmp_path):
+    import shutil
+
+    events_dir = str(tmp_path / "events_stream")
+    os.makedirs(events_dir)
+    shutil.copy(
+        os.path.join(SF_DIR, "events.parquet"),
+        os.path.join(events_dir, "part-0.parquet"),
+    )
+    return events_dir
+
+
+def test_streaming_sliding_equals_batch(spark, tmp_path):
+    from mapreduce_sm_spark.operators.events import sliding_window
+    from mapreduce_sm_spark.streaming.windows import (
+        run_streaming_query,
+        streaming_sliding_counts,
+    )
+
+    batch = {
+        (r.win_start, r.event_type): r.n
+        for r in sliding_window(spark, SF_DIR).collect()
+    }
+    streamed_df = run_streaming_query(
+        spark, _stream_events_dir(tmp_path), streaming_sliding_counts,
+        "t_sliding_stream",
+    )
+    streamed = {(r.win_start, r.event_type): r.n for r in streamed_df.collect()}
+    assert streamed == batch
+
+
+def test_streaming_session_equals_batch(spark, tmp_path):
+    from mapreduce_sm_spark.operators.events import session_window
+    from mapreduce_sm_spark.streaming.windows import (
+        run_streaming_query,
+        streaming_session_counts,
+    )
+
+    batch = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in session_window(spark, SF_DIR).collect()
+    }
+    streamed_df = run_streaming_query(
+        spark, _stream_events_dir(tmp_path), streaming_session_counts,
+        "t_session_stream",
+    )
+    streamed = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in streamed_df.collect()
+    }
+    assert streamed == batch
