@@ -147,3 +147,69 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sample_frames,
         schema="doc_id long, n_frames long, n_sampled long, first_word long",
     ).orderBy("doc_id")
+
+
+# --- resize + feature-extract stubs ---------------------------------------
+
+_FIT = 256  # aspect-preserving fit box
+
+
+def _resize_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB codec: aspect-preserving resize plan + fake feature vector.
+    A real build decodes pixels and runs the model here (libs absent —
+    module docstring); the geometry/feature PLUMBING below is the real
+    Spark-side contract: integer box fit, fixed-dim array<double> output."""
+    rows = []
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, _, _ = _fake_decode_meta(payload)
+            m = max(w, h)
+            if m <= _FIT:
+                out_w, out_h = w, h
+            else:
+                out_w, out_h = (w * _FIT) // m, (h * _FIT) // m
+            hh = int(hashlib.md5(payload).hexdigest()[:15], 16)
+            feat = [round(((hh >> (8 * i)) & 255) / 255.0, 6) for i in range(4)]
+            rows.append((int(doc_id), out_w, out_h, feat))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "out_w", "out_h", "feat"]
+        )
+        rows = []
+
+
+_RS_ORACLE = f"""
+WITH meta AS (
+  SELECT doc_id,
+         {_H} % 1920 + 1 AS w,
+         ({_H} // 1920) % 1080 + 1 AS h,
+         {_H} AS hh
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(w, h) <= {_FIT} THEN w
+            ELSE (w * {_FIT}) // greatest(w, h) END AS out_w,
+       CASE WHEN greatest(w, h) <= {_FIT} THEN h
+            ELSE (h * {_FIT}) // greatest(w, h) END AS out_h,
+       [round(((hh // 1) % 256) / 255.0, 6),
+        round(((hh // 256) % 256) / 255.0, 6),
+        round(((hh // 65536) % 256) / 255.0, 6),
+        round(((hh // 16777216) % 256) / 255.0, 6)] AS feat
+FROM meta
+ORDER BY doc_id
+"""
+
+
+@REGISTRY.register(
+    "multimodal_resize_features",
+    oracle=_RS_ORACLE,
+    description="resize plan + feature-extract plumbing (array<double> out)",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(
+        _resize_features,
+        schema="doc_id long, out_w long, out_h long, feat array<double>",
+    ).orderBy("doc_id")

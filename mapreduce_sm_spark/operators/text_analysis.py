@@ -301,3 +301,42 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TFIDF_TOPN)
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus composition: per (source, lang) rollup with subtotals — the
+# "where did my training data come from" report. Integer sums -> exact avg.
+# ---------------------------------------------------------------------------
+
+_SOURCE_ORACLE = """
+SELECT source, lang, count(*) AS n_docs,
+       (sum(n_chars)::DOUBLE / count(*)::DOUBLE) AS avg_chars,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY ROLLUP (source, lang)
+ORDER BY source NULLS FIRST, lang NULLS FIRST
+"""
+
+
+@REGISTRY.register(
+    "corpus_source_rollup",
+    oracle=_SOURCE_ORACLE,
+    description="per-source/lang corpus composition rollup with subtotals",
+    tags=("text", "aggregate", "grouping-sets"),
+)
+def corpus_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum("n_chars").cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy(
+            F.col("source").asc_nulls_first(), F.col("lang").asc_nulls_first()
+        )
+    )
