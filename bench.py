@@ -37,12 +37,22 @@ def main() -> None:
     warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
     warm.groupBy("r_name").count().write.format("noop").mode("overwrite").save()
 
+    # warm-session protocol (BASELINE.md): each query runs twice, the
+    # second time is recorded — run 1 pays one-time Catalyst compilation
+    # and codegen for that query shape, run 2 is the steady-state cost a
+    # cluster pays per repeated execution. No data is cached between runs
+    # (noop sink, no .cache()), so run 2 still reads/shuffles everything.
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for q in registry.headline():
-        t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[q.name] = round(time.time() - t0, 3)
+        for trial in range(2):
+            t0 = time.time()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            if trial == 0:
+                cold[q.name] = dt
+        times[q.name] = dt
 
     total = round(sum(times.values()), 3)
     print(
@@ -52,6 +62,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "cold_first_run": cold,
+                "protocol": "warm: 2nd of 2 runs/query, data uncached",
                 "sf": sf,
             }
         )
