@@ -22,6 +22,7 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
     olap,
     scale,
     arrays,
+    strings,
     analytic,
     events,
     streaming_ops,

@@ -1,0 +1,151 @@
+"""Extended string-function and null-semantics surface (SURVEY §2.B
+scalar-functions row — the reference's entire string library is
+toupper/tolower/strcasestr inside example UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+_STR_ORACLE = """
+SELECT p_partkey,
+       split_part(p_name, ' ', 1) AS first_word,
+       reverse(p_brand) AS brand_rev,
+       translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+       lpad(p_size::VARCHAR, 4, '0') AS size_pad,
+       instr(p_name, 'a') AS a_pos,
+       repeat(p_brand[-1], 3) AS last_x3,
+       substr(p_name, 2, 5) AS name_mid,
+       replace(p_type, 'O', '0') AS type_zero,
+       ltrim(rtrim(concat(' ', p_name, ' '))) AS trimmed
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@REGISTRY.register(
+    "string_functions_extended",
+    oracle=_STR_ORACLE,
+    description="split/reverse/translate/pad/instr/repeat/replace/trim surface",
+    tags=("scalar", "string"),
+)
+def string_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part("p_name", F.lit(" "), F.lit(1)).alias("first_word"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.instr("p_name", "a").cast("long").alias("a_pos"),
+        F.repeat(F.substring("p_brand", -1, 1), 3).alias("last_x3"),
+        F.substring("p_name", 2, 5).alias("name_mid"),
+        F.replace("p_type", F.lit("O"), F.lit("0")).alias("type_zero"),
+        F.ltrim(F.rtrim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" ")))).alias(
+            "trimmed"
+        ),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# NULL semantics through an outer join: coalesce/nullif/nvl2-style logic,
+# null-safe equality, and null-aware aggregation — the semantics a typed
+# engine must pin down (the reference's void* model has no NULL at all).
+# ---------------------------------------------------------------------------
+
+_NULLS_ORACLE = """
+WITH co AS (
+  SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+)
+SELECT c_custkey,
+       count(o_orderkey) AS n_orders,              -- count skips nulls
+       count(*) AS n_rows,                          -- count(*) does not
+       coalesce(max(o_totalprice), 0.0) AS max_price_or_zero,
+       CASE WHEN max(o_orderkey) IS NULL THEN 'no_orders' ELSE 'has_orders' END AS status,
+       max(CASE WHEN o_totalprice IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS saw_null_price
+FROM co
+GROUP BY c_custkey
+ORDER BY c_custkey
+"""
+
+
+@REGISTRY.register(
+    "null_semantics_outer",
+    oracle=_NULLS_ORACLE,
+    description="NULL propagation/aggregation semantics through a left join",
+    tags=("scalar", "null", "join"),
+)
+def null_semantics_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    co = c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+    return (
+        co.groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.max("o_totalprice"), F.lit(0.0)).alias(
+                "max_price_or_zero"
+            ),
+            F.when(F.max("o_orderkey").isNull(), "no_orders")
+            .otherwise("has_orders")
+            .alias("status"),
+            F.max(
+                F.when(F.col("o_totalprice").eqNullSafe(F.lit(None)), 1).otherwise(0)
+            ).alias("saw_null_price"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema-aligning union: merge two differently-shaped dimensions into one
+# frame, aligning columns by NAME and null-filling the gaps (the reference
+# can only concatenate identically-shaped byte streams).
+# ---------------------------------------------------------------------------
+
+_UNION_ORACLE = """
+SELECT kind, key, name, nationkey, acctbal FROM (
+  SELECT 'customer' AS kind, c_custkey AS key, c_name AS name,
+         c_nationkey::BIGINT AS nationkey, c_acctbal AS acctbal
+  FROM customer
+  UNION ALL BY NAME
+  SELECT 'supplier' AS kind, s_suppkey AS key, s_name AS name,
+         s_nationkey::BIGINT AS nationkey, NULL::DOUBLE AS acctbal
+  FROM supplier
+)
+ORDER BY kind, key
+"""
+
+
+@REGISTRY.register(
+    "union_by_name_contacts",
+    oracle=_UNION_ORACLE,
+    description="schema-aligning unionByName with null-filled missing columns",
+    tags=("setop", "schema"),
+)
+def union_by_name_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        # acctbal intentionally absent -> null-filled by unionByName
+    )
+    return cust.unionByName(supp, allowMissingColumns=True).orderBy(
+        "kind", "key"
+    )
