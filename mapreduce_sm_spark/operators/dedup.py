@@ -18,6 +18,14 @@ Scale posture (100 TB):
   md5 pass per shingle (permutations are cheap int arithmetic on top).
 - every hash is the portable md5-based hash60 so the DuckDB oracle
   reproduces results bit-for-bit (functions/hashing.py).
+
+Algorithms (public literature):
+- MinHash: Broder, "On the resemblance and containment of documents" (1997).
+- LSH banding: Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch.3.
+- Prefix filtering: Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity
+  Search" (WWW'07); positional/length filters: Xiao et al., PPJoin (WWW'08).
+- SimHash: Charikar, "Similarity estimation techniques from rounding
+  algorithms" (STOC'02); Manku et al. (WWW'07) for the hamming-k search.
 """
 
 from __future__ import annotations

@@ -86,3 +86,15 @@ def test_bucketed_table_join_avoids_exchange(spark, tmp_path):
     # aggregation on the bucket key needs no shuffle
     assert "Exchange hashpartitioning(o_custkey" not in plan
     spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from mapreduce_sm_spark.session import table
+
+    src = table(spark, SF_DIR, "nation")
+    path = str(tmp_path / "nation_orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in src.collect()
+    )
