@@ -152,3 +152,112 @@ def or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(decimal_sum(ep * d1).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join + top-N report (TPC-H Q10 shape, adapted: no returnflag on
+# the fixture lineitem, so "problem orders" = o_orderstatus = 'F'): revenue
+# lost per customer, top 20.
+# 100 TB: lineitem->orders shuffle join on orderkey; customer and nation
+# are dimension-sized (broadcast); final TakeOrderedAndProject, never a
+# global sort.
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, n_name,
+       {decimal_sum_sql(
+           "(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+           "(CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))"
+       )} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@REGISTRY.register(
+    "q10_top_lost_revenue",
+    oracle=_Q10_ORACLE,
+    description="multi-way join + grouped top-N report (TPC-H Q10 shape)",
+    tags=("join", "aggregate", "topk"),
+)
+def q10_top_lost_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    from mapreduce_sm_spark.operators._parity import disc_price
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(decimal_sum(disc_price()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING + IN-subquery (TPC-H Q18 shape): orders whose total quantity
+# across line items exceeds a threshold, joined back for the report.
+# Catalyst decorrelates the IN into a semi join against the HAVING
+# aggregate — expressed directly below as aggregate + join.
+# ---------------------------------------------------------------------------
+
+_Q18_THRESHOLD = 120
+
+_Q18_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       round((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR))::DOUBLE, 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_THRESHOLD}
+)
+GROUP BY c_name, c_custkey, o_orderkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+@REGISTRY.register(
+    "q18_large_quantity_orders",
+    oracle=_Q18_ORACLE,
+    description="HAVING + IN-subquery via semi join (TPC-H Q18 shape)",
+    tags=("join", "subquery", "aggregate", "topk"),
+)
+def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > _Q18_THRESHOLD)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        li.join(big, li.l_orderkey == big.big_orderkey, "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_qty")
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
