@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Plan audit: dump the executed (post-AQE) plan of every headline query
+and summarize the scale-relevant markers — pushed filters, read schemas,
+join strategies, exchange count, codegen spans. Writes PLANS.md.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from mapreduce_sm_spark.registry import load_all_operators  # noqa: E402
+from mapreduce_sm_spark.session import get_spark  # noqa: E402
+
+
+def _markers(plan: str) -> dict[str, object]:
+    return {
+        "joins": sorted(
+            set(re.findall(r"(\w*HashJoin|SortMergeJoin|BroadcastNestedLoopJoin|CartesianProduct)", plan))
+        ),
+        "exchanges": len(re.findall(r"Exchange (hash|range)partitioning", plan)),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "partial+final agg": plan.count("HashAggregate") >= 2,
+        "take_ordered": "TakeOrderedAndProject" in plan,
+        "codegen spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    registry = load_all_operators()
+    spark = get_spark("plan-audit")
+
+    out = [
+        "# PLANS — executed-plan audit of the headline queries",
+        "",
+        f"Post-AQE physical plans at `{sf_dir}` (local[32]). Regenerate with",
+        "`python tools/plan_audit.py`.",
+        "",
+    ]
+    for q in registry.headline():
+        df = q.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # force final AQE plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        pushed = sorted(
+            set(
+                m.strip().rstrip(",]")
+                for m in re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
+                for m in m.split(",")
+                if m.strip()
+            )
+        )[:8]
+        marks = _markers(plan)
+        out.append(f"## {q.name}")
+        out.append("")
+        out.append(f"{q.description}")
+        out.append("")
+        out.append("| marker | value |")
+        out.append("|---|---|")
+        for k, v in marks.items():
+            out.append(f"| {k} | {v} |")
+        out.append(f"| pushed filters | {'; '.join(pushed) if pushed else '-'} |")
+        out.append("")
+        out.append("<details><summary>full plan</summary>")
+        out.append("")
+        out.append("```")
+        out.append(plan.strip()[:4000])
+        out.append("```")
+        out.append("</details>")
+        out.append("")
+
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print(f"PLANS.md written ({len(registry.headline())} queries)")
+
+
+if __name__ == "__main__":
+    main()
