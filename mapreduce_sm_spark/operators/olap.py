@@ -114,16 +114,30 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     tags=("aggregate", "join", "conditional"),
 )
 def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.operators._parity import (
+        disc_price_long,
+        two_phase_sums,
+    )
+
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = disc_price()
-    zero = F.lit(0).cast("decimal(19,6)")
-    joined = li.join(part, li.l_partkey == part.p_partkey)
-    return joined.agg(
+    joined = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_type", "l_extendedprice", "l_discount"
+    )
+    lp = disc_price_long()
+    sums = two_phase_sums(
+        joined,
+        [],
+        {
+            "promo_rev": (
+                F.when(F.col("p_type") == "PROMO", lp).otherwise(F.lit(0)),
+                1000000,
+            ),
+            "total_rev": (lp, 1000000),
+        },
+    )
+    return sums.select(
         F.round(
-            F.lit(100.0)
-            * decimal_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
-            / decimal_sum(rev),
-            6,
+            F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6
         ).alias("promo_revenue_pct")
     )

@@ -21,10 +21,12 @@ from mapreduce_sm_spark.operators._parity import (
     decimal_sum,
     decimal_sum_sql,
     disc_price,
+    disc_price_long,
     exact_avg,
     exact_avg_sql,
     money_sum,
     money_sum_sql,
+    two_phase_sums,
 )
 from mapreduce_sm_spark.registry import REGISTRY
 from mapreduce_sm_spark.session import table
@@ -181,15 +183,23 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > cutoff)
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
-    return (
+    joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy(
+        .select(
             "l_orderkey",
             date_str("o_orderdate").alias("orderdate"),
             "o_orderpriority",
+            "l_extendedprice",
+            "l_discount",
         )
-        .agg(decimal_sum(disc_price()).alias("revenue"))
+    )
+    return (
+        two_phase_sums(
+            joined,
+            ["l_orderkey", "orderdate", "o_orderpriority"],
+            {"revenue": (disc_price_long(), 1000000)},
+        )
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -248,7 +258,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("n_nationkey", "n_name")
     )
-    return (
+    joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(
@@ -257,10 +267,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(dim_nation, supp.s_nationkey == F.col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(decimal_sum(disc_price()).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+        .select("n_name", "l_extendedprice", "l_discount")
     )
+    return two_phase_sums(
+        joined, ["n_name"], {"revenue": (disc_price_long(), 1000000)}
+    ).orderBy(F.col("revenue").desc(), F.col("n_name").asc())
 
 
 # ---------------------------------------------------------------------------

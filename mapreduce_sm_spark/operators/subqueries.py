@@ -145,12 +145,18 @@ def or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 30))
         | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 40))
     )
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    d1 = F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")
-    return (
+    from mapreduce_sm_spark.operators._parity import (
+        disc_price_long,
+        two_phase_sums,
+    )
+
+    joined = (
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(decimal_sum(ep * d1).alias("revenue"))
+        .select("l_extendedprice", "l_discount")
+    )
+    return two_phase_sums(
+        joined, [], {"revenue": (disc_price_long(), 1000000)}
     )
 
 
@@ -189,18 +195,27 @@ LIMIT 20
 def q10_top_lost_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
-    from mapreduce_sm_spark.operators._parity import disc_price
+    from mapreduce_sm_spark.operators._parity import (
+        disc_price_long,
+        two_phase_sums,
+    )
 
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = table(spark, sf_dir, "lineitem")
     n = table(spark, sf_dir, "nation")
-    return (
+    joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(broadcast(c), o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(decimal_sum(disc_price()).alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "l_extendedprice", "l_discount")
+    )
+    return (
+        two_phase_sums(
+            joined,
+            ["c_custkey", "c_name", "n_name"],
+            {"revenue": (disc_price_long(), 1000000)},
+        )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
