@@ -278,10 +278,15 @@ _MH_PARAMS = minhash_permutation_params(_MH_NUM_PERM, seed=42)
 
 
 def _minhash_sigs(docs: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh15) — md5 is computed once per shingle; the k
-    permutations are integer ops over the pre-hashed array."""
+    """(doc_id, mh0..mh15) from a (doc_id, h60) frame — md5 ran once per
+    shingle upstream; everything here is integer ops over the array.
+
+    Note the %prime mapping may merge a colliding pair of 60-bit hashes;
+    that cannot change any signature because MinHash takes array_min, and
+    min over a multiset ignores duplicates — so this matches an oracle
+    that maps from distinct shingle STRINGS exactly."""
     hashed = docs.withColumn(
-        "h", F.transform(F.col("sh"), lambda s: hash60(s) % _MH_PRIME)
+        "h", F.transform(F.col("h60"), lambda x: x % _MH_PRIME)
     )
     sig_cols = [
         F.array_min(
@@ -361,10 +366,18 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "lsh"),
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash shingles to 60-bit longs HERE, before the cache: md5 runs once
+    # per shingle total; signatures and both verification join-backs all
+    # work on the cached long array. Jaccard over 60-bit hashes equals
+    # Jaccard over shingles (collision odds ~n^2/2^61), and the cached
+    # frame is ~3x smaller than string shingles.
     docs = fan_out(
         table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     ).select(
-        "doc_id", F.array_distinct(char_shingles("text", _JACCARD_K)).alias("sh")
+        "doc_id",
+        F.array_distinct(
+            F.transform(char_shingles("text", _JACCARD_K), lambda s: hash60(s))
+        ).alias("h60"),
     )
     # the shingle frame feeds three plan branches (signatures + both
     # verification join-backs); cache so shingling runs once, not 3x.
@@ -395,9 +408,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     sets = docs.select(
-        "doc_id",
-        F.size("sh").alias("n"),
-        F.transform("sh", lambda t: hash60(t)).alias("hs"),
+        "doc_id", F.size("h60").alias("n"), F.col("h60").alias("hs")
     )
     pairs = (
         cand.join(
