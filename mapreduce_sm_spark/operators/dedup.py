@@ -141,7 +141,12 @@ ORDER BY doc_a, doc_b
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: shingling expands each row ~60x; widen BEFORE the expansion
+    """(doc_id, lang, s: array<long>) — distinct 60-bit shingle hashes.
+
+    fan_out: shingling expands each row ~60x; widen BEFORE the expansion.
+    Hashing happens here, once, so downstream branches (prefix index +
+    two verification join-backs) never touch shingle strings; Jaccard
+    over injective hashes equals Jaccard over shingles."""
     return fan_out(
         table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
         "doc_id",
@@ -149,7 +154,11 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.array_sort(
-            F.array_distinct(char_shingles("text", _JACCARD_K))
+            F.array_distinct(
+                F.transform(
+                    char_shingles("text", _JACCARD_K), lambda t: hash60(t)
+                )
+            )
         ).alias("s"),
     )
 
@@ -223,14 +232,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # verify on long-hashed shingles: md5-60bit is injective in practice
-    # (collision odds ~n²/2^61), so Jaccard over hashes == Jaccard over
-    # shingles, at a fraction of the per-pair shuffle bytes and compare cost.
-    sets = sh.select(
-        "doc_id",
-        "n",
-        F.transform("s", lambda t: hash60(t)).alias("hs"),
-    )
+    # verification reuses the cached long arrays directly
+    sets = sh.select("doc_id", "n", F.col("s").alias("hs"))
     pairs = (
         cand.join(
             sets.select(
