@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 
 from mapreduce_sm_spark.functions.vectors import cosine_similarity, cosine_sql
 from mapreduce_sm_spark.registry import REGISTRY
-from mapreduce_sm_spark.session import table
+from mapreduce_sm_spark.session import fan_out, table
 
 _DIM = 64
 _N_QUERIES = 20  # vec_id < 20 are the query vectors
@@ -54,7 +54,10 @@ ORDER BY q_id, rank
     tags=("similarity",),
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    # fan_out: the corpus scan is one input split at fixture sizes; the
+    # per-row cosine work (|Q| dot products of 64 dims) is the cost, so
+    # widen before it
+    emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
@@ -142,7 +145,7 @@ ORDER BY q_id, rank
     tags=("similarity", "lsh"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "embedding", _bucket_spark(F.col("embedding")).alias("bucket")
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -181,7 +184,7 @@ ORDER BY vec_a, vec_b
     tags=("similarity", "dedup"),
 )
 def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    e = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label"),
