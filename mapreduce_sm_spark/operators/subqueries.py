@@ -276,3 +276,137 @@ def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Global-scalar-subquery threshold (TPC-H Q11 shape): customers whose
+# revenue exceeds a fixed fraction of TOTAL revenue.
+# 100 TB: the global total is a one-row aggregate broadcast into the
+# filter — never a shuffle of the grouped side against itself.
+# ---------------------------------------------------------------------------
+
+_Q11_FRACTION = 0.0008
+
+_Q11_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey, (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR))::DOUBLE AS rev
+  FROM orders GROUP BY o_custkey
+),
+total AS (
+  SELECT (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR))::DOUBLE AS t FROM orders
+)
+SELECT o_custkey, rev
+FROM per_cust, total
+WHERE rev > t * {_Q11_FRACTION}
+ORDER BY rev DESC, o_custkey ASC
+"""
+
+
+@REGISTRY.register(
+    "q11_revenue_concentration",
+    oracle=_Q11_ORACLE,
+    description="global scalar-subquery threshold (TPC-H Q11 shape)",
+    tags=("aggregate", "subquery"),
+)
+def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(price_dec).cast("double").alias("rev")
+    )
+    total = o.agg(F.sum(price_dec).cast("double").alias("t"))
+    return (
+        per_cust.crossJoin(F.broadcast(total))
+        .filter(F.col("rev") > F.col("t") * _Q11_FRACTION)
+        .select("o_custkey", "rev")
+        .orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Argmax join-back on an aggregated CTE (TPC-H Q15 shape): the top-revenue
+# supplier(s) — aggregate once, take the max of the aggregate, join back
+# on equality. Ties kept (same as the reference SQL's = max semantics).
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey, (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR))::DOUBLE AS total_rev
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+@REGISTRY.register(
+    "q15_top_supplier",
+    oracle=_Q15_ORACLE,
+    description="argmax join-back on aggregated CTE (TPC-H Q15 shape)",
+    tags=("aggregate", "subquery", "join"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated per-group-min subquery (TPC-H Q2 shape): the customer(s) with
+# the minimum account balance of their nation. Decorrelated to a per-nation
+# min aggregate + equality join — the exact rewrite Catalyst applies to
+# the correlated form.
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+SELECT c.c_custkey, c.c_name, c.c_nationkey::BIGINT AS nationkey, c.c_acctbal
+FROM customer c
+WHERE c.c_acctbal = (
+  SELECT min(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+ORDER BY nationkey, c_custkey
+"""
+
+
+@REGISTRY.register(
+    "q2_min_per_group",
+    oracle=_Q2_ORACLE,
+    description="correlated per-group-min subquery (TPC-H Q2 shape), decorrelated",
+    tags=("aggregate", "subquery", "join"),
+)
+def q2_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    mins = (
+        c.groupBy("c_nationkey")
+        .agg(F.min("c_acctbal").alias("min_bal"))
+        .select(F.col("c_nationkey").alias("nk"), "min_bal")
+    )
+    return (
+        c.join(
+            F.broadcast(mins),
+            (F.col("c_nationkey") == F.col("nk"))
+            & (F.col("c_acctbal") == F.col("min_bal")),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "c_acctbal",
+        )
+        .orderBy("nationkey", "c_custkey")
+    )
