@@ -38,3 +38,35 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stateful_user_totals(
         spark, os.path.join(sf_dir, "events.parquet"), query_name=qname
     ).orderBy("user_id")
+
+
+_SS_JOIN_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id AS user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       p.value AS amount
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+ORDER BY click_id, purchase_id
+"""
+
+
+@REGISTRY.register(
+    "stream_interval_join",
+    oracle=_SS_JOIN_ORACLE,
+    description="stream-stream interval join (clicks->purchases within 30min), real streaming run",
+    tags=("streaming", "join", "interval"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.streaming.windows import (
+        run_streaming_click_purchase_join,
+    )
+
+    qname = "ss_join_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return run_streaming_click_purchase_join(
+        spark, sf_dir, qname, glob="events.parquet"
+    ).orderBy("click_id", "purchase_id")

@@ -148,3 +148,70 @@ def run_streaming_query(
     )
     q.awaitTermination(120)
     return spark.table(query_name)
+
+
+def streaming_click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner join: each click joined to purchases by the
+    same user within (0, 30min] AFTER the click. Both sides carry
+    watermarks so the join state is bounded: a click older than
+    watermark+30min can never match a future purchase and is evicted.
+    This is the interval-join shape (the streaming twin of an as-of/range
+    join) — state per key is O(events in the interval), not O(stream)."""
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("amount"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "amount",
+    )
+
+
+def run_streaming_click_purchase_join(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    query_name: str = "ss_join",
+    glob: str = "*.parquet",
+) -> DataFrame:
+    """Drive the stream-stream join over a closed input (append mode —
+    stream-stream inner joins emit once per match). `glob` restricts the
+    directory listing (pass "events.parquet" when the dir holds other
+    tables)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def _stream():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", glob)
+            .parquet(events_parquet_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+
+    clicks = _stream().filter(F.col("event_type") == "click")
+    purchases = _stream().filter(F.col("event_type") == "purchase")
+    q = (
+        streaming_click_purchase_join(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(query_name)

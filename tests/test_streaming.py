@@ -125,3 +125,40 @@ def test_streaming_session_equals_batch(spark, tmp_path):
         for r in streamed_df.collect()
     }
     assert streamed == batch
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.session import table
+    from mapreduce_sm_spark.streaming.windows import (
+        run_streaming_click_purchase_join,
+    )
+
+    ev = table(spark, SF_DIR, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+
+    streamed_df = run_streaming_click_purchase_join(
+        spark, _stream_events_dir(tmp_path), "t_ss_join"
+    )
+    streamed = {(r.click_id, r.purchase_id) for r in streamed_df.collect()}
+    assert streamed == batch
+    assert len(batch) > 0  # the fixture must actually exercise the join
