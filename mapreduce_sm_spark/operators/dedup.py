@@ -565,3 +565,123 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup resolution: connected components over the near-dup pair graph.
+# After pair mining, a training pipeline must pick ONE canonical doc per
+# duplicate CLUSTER (pairs alone over-delete: a~b, b~c must collapse to a
+# single keeper even if a!~c). Components via iterative min-label
+# propagation — each round is one join + one aggregate, converging in
+# O(graph diameter) rounds; the driver holds only a changed-count scalar.
+# This is the standard large-graph CC pattern (the same shape GraphX/
+# GraphFrames use); the DuckDB oracle replays it with a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_simhash_sql_cte()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+cc AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents
+  UNION
+  SELECT e.b, cc.r FROM cc JOIN edges e ON cc.v = e.a
+)
+SELECT v AS doc_id, min(r) AS component,
+       (CASE WHEN v = min(r) THEN 1 ELSE 0 END) AS is_keeper
+FROM cc GROUP BY v
+ORDER BY doc_id
+"""
+
+
+@REGISTRY.register(
+    "dedup_connected_components",
+    oracle=_CC_ORACLE,
+    description="duplicate-cluster resolution: connected components by min-label propagation",
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sig = _simhash_spark(docs)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("la"),
+        F.col("simhash").alias("ha"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb"),
+        F.col("simhash").alias("hb"),
+    )
+    pairs = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("doc_a") < F.col("doc_b")))
+        .filter(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= _HAMMING_MAX
+        )
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).cache()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    # min-label propagation to fixpoint. Each iteration: neighbor minima
+    # (join on src -> groupBy dst) folded into current labels via least().
+    # Convergence check collects ONE scalar per round (never row data).
+    for _ in range(20):  # diameter cap; real corpora converge in < 10
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("src"),
+                    F.col("component").alias("src_comp"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("src_comp").alias("nbr_comp"))
+        )
+        # localCheckpoint truncates the lineage: without it each round's
+        # plan nests the previous one and planning blows up exponentially
+        # (on a cluster this would be checkpoint() to reliable storage)
+        new_labels = (
+            labels.join(
+                nbr_min, labels.doc_id == nbr_min.dst, "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_comp"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select(
+                    F.col("doc_id").alias("d0"), F.col("component").alias("c0")
+                ),
+                new_labels.doc_id == F.col("d0"),
+            )
+            .filter(F.col("component") != F.col("c0"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "component",
+        F.when(F.col("doc_id") == F.col("component"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_keeper"),
+    ).orderBy("doc_id")
