@@ -215,3 +215,40 @@ def run_streaming_click_purchase_join(
     )
     q.awaitTermination(180)
     return spark.table(query_name)
+
+
+def run_foreach_batch_parquet(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    out_dir: str,
+    query_name: str = "febatch",
+) -> None:
+    """foreachBatch sink: per-micro-batch custom write with exactly-once
+    semantics — each batch lands in a batchId-named subdirectory, so a
+    replayed batch overwrites its own output instead of duplicating
+    (idempotent-by-path, the standard foreachBatch pattern when the
+    target isn't transactional)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_parquet_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = (
+        agg.writeStream.foreachBatch(_write)
+        .outputMode("complete")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)

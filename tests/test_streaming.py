@@ -162,3 +162,33 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     streamed = {(r.click_id, r.purchase_id) for r in streamed_df.collect()}
     assert streamed == batch
     assert len(batch) > 0  # the fixture must actually exercise the join
+
+
+def test_foreach_batch_sink_is_idempotent_by_path(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.session import table
+    from mapreduce_sm_spark.streaming.windows import run_foreach_batch_parquet
+
+    out = str(tmp_path / "febatch_out")
+    run_foreach_batch_parquet(
+        spark, _stream_events_dir(tmp_path), out, "t_febatch"
+    )
+    # the LAST batch (complete mode) must equal the batch aggregate
+    import os as _os
+
+    batches = sorted(
+        int(d.split("=")[1])
+        for d in _os.listdir(out)
+        if d.startswith("batch_id=")
+    )
+    final = spark.read.parquet(f"{out}/batch_id={batches[-1]}")
+    expected = {
+        (r.event_type, r.n)
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {(r.event_type, r.n) for r in final.collect()}
+    assert got == expected
