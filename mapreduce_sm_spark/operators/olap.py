@@ -141,3 +141,94 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6
         ).alias("promo_revenue_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram: one partial+final aggregate over computed bin ids
+# (the scalable histogram — never a sort, never a driver-side pass).
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 25.0
+
+_HIST_ORACLE = f"""
+SELECT bin, bin * {_HIST_WIDTH} AS bin_lo,
+       count(*) AS n,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
+FROM (
+  SELECT floor(value / {_HIST_WIDTH})::BIGINT AS bin, value FROM events
+)
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@REGISTRY.register(
+    "histogram_event_values",
+    oracle=_HIST_ORACLE,
+    description="fixed-width histogram via computed-bin aggregation",
+    tags=("aggregate", "histogram"),
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / _HIST_WIDTH).cast("long")
+    return (
+        ev.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * _HIST_WIDTH).alias("bin_lo"),
+            "n",
+            "lo",
+            "hi",
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode (most frequent value, ties -> the largest value):
+# count per (group, value), then max(struct(cnt, value)) — the argmax
+# pattern; built-in mode() is tie-nondeterministic, this is pinned.
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS mode_type, cnt AS mode_count
+FROM (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type DESC) AS rn
+  FROM counts
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@REGISTRY.register(
+    "mode_event_type_per_user",
+    oracle=_MODE_ORACLE,
+    description="deterministic mode via max(struct(cnt, value)) argmax",
+    tags=("aggregate", "argmax"),
+)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    return (
+        counts.groupBy("user_id")
+        .agg(F.max(F.struct("cnt", "event_type")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.event_type").alias("mode_type"),
+            F.col("s.cnt").alias("mode_count"),
+        )
+        .orderBy("user_id")
+    )
