@@ -311,3 +311,57 @@ def setops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "nk", "n")
     )
     return inter.unionAll(exc).orderBy("op", "nk")
+
+
+# ---------------------------------------------------------------------------
+# Generator + gap fill: a month spine built with sequence()+explode (the
+# row-generator / UDTF shape) left-joined to per-month order counts, so
+# months with zero orders appear explicitly. At scale the spine is tiny
+# (one row per month) and broadcasts.
+# ---------------------------------------------------------------------------
+
+_SPINE_ORACLE = """
+WITH spine AS (
+  SELECT unnest(generate_series(DATE '1995-01-01', DATE '1997-12-01',
+                                INTERVAL 1 MONTH))::DATE AS month_start
+),
+per_month AS (
+  SELECT date_trunc('month', o_orderdate)::DATE AS m, count(*) AS n
+  FROM orders GROUP BY m
+)
+SELECT strftime(s.month_start, '%Y-%m-%d') AS month_start,
+       coalesce(p.n, 0) AS n_orders
+FROM spine s LEFT JOIN per_month p ON s.month_start = p.m
+ORDER BY month_start
+"""
+
+
+@REGISTRY.register(
+    "calendar_spine_orders",
+    oracle=_SPINE_ORACLE,
+    description="generated month spine (sequence+explode) with zero-filled counts",
+    tags=("generator", "join", "date"),
+)
+def calendar_spine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1997-12-01").cast("date"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    orders = table(spark, sf_dir, "orders")
+    per_month = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m")
+    ).agg(F.count("*").alias("n"))
+    return (
+        F.broadcast(spine)
+        .join(per_month, spine.month_start == per_month.m, "left")
+        .select(
+            date_str("month_start").alias("month_start"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("month_start")
+    )
