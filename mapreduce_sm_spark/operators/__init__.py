@@ -23,6 +23,7 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
     scale,
     arrays,
     strings,
+    sampling,
     analytic,
     events,
     streaming_ops,
