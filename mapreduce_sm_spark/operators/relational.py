@@ -631,3 +631,38 @@ def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentiles (t-digest-style sketch): the 100 TB path when
+# exact percentile's full sort is too expensive. Approximate by
+# construction -> no SQL oracle (driver records the rows-only check);
+# tests/test_oracle_parity bounds its error against the exact query.
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    "approx_percentiles_lineitem",
+    oracle=None,  # approximate sketch; bounded-error-checked in pytest
+    description="approx_percentile sketch aggregation (p50/p90/p99 per flag)",
+    tags=("aggregate", "percentile", "approx"),
+)
+def approx_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+                "pcts"
+            ),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )

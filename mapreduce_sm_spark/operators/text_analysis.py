@@ -340,3 +340,66 @@ def corpus_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source").asc_nulls_first(), F.col("lang").asc_nulls_first()
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing plan: assign documents to fixed-size context windows.
+# Sequential packing by running token count: docs stream in a pinned order
+# (lang, doc_id); pack_id = floor(preceding_cumulative_tokens / WINDOW).
+# One window shuffle per lang partition — deterministic, and the oracle
+# replays the identical cumsum. (Greedy best-fit packs tighter but is
+# inherently sequential; streaming pipelines use exactly this
+# order-preserving variant so shard boundaries stay reproducible.)
+# ---------------------------------------------------------------------------
+
+_PACK_WINDOW = 2048  # tokens per training sequence
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '{_BPE_RE}'))::BIGINT AS n_tokens
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens,
+       (tokens_before // {_PACK_WINDOW})::BIGINT AS pack_id,
+       (tokens_before % {_PACK_WINDOW})::BIGINT AS pack_offset
+FROM runs
+ORDER BY lang, doc_id
+"""
+
+
+@REGISTRY.register(
+    "sequence_packing_plan",
+    oracle=_PACK_ORACLE,
+    description="assign docs to fixed-token context windows via running counts",
+    tags=("text", "window", "packing"),
+)
+def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))
+    ).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    runs = toks.withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return runs.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(F.col("tokens_before") / _PACK_WINDOW).cast("long").alias("pack_id"),
+        (F.col("tokens_before") % _PACK_WINDOW).cast("long").alias("pack_offset"),
+    ).orderBy("lang", "doc_id")

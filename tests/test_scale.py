@@ -43,3 +43,35 @@ def test_group_cardinality_consistent(spark):
         for r in q1_pricing_summary(spark, SF_BIG).collect()
     }
     assert small == big
+
+
+def test_approx_percentiles_bounded_error(spark):
+    """The sketch's p50/p90/p99 must sit within 2% relative error of the
+    exact percentiles (accuracy=10000 -> eps = 1/10000, so 2% is loose
+    enough to be stable yet tight enough to catch a broken sketch)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.operators.relational import (
+        approx_percentiles_lineitem,
+    )
+    from mapreduce_sm_spark.session import table
+
+    got = {
+        r.l_returnflag: (r.p50, r.p90, r.p99)
+        for r in approx_percentiles_lineitem(spark, SF_BIG).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.p50, r.p90, r.p99)
+        for r in table(spark, SF_BIG, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag in got:
+        for a, e in zip(got[flag], exact[flag]):
+            assert abs(a - e) / e < 0.02, (flag, a, e)
