@@ -211,3 +211,52 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderpriority", F.col("pct_rank").asc(), "o_orderkey")
         .limit(1000)
     )
+
+
+# ---------------------------------------------------------------------------
+# time-RANGE window frame: events within the preceding hour of each event
+# (RANGE frames bound by VALUE distance, unlike ROWS frames' row counts).
+# Spark's rangeBetween needs a numeric ordering column -> epoch seconds;
+# the oracle uses the equivalent RANGE BETWEEN on the same integer.
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_ORACLE = """
+SELECT event_id, user_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour,
+       (CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+            PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS VARCHAR))::DOUBLE
+         AS value_last_hour
+FROM events
+ORDER BY event_id
+"""
+
+
+@REGISTRY.register(
+    "window_time_range_frame",
+    oracle=_RANGE_FRAME_ORACLE,
+    description="RANGE window frame: rolling 1-hour per-user totals by value distance",
+    tags=("window", "range-frame"),
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts_s", F.unix_timestamp("ts").cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("n_last_hour"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("value_last_hour"),
+        )
+        .orderBy("event_id")
+    )

@@ -403,3 +403,41 @@ def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("tokens_before") / _PACK_WINDOW).cast("long").alias("pack_id"),
         (F.col("tokens_before") % _PACK_WINDOW).cast("long").alias("pack_offset"),
     ).orderBy("lang", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# posexplode / LATERAL generator: first 3 tokens of each document with
+# their positions — the 1:N row-generator correlated with its input row
+# (the reference's map-UDF emit-many shape, typed).
+# ---------------------------------------------------------------------------
+
+_POSEXPLODE_ORACLE = """
+SELECT doc_id, u.pos - 1 AS pos, u.tok
+FROM (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+')[1:3] AS toks
+  FROM documents
+), LATERAL (
+  SELECT generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+) u
+ORDER BY doc_id, pos
+"""
+
+
+@REGISTRY.register(
+    "posexplode_first_tokens",
+    oracle=_POSEXPLODE_ORACLE,
+    description="correlated 1:N generator (posexplode) with positions",
+    tags=("text", "generator"),
+)
+def posexplode_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.slice(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0)),
+        1,
+        3,
+    )
+    return (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .orderBy("doc_id", "pos")
+    )
