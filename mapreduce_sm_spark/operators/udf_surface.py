@@ -204,3 +204,61 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4): a table function emitting multiple typed rows per
+# input — the remaining UDF flavor (scalar / grouped-agg / grouped-map /
+# mapInPandas / stateful are exercised elsewhere). Sentence splitting is
+# the classic text-pipeline UDTF. Row-at-a-time by design (UDTFs are not
+# Arrow-vectorized) — fine for demonstration; the hot-path equivalent is
+# explode(split(...)), which posexplode_first_tokens uses.
+# ---------------------------------------------------------------------------
+
+_UDTF_ORACLE = """
+SELECT doc_id, u.pos - 1 AS sent_idx, trim(u.s) AS sentence
+FROM (
+  SELECT doc_id, string_split(text, '.') AS sents FROM documents
+), LATERAL (
+  SELECT generate_subscripts(sents, 1) AS pos, unnest(sents) AS s
+) u
+WHERE trim(u.s) <> ''
+ORDER BY doc_id, sent_idx
+"""
+
+
+def _make_sentence_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, sent_idx: long, sentence: string")
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            idx = 0
+            for raw in (text or "").split("."):
+                s = raw.strip()
+                if s:
+                    yield doc_id, idx, s
+                idx += 1
+
+    return SentenceSplit
+
+
+@REGISTRY.register(
+    "udtf_sentence_split",
+    oracle=_UDTF_ORACLE,
+    description="Python UDTF: per-doc sentence splitting (1:N typed table function)",
+    tags=("udf", "udtf", "text"),
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SentenceSplit = _make_sentence_udtf()
+    spark.udtf.register("sentence_split", SentenceSplit)
+    table(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
+        "docs_udtf_v"
+    )
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.sent_idx, s.sentence
+        FROM docs_udtf_v d, LATERAL sentence_split(d.doc_id, d.text) s
+        ORDER BY s.doc_id, s.sent_idx
+        """
+    )
