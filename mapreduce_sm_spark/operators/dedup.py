@@ -525,6 +525,81 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_spark(docs).select("doc_id", "simhash").orderBy("doc_id")
 
 
+# Pigeonhole banding: split the 32-bit signature into HAMMING_MAX+1 = 7
+# chunks. Any pair within hamming distance 6 differs in at most 6 chunks,
+# so at least one chunk is bit-identical — an equality join on
+# (lang, chunk_id, chunk_value) yields a candidate set that provably
+# contains every qualifying pair (recall = 1.0, unlike MinHash bands).
+# The oracle keeps the straightforward all-pairs formulation: banding is
+# a physical-plan optimization with identical results.
+_N_HAMMING_CHUNKS = _HAMMING_MAX + 1
+# 32 bits over 7 chunks: widths 5,5,5,5,4,4,4 (shift, width) low-to-high.
+_HAMMING_CHUNKS: list[tuple[int, int]] = []
+_shift = 0
+for _i in range(_N_HAMMING_CHUNKS):
+    _w = 5 if _i < _SIMHASH_BITS % _N_HAMMING_CHUNKS else 4
+    _HAMMING_CHUNKS.append((_shift, _w))
+    _shift += _w
+assert _shift == _SIMHASH_BITS
+
+
+def _banded_hamming_pairs(sig: DataFrame) -> DataFrame:
+    """Candidate-verified near-dup pairs (hamming <= _HAMMING_MAX) from a
+    (doc_id, lang, simhash) frame, via pigeonhole chunk banding.
+
+    Scale shape: explode each signature into 7 (chunk_id, chunk_val) keys
+    (constant 7x fan-out of a 3-column frame, NOT of the corpus text),
+    equality-join on (lang, chunk_id, chunk_val), dedup candidates, verify
+    hamming exactly. Work is proportional to true collisions per chunk
+    bucket instead of |lang block|^2.
+    """
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), sh)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .cast("int")
+                .alias("chunk_val"),
+            )
+            for i, (sh, w) in enumerate(_HAMMING_CHUNKS)
+        ]
+    )
+    keyed = sig.select(
+        "doc_id", "lang", "simhash", F.explode(chunks).alias("c")
+    ).select("doc_id", "lang", "simhash", "c.chunk_id", "c.chunk_val")
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("simhash").alias("ha"),
+        F.col("chunk_id").alias("cid_a"),
+        F.col("chunk_val").alias("cv_a"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("simhash").alias("hb"),
+        F.col("chunk_id").alias("cid_b"),
+        F.col("chunk_val").alias("cv_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("cid_a") == F.col("cid_b"))
+            & (F.col("cv_a") == F.col("cv_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        # a pair colliding in k chunks appears k times; keep one
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+    )
+
+
 _SIMHASH_PAIRS_ORACLE = f"""
 WITH {_simhash_sql_cte()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -544,27 +619,7 @@ ORDER BY doc_a, doc_b
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     sig = _simhash_spark(docs).cache()  # both join sides share one compute
-    a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("simhash").alias("ha"),
-    )
-    b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("simhash").alias("hb"),
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
-    return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= _HAMMING_MAX)
-        .orderBy("doc_a", "doc_b")
-    )
+    return _banded_hamming_pairs(sig).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -611,21 +666,9 @@ ORDER BY doc_id
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     sig = _simhash_spark(docs)
-    a = sig.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("la"),
-        F.col("simhash").alias("ha"),
-    )
-    b = sig.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb"),
-        F.col("simhash").alias("hb"),
-    )
-    pairs = (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("doc_a") < F.col("doc_b")))
-        .filter(
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= _HAMMING_MAX
-        )
-        .select("doc_a", "doc_b")
-    )
+    # pair mining via the same pigeonhole-banded candidate join the pairs
+    # query uses — identical result set, never quadratic in a lang block
+    pairs = _banded_hamming_pairs(sig).select("doc_a", "doc_b")
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(

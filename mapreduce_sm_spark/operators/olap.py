@@ -62,12 +62,15 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order status via CASE inside SUM.
 # ---------------------------------------------------------------------------
 
+# Both sums are pinned to BIGINT: DuckDB's sum(int) yields HUGEINT, Spark's
+# yields bigint — the driver canonicalizes values per-engine, so the type
+# must agree for the hash to match (round-1 red row).
 _CASE_ORACLE = """
 SELECT o_orderstatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -86,8 +89,8 @@ def case_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderstatus")
         .agg(
-            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
         .orderBy("o_orderstatus")
     )

@@ -634,27 +634,43 @@ def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate percentiles (t-digest-style sketch): the 100 TB path when
-# exact percentile's full sort is too expensive. Approximate by
-# construction -> no SQL oracle (driver records the rows-only check);
-# tests/test_oracle_parity bounds its error against the exact query.
+# Approximate percentiles (GK sketch): the 100 TB path when exact
+# percentile's full sort is too expensive. Two engines' sketches never
+# agree value-for-value, so the DRIVER-CHECKED output is the sketch's
+# *verified error contract*: for each quantile q the Spark side computes
+# the exact rank of the sketch's answer with a second pass and emits
+# whether |rank - q*n| is within the GK guarantee (n/accuracy, +1 for
+# ties); the oracle asserts the guarantee holds (all-true). A sketch
+# regression (or a broken accuracy knob) flips a boolean and the hash
+# catches it. The raw sketch values stay pytest-bounded in
+# tests/test_scale.py.
 # ---------------------------------------------------------------------------
+
+_APPROX_ACC = 10000
+
+_APPROX_PCT_ORACLE = """
+SELECT l_returnflag, count(*) AS n,
+       true AS p50_ok, true AS p90_ok, true AS p99_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 @REGISTRY.register(
     "approx_percentiles_lineitem",
-    oracle=None,  # approximate sketch; bounded-error-checked in pytest
-    description="approx_percentile sketch aggregation (p50/p90/p99 per flag)",
+    oracle=_APPROX_PCT_ORACLE,
+    description="approx_percentile sketch with driver-checked error contract",
     tags=("aggregate", "percentile", "approx"),
 )
 def approx_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    return (
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    sketch = (
         li.groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-                "pcts"
-            ),
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.9, 0.99], _APPROX_ACC
+            ).alias("pcts"),
             F.count("*").alias("n"),
         )
         .select(
@@ -663,6 +679,37 @@ def approx_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pcts")[1].alias("p90"),
             F.col("pcts")[2].alias("p99"),
             "n",
+        )
+    )
+    # second pass: exact rank of each sketch answer (count of values <= it);
+    # the sketch frame is per-group scalars -> broadcast, corpus unshuffled
+    ranked = (
+        li.join(F.broadcast(sketch), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("p50"), 1).otherwise(0))
+            .alias("r50"),
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("p90"), 1).otherwise(0))
+            .alias("r90"),
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("p99"), 1).otherwise(0))
+            .alias("r99"),
+            F.first("n").alias("n"),
+        )
+    )
+    tol = F.col("n") / F.lit(_APPROX_ACC) + F.lit(1)
+
+    def ok(rank_col: str, q: float) -> F.Column:
+        return (
+            F.abs(F.col(rank_col) - F.col("n") * F.lit(q)) <= tol
+        )
+
+    return (
+        ranked.select(
+            "l_returnflag",
+            "n",
+            ok("r50", 0.5).alias("p50_ok"),
+            ok("r90", 0.9).alias("p90_ok"),
+            ok("r99", 0.99).alias("p99_ok"),
         )
         .orderBy("l_returnflag")
     )

@@ -167,12 +167,36 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PAIRS_THRESHOLD = 0.40
 
+# Candidate generation is banded LSH (OR-amplification): the 8 sign-plane
+# bits split into 4 bands of 2 bits; a pair is a candidate iff it agrees on
+# at least one full band (within its label block), then candidates are
+# verified with the exact cosine. This is the scale path — equality joins
+# on (label, band_id, band_val) instead of an all-pairs join per label —
+# at the price of recall < 1 for weakly-similar pairs (a cos ~= 0.4 pair
+# agrees per-plane w.p. ~0.63, so P(>=1 band of 2) ~= 86%). Both engines
+# replay the identical seeded hyperplanes, so the result set is still
+# deterministic and the oracle matches exactly.
+_N_BANDS = 4
+_BAND_BITS = 2  # 8 planes / 4 bands
+
+
+def _band_val_sql(bucket: str, k: int) -> str:
+    return f"(({bucket} // {1 << (k * _BAND_BITS)}) % {1 << _BAND_BITS})"
+
+
 _PAIRS_ORACLE = f"""
-WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+WITH e AS (
+  SELECT vec_id, label, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
        round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round({cosine_sql('a.embedding', 'b.embedding')}, 6) >= {_PAIRS_THRESHOLD}
+WHERE ({" OR ".join(
+    f"{_band_val_sql('a.bucket', k)} = {_band_val_sql('b.bucket', k)}"
+    for k in range(_N_BANDS)
+)})
+  AND round({cosine_sql('a.embedding', 'b.embedding')}, 6) >= {_PAIRS_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
 
@@ -180,28 +204,54 @@ ORDER BY vec_a, vec_b
 @REGISTRY.register(
     "embedding_similar_pairs",
     oracle=_PAIRS_ORACLE,
-    description="embedding-cosine near-pair mining within label blocks",
-    tags=("similarity", "dedup"),
+    description="embedding near-pair mining: banded-LSH candidates + exact cosine verify",
+    tags=("similarity", "dedup", "lsh"),
 )
 def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
-    a = e.select(
+    emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "label", "embedding",
+        _bucket_spark(F.col("embedding")).alias("bucket"),
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band_id"),
+                F.shiftright(F.col("bucket"), k * _BAND_BITS)
+                .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+                .cast("int")
+                .alias("band_val"),
+            )
+            for k in range(_N_BANDS)
+        ]
+    )
+    keyed = emb.select(
+        "vec_id", "label", "embedding", F.explode(bands).alias("bd")
+    ).select("vec_id", "label", "embedding", "bd.band_id", "bd.band_val")
+    a = keyed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label"),
         F.col("embedding").alias("va"),
+        F.col("band_id").alias("bid_a"),
+        F.col("band_val").alias("bv_a"),
     )
-    b = e.select(
+    b = keyed.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("vb"),
+        F.col("band_id").alias("bid_b"),
+        F.col("band_val").alias("bv_b"),
     )
     sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
     return (
         a.join(
             b,
             (F.col("label") == F.col("label_b"))
+            & (F.col("bid_a") == F.col("bid_b"))
+            & (F.col("bv_a") == F.col("bv_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
+        # a pair agreeing on k bands collides k times; keep one
+        .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", "label", sim.alias("cos"))
         .filter(F.col("cos") >= _PAIRS_THRESHOLD)
         .orderBy("vec_a", "vec_b")

@@ -160,8 +160,9 @@ _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 _TOKCOUNT_ORACLE = f"""
 SELECT lang,
        count(*) AS n_docs,
-       sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS total_tokens,
-       sum(len(string_split(text, ' '))) AS total_ws_tokens
+       CAST(sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+         AS total_tokens,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -311,7 +312,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SOURCE_ORACLE = """
 SELECT source, lang, count(*) AS n_docs,
        (sum(n_chars)::DOUBLE / count(*)::DOUBLE) AS avg_chars,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY ROLLUP (source, lang)
 ORDER BY source NULLS FIRST, lang NULLS FIRST
@@ -334,7 +335,7 @@ def corpus_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_chars").cast("double")
                 / F.count("*").cast("double")
             ).alias("avg_chars"),
-            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
         )
         .orderBy(
             F.col("source").asc_nulls_first(), F.col("lang").asc_nulls_first()

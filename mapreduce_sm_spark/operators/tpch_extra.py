@@ -322,7 +322,7 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders   ON o_orderkey = l_orderkey
 JOIN nation   ON s_nationkey = n_nationkey
 WHERE p_name LIKE '%red%'
-GROUP BY nation, o_year
+GROUP BY n_name, o_year
 ORDER BY nation, o_year DESC
 """
 
@@ -367,7 +367,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("nation", "o_year")
-        .agg(decimal_sum(F.sum(disc_price() - cost)).alias("sum_profit"))
+        .agg(decimal_sum(disc_price() - cost).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -382,10 +382,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q12_ORACLE = """
 SELECT
   l_linestatus,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-    AS high_line_count,
-  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-    AS low_line_count
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS low_line_count
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
@@ -420,8 +420,8 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
         )
         .orderBy("l_linestatus")
     )
@@ -716,7 +716,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q22_ORACLE = f"""
-SELECT cntrycode, count(*) AS numcust, {money_sum_sql('c_acctbal')} AS totacctbal
+SELECT (c_nationkey % 10) AS cntrycode,
+       count(*) AS numcust,
+       {money_sum_sql('c_acctbal')} AS totacctbal
 FROM customer
 WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
   AND c_acctbal > (
@@ -728,7 +730,7 @@ WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
     SELECT 1 FROM orders
     WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
   )
-GROUP BY (c_nationkey % 10) AS cntrycode
+GROUP BY cntrycode
 ORDER BY cntrycode
 """
 

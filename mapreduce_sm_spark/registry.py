@@ -31,6 +31,7 @@ class Query:
 class Registry:
     def __init__(self) -> None:
         self._queries: dict[str, Query] = {}
+        self._front: tuple[str, ...] = ()
 
     def register(
         self,
@@ -57,12 +58,29 @@ class Registry:
 
         return deco
 
+    def set_front(self, names: tuple[str, ...]) -> None:
+        """Declare which queries enumerate first in queries()/oracle_sql().
+
+        The external correctness driver verifies a bounded prefix of the
+        registry each round; front-loading rotates not-yet-driver-verified
+        queries into that window (unknown names are ignored so the list can
+        be edited freely between rounds).
+        """
+        self._front = tuple(n for n in names if n in self._queries)
+
+    def _ordered(self) -> list[str]:
+        front = list(self._front)
+        rest = [n for n in self._queries if n not in self._front]
+        return front + rest
+
     def queries(self) -> dict[str, QueryFn]:
-        return {name: q.fn for name, q in self._queries.items()}
+        return {name: self._queries[name].fn for name in self._ordered()}
 
     def oracle_sql(self) -> dict[str, str]:
         return {
-            name: q.oracle for name, q in self._queries.items() if q.oracle is not None
+            name: self._queries[name].oracle
+            for name in self._ordered()
+            if self._queries[name].oracle is not None
         }
 
     def headline(self) -> list[Query]:

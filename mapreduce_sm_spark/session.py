@@ -101,11 +101,16 @@ def fan_out(df, *keys: str):
     Small parquet scans (documents at test SF is one input split) would
     otherwise run per-row-heavy stages (shingling, md5, tokenize+explode)
     single-threaded. The shuffle moves the raw rows once — cheap relative to
-    the ~10x expansion the next stage produces. On a real cluster the same
-    holds: pre-expansion is the cheapest point to widen, and if the scan is
-    already wide AQE coalesces the extra exchange instead of paying it."""
+    the ~10x expansion the next stage produces.
+
+    Width-aware: when the scan already yields >= cluster-width partitions
+    (the 100 TB case — thousands of parquet splits), the repartition is
+    skipped entirely. AQE does NOT remove a user-requested repartition, so
+    an unconditional one would re-shuffle the full corpus for nothing."""
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, *keys) if keys else df.repartition(n)
 
 

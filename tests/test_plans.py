@@ -118,3 +118,38 @@ def test_scalar_subquery_aggregate_is_partial(spark):
 
     plan = _plan(scalar_subquery_part_avg(spark, SF_DIR))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_simhash_pairs_band_equality_join(spark):
+    """Pigeonhole-banded hamming search must equi-join on chunk values —
+    never a per-lang-block quadratic join (the round-1 scale-killer)."""
+    from mapreduce_sm_spark.operators.dedup import dedup_simhash_pairs
+
+    plan = _plan(dedup_simhash_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the join keys must include the chunk value, not lang alone
+    assert "cv_a" in plan and "cv_b" in plan
+
+
+def test_embedding_pairs_band_equality_join(spark):
+    """Banded-LSH candidate mining must equi-join on band values."""
+    from mapreduce_sm_spark.operators.similarity import embedding_similar_pairs
+
+    plan = _plan(embedding_similar_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bv_a" in plan and "bv_b" in plan
+
+
+def test_fan_out_is_width_aware(spark):
+    """fan_out must be a no-op when the scan already fills the cluster —
+    at 100 TB an unconditional repartition re-shuffles the whole corpus
+    (AQE never removes a user-requested repartition)."""
+    from mapreduce_sm_spark.session import fan_out
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(10_000).repartition(n)
+    assert fan_out(wide, "id") is wide  # untouched, no extra exchange
+    narrow = spark.range(10_000).coalesce(1)
+    assert fan_out(narrow, "id").rdd.getNumPartitions() == n
