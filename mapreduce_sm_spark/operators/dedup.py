@@ -30,6 +30,7 @@ Algorithms (public literature):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -146,19 +147,21 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan_out: shingling expands each row ~60x; widen BEFORE the expansion.
     Hashing happens here, once, so downstream branches (prefix index +
     two verification join-backs) never touch shingle strings; Jaccard
-    over injective hashes equals Jaccard over shingles."""
+    over injective hashes equals Jaccard over shingles.
+
+    array_distinct runs on the STRINGS, before hashing — md5 then runs
+    once per distinct shingle (~2.4x fewer calls on real text), and the
+    string-side dedup matches the oracle's list_distinct(shingles)
+    exactly (hash-side dedup would silently merge md5 collisions)."""
     return fan_out(
         table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
         "doc_id",
     ).select(
         "doc_id",
         "lang",
-        F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    char_shingles("text", _JACCARD_K), lambda t: hash60(t)
-                )
-            )
+        F.transform(
+            F.array_distinct(char_shingles("text", _JACCARD_K)),
+            lambda t: hash60(t),
         ).alias("s"),
     )
 
@@ -182,6 +185,7 @@ def _jaccard_sized(sa, sb, na, nb):
     "dedup_ngram_jaccard",
     oracle=_JACCARD_ORACLE,
     description="exact 5-gram Jaccard pairs via prefix-filtered index join",
+    headline=True,
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,14 +382,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     ).select(
         "doc_id",
-        F.array_distinct(
-            F.transform(char_shingles("text", _JACCARD_K), lambda s: hash60(s))
+        # distinct on strings BEFORE hashing: md5 runs once per distinct
+        # shingle, and dedup matches the oracle's list_distinct exactly
+        F.transform(
+            F.array_distinct(char_shingles("text", _JACCARD_K)),
+            lambda s: hash60(s),
         ).alias("h60"),
     )
     # the shingle frame feeds three plan branches (signatures + both
-    # verification join-backs); cache so shingling runs once, not 3x.
-    # At cluster scale this would be persist(MEMORY_AND_DISK).
-    docs = docs.cache()
+    # verification join-backs); persist so shingling runs once, not 3x.
+    # MEMORY_AND_DISK (spill, don't recompute) is the cluster-safe level —
+    # and is what DataFrame.cache() resolves to, stated explicitly here.
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     sig = _minhash_sigs(docs)
     banded = sig.select("doc_id", *_band_cols_spark())
     band_structs = F.array(

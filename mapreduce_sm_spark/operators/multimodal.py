@@ -2,10 +2,13 @@
 
 Images/audio/video are opaque `binary` columns with typed metadata. The
 Spark-side plumbing — binary schema, Arrow-batched mapInPandas, partition
-shape — is real and tested; the actual codec step is STUBBED with a
-deterministic fake (this container ships no image/audio libraries), clearly
-marked below. At 100 TB the decode is embarrassingly parallel map-side work:
-no shuffle, batch size bounded by Arrow batch bytes.
+shape — is real and tested. The codec is PLUGGABLE: `decode_meta(...,
+codec='pil')` is a real Pillow decode (exercised by a skipif-guarded test;
+this container ships no image libraries), `codec='fake'` is a deterministic
+md5-derived stand-in used by the registered queries because the fixture
+payloads are text bytes, and `codec='auto'` picks pil when importable. At
+100 TB the decode is embarrassingly parallel map-side work: no shuffle,
+batch size bounded by Arrow batch bytes.
 
 The fake decode derives metadata from an md5 of the payload, which the
 DuckDB oracle reproduces — so even the mapInPandas path is hash-checked.
@@ -25,17 +28,41 @@ from mapreduce_sm_spark.registry import REGISTRY
 from mapreduce_sm_spark.session import table
 
 
-def _fake_decode_meta(payload: bytes) -> tuple[int, int, int, int]:
-    """STUB: stands in for a real image decode (PIL/libvips unavailable).
+def have_pil() -> bool:
+    """True when a real image codec (Pillow) is importable."""
+    try:
+        import PIL.Image  # noqa: F401
 
-    A real implementation would be:
-        try:
-            from PIL import Image
-        except ImportError:
-            raise NotImplementedError("image codec not available")
-    The deterministic fake derives (width, height, channels, phash) from
-    md5(payload) so results are reproducible and oracle-checkable.
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_decode_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """Real codec branch: decode with Pillow, perceptual 8x8 average-hash.
+
+    Exercised by tests/test_multimodal.py (skipif-guarded — this container
+    ships no Pillow); the registered queries keep the deterministic fake
+    because the fixture payloads are text bytes, not images.
     """
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    width, height = img.size
+    channels = len(img.getbands())
+    small = img.convert("L").resize((8, 8))
+    px = list(small.getdata())
+    avg = sum(px) / 64.0
+    bits = sum(1 << i for i, p in enumerate(px) if p >= avg)
+    return width, height, channels, bits % 1_000_000_007
+
+
+def _fake_decode_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic fake codec: derives (width, height, channels, phash)
+    from md5(payload) so results are reproducible and oracle-checkable
+    (the DuckDB oracle replays the identical md5 arithmetic)."""
     h = int(hashlib.md5(payload).hexdigest()[:15], 16)
     width = h % 1920 + 1
     height = (h // 1920) % 1080 + 1
@@ -44,19 +71,38 @@ def _fake_decode_meta(payload: bytes) -> tuple[int, int, int, int]:
     return width, height, channels, phash
 
 
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        metas = [_fake_decode_meta(p) for p in pdf["payload"]]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "n_bytes": pdf["payload"].map(len).astype("int64"),
-                "width": pd.Series([m[0] for m in metas], dtype="int64"),
-                "height": pd.Series([m[1] for m in metas], dtype="int64"),
-                "channels": pd.Series([m[2] for m in metas], dtype="int64"),
-                "phash": pd.Series([m[3] for m in metas], dtype="int64"),
-            }
-        )
+def decode_meta(payload: bytes, codec: str = "fake") -> tuple[int, int, int, int]:
+    """Dispatch: 'pil' -> real Pillow decode, 'fake' -> deterministic stub,
+    'auto' -> pil when importable else fake."""
+    if codec == "auto":
+        codec = "pil" if have_pil() else "fake"
+    if codec == "pil":
+        return _pil_decode_meta(payload)
+    if codec == "fake":
+        return _fake_decode_meta(payload)
+    raise NotImplementedError(f"unknown codec {codec!r}")
+
+
+def _decode_batches(codec: str = "fake"):
+    """Arrow-batched decode kernel for mapInPandas, parameterized by codec
+    so the same plumbing serves real images ('pil'/'auto') and the
+    oracle-checkable fixture path ('fake')."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_meta(p, codec) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": pd.Series([m[0] for m in metas], dtype="int64"),
+                    "height": pd.Series([m[1] for m in metas], dtype="int64"),
+                    "channels": pd.Series([m[2] for m in metas], dtype="int64"),
+                    "phash": pd.Series([m[3] for m in metas], dtype="int64"),
+                }
+            )
+
+    return gen
 
 
 # The oracle mirrors the md5 arithmetic of the fake decode. payload is the
@@ -87,11 +133,21 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     decoded = payloads.mapInPandas(
-        _decode_batches,
+        _decode_batches("fake"),  # fixture payloads are text bytes, not images
         schema="doc_id long, n_bytes long, width long, height long, "
         "channels long, phash long",
     )
     return decoded.orderBy("doc_id")
+
+
+def image_meta_over(payloads: DataFrame, codec: str = "auto") -> DataFrame:
+    """Public entry for real data: (doc_id, payload binary) -> decoded meta
+    via Pillow when available. Same plan shape as the registered query."""
+    return payloads.mapInPandas(
+        _decode_batches(codec),
+        schema="doc_id long, n_bytes long, width long, height long, "
+        "channels long, phash long",
+    )
 
 
 # --- video frame sampling stub -------------------------------------------

@@ -142,6 +142,7 @@ ORDER BY q_id, rank
     "ann_lsh_topk",
     oracle=_LSH_ORACLE,
     description="LSH (sign-hyperplane) bucketed approximate top-k",
+    headline=True,
     tags=("similarity", "lsh"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -331,6 +331,7 @@ ORDER BY nation, o_year DESC
     "q9_product_profit",
     oracle=_Q9_ORACLE,
     description="TPC-H Q9-shape: profit by nation/year, decimal-exact cost model",
+    headline=True,
     tags=("join", "aggregate"),
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -190,8 +190,21 @@ def sql_interface_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @REGISTRY.register(
     "approx_distinct_users",
-    oracle=None,
-    description="approx_count_distinct (HyperLogLog++) per event type",
+    # HLL++ sketches never agree across engines value-for-value, so the
+    # driver-checked output is the sketch's verified error contract: the
+    # Spark side computes BOTH the HLL estimate and the exact distinct
+    # count, emits whether the estimate landed within 5*rsd (rsd=0.02 is a
+    # standard-deviation target, so 10%% is a >5-sigma bound — stable yet
+    # regression-catching), and the oracle asserts the bound holds.
+    oracle="""
+SELECT event_type, count(*) AS n,
+       count(DISTINCT user_id) AS exact_users,
+       true AS approx_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    description="approx_count_distinct (HyperLogLog++) with driver-checked error contract",
     tags=("aggregate", "approx"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,7 +213,20 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
             F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(
+                    F.col("exact_users").cast("double") * F.lit(0.10),
+                    F.lit(1.0),
+                )
+            ).alias("approx_ok"),
         )
         .orderBy("event_type")
     )

@@ -192,3 +192,71 @@ def test_foreach_batch_sink_is_idempotent_by_path(spark, tmp_path):
     }
     got = {(r.event_type, r.n) for r in final.collect()}
     assert got == expected
+
+
+def test_late_event_beyond_watermark_dropped(spark, tmp_path):
+    """Watermark semantics: after a micro-batch advances event time to
+    06:00, the 1-hour watermark sits at 05:00 — a later-arriving event
+    stamped 01:30 (window end 02:00 < watermark) must be DROPPED by the
+    stateful aggregation, while on-time events keep flowing.
+
+    Note the propagation lag (pinned empirically on this Spark): the
+    watermark computed from batch N's data is ENFORCED starting batch
+    N+2 — batch N+1 still admits rows behind it. Hence the late event
+    arrives two batches after the sentinel that advanced the clock."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from mapreduce_sm_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        streaming_tumbling_counts,
+    )
+
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+
+    def ev(eid, sec, etype):
+        return (eid, (base + sec) * 10**9, 1, etype, 1.0, "{}")
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+
+    def add_file(name, rows, mtime):
+        tmp_out = str(tmp_path / ("w_" + name))
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(
+            tmp_out
+        )
+        part = globmod.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        dst = str(stream_dir / f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    # batch A: one 00:10 event + a sentinel at 06:00 (advances watermark)
+    add_file("a", [ev(1, 600, "ontime"), ev(2, 6 * 3600, "sentinel")], base)
+    # batch B: an on-time 06:30 event (watermark from A not yet enforced)
+    add_file("b", [ev(4, 6 * 3600 + 1800, "tail")], base + 60)
+    # batch C: a late 01:30 event, now firmly behind the enforced 05:00
+    # watermark -> must be dropped
+    add_file("c", [ev(3, 90 * 60, "late")], base + 120)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    q = (
+        streaming_tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("late_drop_test")
+        .outputMode("update")  # update mode enforces watermark drops
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = {r.event_type for r in spark.table("late_drop_test").collect()}
+    assert "ontime" in emitted and "sentinel" in emitted and "tail" in emitted
+    assert "late" not in emitted, "late event leaked past the watermark"
