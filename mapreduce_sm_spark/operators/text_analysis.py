@@ -442,3 +442,85 @@ def posexplode_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
         .orderBy("doc_id", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus cleaning pipeline — the composition a training-data
+# build actually runs, as ONE declarative plan: quality gate -> normalized
+# exact-dedup keep-list -> per-(source, lang) yield report. Catalyst fuses
+# the stages (the quality filter pushes into the scan; dedup is one shuffle
+# on the normalized text; the report is a partial-agg rollup) — at 100 TB
+# this is a 2-shuffle pipeline end to end.
+# ---------------------------------------------------------------------------
+
+_CLEAN_MIN_TOKENS = 25
+_CLEAN_MAX_PUNCT = 0.05
+
+_CLEAN_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, lang, text,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_tokens,
+         len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+           / length(text)::DOUBLE AS punct_ratio
+  FROM documents
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= {_CLEAN_MIN_TOKENS} AND punct_ratio <= {_CLEAN_MAX_PUNCT}
+),
+deduped AS (
+  SELECT min(doc_id) AS doc_id, any_value(source) AS source,
+         any_value(lang) AS lang, any_value(n_tokens) AS n_tokens
+  FROM (
+    SELECT doc_id, source, lang, n_tokens,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+    FROM kept
+  )
+  GROUP BY norm
+)
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM deduped
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+@REGISTRY.register(
+    "corpus_clean_pipeline",
+    oracle=_CLEAN_ORACLE,
+    description="composite clean: quality gate -> normalized dedup -> yield report",
+    tags=("text", "dedup", "pipeline"),
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0)))
+    punct = (
+        F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", "")).cast("double")
+        / F.length("text").cast("double")
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    kept = docs.select(
+        "doc_id", "source", "lang", norm.alias("norm"), n_tokens.alias("n_tokens")
+    ).filter(
+        (F.col("n_tokens") >= _CLEAN_MIN_TOKENS)
+        & (punct <= _CLEAN_MAX_PUNCT)
+    )
+    # dedup on normalized text: group keeps the lowest doc_id's row; the
+    # group's (source, lang, n_tokens) are single-valued per kept doc, and
+    # min_by pins them to the keeper deterministically
+    deduped = kept.groupBy("norm").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    )
+    return (
+        deduped.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -98,3 +98,33 @@ def test_orc_roundtrip(spark, tmp_path):
     assert sorted(r.n_nationkey for r in back.collect()) == sorted(
         r.n_nationkey for r in src.collect()
     )
+
+
+def test_two_bucketed_tables_join_shuffle_free(spark, tmp_path):
+    """The 100 TB co-location story: both sides bucketed on the join key
+    with the same bucket count -> SortMergeJoin with ZERO Exchange."""
+    from mapreduce_sm_spark.session import table
+    from mapreduce_sm_spark.sources.sinks import write_bucketed_table
+
+    orders = table(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice")
+    cust = table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    spark.sql("DROP TABLE IF EXISTS t_ord_b")
+    spark.sql("DROP TABLE IF EXISTS t_cust_b")
+    write_bucketed_table(orders, "t_ord_b", ["o_custkey"], 8, ["o_custkey"])
+    write_bucketed_table(cust, "t_cust_b", ["c_custkey"], 8, ["c_custkey"])
+    # disable broadcast so the join strategy is the bucket-aware SMJ
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_ord_b").join(
+            spark.table("t_cust_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
