@@ -96,3 +96,84 @@ def json_schema_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# MAP-type function surface (the remaining §2.B scalar-function family):
+# create_map / map_from_arrays / map_concat / map_keys / map_values /
+# element_at / map_filter / transform_values, exercised JVM-side per group.
+# The emitted columns are FLAT scalars (map iteration order is
+# engine-specific, so hashing a raw map would be unstable); the oracle
+# computes the same values relationally — it checks results, not plumbing.
+# ---------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+WITH g AS (
+  SELECT o_orderstatus,
+         count(*) AS cnt,
+         CAST(max(round(o_totalprice * 100)) AS BIGINT) AS max_price_cents,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS lo
+  FROM orders
+  GROUP BY o_orderstatus
+)
+SELECT o_orderstatus,
+       4::BIGINT AS n_entries,
+       cnt, max_price_cents, hi, lo,
+       'cnt,hi,lo,max_price_cents' AS keys_sorted,
+       (cnt
+        + CASE WHEN max_price_cents >= cnt THEN max_price_cents ELSE 0 END
+        + CASE WHEN hi >= cnt THEN hi ELSE 0 END
+        + CASE WHEN lo >= cnt THEN lo ELSE 0 END) AS big_vals_sum
+FROM g
+ORDER BY o_orderstatus
+"""
+
+
+@REGISTRY.register(
+    "map_functions_surface",
+    oracle=_MAP_ORACLE,
+    description="map functions: build/concat/keys/values/element_at/map_filter",
+    tags=("scalar", "map"),
+)
+def map_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    grouped = orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        F.max(F.round(F.col("o_totalprice") * 100)).cast("long").alias("maxc"),
+        F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("hi"),
+        F.sum(F.when(~is_high, 1).otherwise(0)).cast("long").alias("lo"),
+    )
+    m1 = F.create_map(
+        F.lit("cnt"), F.col("cnt"), F.lit("max_price_cents"), F.col("maxc")
+    )
+    m2 = F.map_from_arrays(
+        F.array(F.lit("hi"), F.lit("lo")), F.array(F.col("hi"), F.col("lo"))
+    )
+    merged = F.map_concat(m1, m2)
+    # map_filter keeps entries >= cnt (cnt itself and anything larger);
+    # summing its values via values()+aggregate stays JVM-side
+    big = F.map_filter(merged, lambda k, v: v >= F.col("cnt"))
+    big_sum = F.aggregate(
+        F.map_values(big), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return (
+        grouped.select(
+            "o_orderstatus",
+            F.size(merged).cast("long").alias("n_entries"),
+            F.element_at(merged, F.lit("cnt")).alias("cnt"),
+            F.element_at(merged, F.lit("max_price_cents")).alias(
+                "max_price_cents"
+            ),
+            F.element_at(merged, F.lit("hi")).alias("hi"),
+            F.element_at(merged, F.lit("lo")).alias("lo"),
+            F.array_join(F.array_sort(F.map_keys(merged)), ",").alias(
+                "keys_sorted"
+            ),
+            big_sum.alias("big_vals_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -70,3 +70,47 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_click_purchase_join(
         spark, sf_dir, qname, glob="events.parquet"
     ).orderBy("click_id", "purchase_id")
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type,
+       count(*) AS n_deduped,
+       (CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR))::DOUBLE AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@REGISTRY.register(
+    "stream_dedup_events",
+    oracle=_STREAM_DEDUP_ORACLE,
+    description="dropDuplicatesWithinWatermark over a doubled stream (real streaming run)",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup twin of dedup_exact: the stream is the events file
+    unioned with itself (every row duplicated); watermark-bounded dedup on
+    event_id must reduce it back to the original — the oracle is the plain
+    batch aggregate of the ORIGINAL events table, so any surviving
+    duplicate (or dropped original) fails the hash."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.streaming.windows import run_streaming_dedup_counts
+
+    qname = "stream_dedup_" + os.path.basename(sf_dir.rstrip("/")).replace(
+        ".", "_"
+    )
+    deduped = run_streaming_dedup_counts(
+        spark, sf_dir, qname, glob="events.parquet"
+    )
+    return (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_deduped"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -252,3 +252,42 @@ def run_foreach_batch_parquet(
         .start()
     )
     q.awaitTermination(120)
+
+
+def run_streaming_dedup_counts(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    query_name: str = "stream_dedup",
+    glob: str = "*.parquet",
+) -> DataFrame:
+    """Streaming exact dedup: the input is deliberately DOUBLED (the same
+    file read by two stream sources, unioned) and
+    dropDuplicatesWithinWatermark(event_id) must remove the copies. State
+    is bounded by the watermark — a dedup key older than 1 hour of event
+    time is evicted, which is the only way streaming dedup survives an
+    unbounded stream (plain dropDuplicates would accumulate forever).
+    Returns the deduped rows from the memory sink (append mode)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def _stream():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", glob)
+            .parquet(events_parquet_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+
+    doubled = _stream().unionAll(_stream())
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.select("event_id", "user_id", "event_type", "value")
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(query_name)
