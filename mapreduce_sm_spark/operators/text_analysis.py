@@ -524,3 +524,129 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Denylist scrub: remove denylisted terms, report per-source scrub counts
+# (the redaction/PII-scrub shape: regexp_replace + audit counts in one
+# pass; at 100 TB this is map-side column work, one rollup shuffle).
+# ---------------------------------------------------------------------------
+
+_DENYLIST = ("key", "hash", "secret")
+_DENY_RE = r"\b(" + "|".join(_DENYLIST) + r")\b"
+
+_SCRUB_ORACLE = f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '{_DENY_RE}'))) AS BIGINT)
+         AS n_scrubbed,
+       CAST(sum(length(text)
+                - length(regexp_replace(text, '{_DENY_RE}', '[SCRUBBED]', 'g')))
+            AS BIGINT) AS chars_delta
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@REGISTRY.register(
+    "denylist_scrub_stats",
+    oracle=_SCRUB_ORACLE,
+    description="denylist scrub (redaction shape): per-source term & char deltas",
+    tags=("text", "governance"),
+)
+def denylist_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_hits = F.size(F.regexp_extract_all("text", F.lit(_DENY_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(F.col("text"), _DENY_RE, "[SCRUBBED]")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_hits.cast("long")).cast("long").alias("n_scrubbed"),
+            F.sum(
+                (F.length("text") - F.length(scrubbed)).cast("long")
+            ).cast("long").alias("chars_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination: flag training docs sharing any 8-char shingle
+# with a held-out "benchmark" subset (doc_id % 97 == 0 stands in for the
+# eval set). Scale shape: the benchmark shingle set is SMALL -> broadcast
+# LEFT SEMI join against exploded training shingles; no pair set is ever
+# materialized and the corpus shuffles zero bytes.
+# ---------------------------------------------------------------------------
+
+_CONTAM_K = 8
+_CONTAM_MOD = 97
+
+_CONTAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - {_CONTAM_K} + 1, 1)),
+           i -> substr(text, i, {_CONTAM_K}))) AS s
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT unnest(s) AS tok FROM sh WHERE doc_id % {_CONTAM_MOD} = 0
+),
+train AS (SELECT doc_id, lang, s FROM sh WHERE doc_id % {_CONTAM_MOD} <> 0),
+flagged AS (
+  SELECT DISTINCT t.doc_id, t.lang
+  FROM (SELECT doc_id, lang, unnest(s) AS tok FROM train) t
+  JOIN bench b ON t.tok = b.tok
+)
+SELECT tr.lang,
+       count(*) AS n_train_docs,
+       CAST(count(f.doc_id) AS BIGINT) AS n_contaminated
+FROM train tr LEFT JOIN flagged f ON tr.doc_id = f.doc_id
+GROUP BY tr.lang
+ORDER BY tr.lang
+"""
+
+
+@REGISTRY.register(
+    "benchmark_contamination",
+    oracle=_CONTAM_ORACLE,
+    description="train/eval contamination: broadcast semi-join on 8-gram shingles",
+    tags=("text", "dedup", "governance"),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.session import fan_out
+
+    sh = fan_out(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "lang",
+        F.array_distinct(char_shingles("text", _CONTAM_K)).alias("s"),
+    )
+    is_bench = F.col("doc_id") % _CONTAM_MOD == 0
+    bench_toks = (
+        sh.filter(is_bench)
+        .select(F.explode("s").alias("tok"))
+        .distinct()
+    )
+    train = sh.filter(~is_bench)
+    flagged = (
+        train.select("doc_id", F.explode("s").alias("tok"))
+        .join(F.broadcast(bench_toks), "tok", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        train.select("doc_id", "lang")
+        .join(flagged, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train_docs"),
+            F.count("hit").cast("long").alias("n_contaminated"),
+        )
+        .orderBy("lang")
+    )
