@@ -50,6 +50,11 @@ def main() -> None:
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
+            # drop anything the query persisted: run 2 must re-read and
+            # re-shuffle everything (protocol), and without this the
+            # BlockManager accumulates every cached frame across the whole
+            # bench session, pressuring memory for later queries
+            spark.catalog.clearCache()
             if trial == 0:
                 cold[q.name] = dt
         times[q.name] = dt

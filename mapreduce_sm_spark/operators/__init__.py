@@ -38,21 +38,45 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
 
 from mapreduce_sm_spark.registry import REGISTRY
 
-# Round-2 driver window: the external correctness gate verifies the first 50
-# entries of queries(). Round 1 proved the relational core green
-# (CORRECTNESS_r01.json); this round front-loads everything that gate has
-# never seen — the §2.C pipeline operators, streaming, UDF surface, advanced
-# joins, the 12 TPC-H shapes — plus the two round-1 red rows
-# (case_bucket_orders hash-fail, approx_percentiles_lineitem no_oracle).
-# Cheap column-expression queries lead in case the window is time-bounded.
-# The already-green remainder stays continuously verified in-repo by
-# tests/test_oracle_parity.py and tools/verify_local.py.
+# Round-3 driver window: the external correctness gate verifies the first 50
+# entries of queries(). Leads with the 7 names the driver has NEVER
+# green-lit (VERDICT r2 item 1): the five round-2 additions, the
+# re-shaped multimodal_resize_features (now scalar-column output the
+# driver's canonicalizer can hash), and the new ann_ivf_recall_check
+# (the driver-checkable contract for the no-oracle IVF query).
+# Next come the queries this round CHANGED (percentile rank-interval
+# contract, Jaccard prefix rewrite, every fan_out caller), so any
+# regression from the round-3 edits lands inside the verified window.
+# The rest of the window re-verifies high-value r1/r2 greens; the full
+# registry stays covered by tests/test_oracle_parity.py (sf0.001) and the
+# committed tools/verify_local.py sf0.01 run.
 REGISTRY.set_front(
     (
-        # round-1 red rows, now fixed — cheapest first
-        "case_bucket_orders",
+        # --- never driver-verified (rotation targets) ---
+        "map_functions_surface",
+        "stream_dedup_events",
+        "corpus_clean_pipeline",
+        "denylist_scrub_stats",
+        "benchmark_contamination",
+        "multimodal_resize_features",
+        "ann_ivf_recall_check",
+        "ann_ivf_topk",  # stays no-oracle; rows-only check recorded
+        # --- changed this round: re-verify under the driver ---
         "approx_percentiles_lineitem",
-        # text analysis: pure column expressions, near-free
+        "dedup_ngram_jaccard",
+        "wordcount",
+        "string_match",
+        "dedup_exact",
+        "dedup_exact_normalized",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+        "dedup_minhash",
+        "dedup_connected_components",
+        "ann_bruteforce_topk",
+        "ann_lsh_topk",
+        "embedding_similar_pairs",
+        "multimodal_image_meta",
+        "multimodal_frame_sample",
         "text_quality_stats",
         "lang_id_heuristic",
         "token_count",
@@ -61,24 +85,8 @@ REGISTRY.set_front(
         "corpus_source_rollup",
         "sequence_packing_plan",
         "posexplode_first_tokens",
-        # dedup family
-        "dedup_exact",
-        "dedup_exact_normalized",
-        "dedup_simhash",
-        "dedup_simhash_pairs",
-        "dedup_ngram_jaccard",
-        "dedup_minhash",
-        "dedup_connected_components",
-        # similarity / ANN
-        "ann_bruteforce_topk",
-        "ann_lsh_topk",
-        "embedding_similar_pairs",
-        "ann_ivf_topk",
-        # multimodal plumbing
-        "multimodal_image_meta",
-        "multimodal_frame_sample",
-        "multimodal_resize_features",
-        # advanced joins + UDF/UDTF/UDAF surface
+        # --- high-value r1/r2 greens re-verified in the remaining slots ---
+        "case_bucket_orders",
         "join_asof_events_orders",
         "join_range_value_bands",
         "udaf_weighted_avg",
@@ -86,26 +94,16 @@ REGISTRY.set_front(
         "sql_interface_udf",
         "approx_distinct_users",
         "udtf_sentence_split",
-        # events + streaming twins
         "json_extract_events",
         "tumbling_window_events",
         "sliding_window_events",
         "session_window_events",
         "stream_stateful_user_totals",
         "stream_interval_join",
-        # window RANGE frame (the one analytic query round 1 missed)
         "window_time_range_frame",
-        # TPC-H shapes wired in this round
-        "q4_order_priority",
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "q8_market_share",
+        "q1_pricing_summary",
         "q9_product_profit",
-        "q12_late_shipment_priority",
         "q13_customer_distribution",
-        "q16_part_supplier_variety",
-        "q17_small_quantity_revenue",
-        "q20_volume_suppliers",
         "q21_waiting_suppliers",
         "q22_dormant_customers",
     )

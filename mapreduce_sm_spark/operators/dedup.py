@@ -205,16 +205,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref_len = (
         F.floor(F.col("n") * F.lit(1.0 - _PREFIX_THRESHOLD)) + F.lit(2)
     ).cast("int")
-    from pyspark.sql import Window
-
-    rank_w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    # Prefix extraction WITHOUT sorting the exploded stream: a row_number
+    # window here sorts every (doc, shingle) pair just to keep the first
+    # ~quarter (the BENCH_r02 hot spot — 11 s warm). Instead re-aggregate
+    # per doc, array_sort the ~n (df, tok) structs in memory, slice the
+    # prefix, and posexplode it — one partial-aggregable shuffle, and the
+    # per-doc sort touches n elements instead of a partition-wide sort.
+    # p = 1-based position of tok in the doc's full df-ordered shingle
+    # list (slice takes a prefix, so prefix position == global position),
+    # feeding the PPJoin positional filter below.
     idx = (
         toks.join(df_counts, "tok")
-        .withColumn("rn", F.row_number().over(rank_w))
-        .filter(F.col("rn") <= pref_len)
-        .select("doc_id", "lang", "n", "tok")
+        .groupBy("doc_id", "lang", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("st"))
+        .select(
+            "doc_id",
+            "lang",
+            "n",
+            F.posexplode(F.slice("st", 1, pref_len)).alias("p0", "e"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n",
+            F.col("e.tok").alias("tok"),
+            (F.col("p0") + 1).alias("p"),
+        )
     )
     a, b = idx.alias("a"), idx.alias("b")
+    # PPJoin positional filter (Xiao et al., WWW'08): J >= t requires
+    # overlap >= ceil(t/(1+t) * (na+nb)). For the smallest common shingle
+    # (which the prefix theorem puts inside BOTH prefixes) every earlier
+    # shingle on either side is unshared, so overlap <= 1 + min(na-pa,
+    # nb-pb). A qualifying pair therefore always has at least one matched
+    # prefix row passing this bound; rows failing it are pruned before the
+    # dropDuplicates, cutting verify candidates.
+    min_overlap = F.ceil(
+        F.lit(_PREFIX_THRESHOLD / (1.0 + _PREFIX_THRESHOLD))
+        * (F.col("a.n") + F.col("b.n"))
+    )
     cand = (
         a.join(
             b,
@@ -229,6 +258,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.col("b.n").cast("double")
                 <= F.col("a.n") / F.lit(_PREFIX_THRESHOLD)
+            )
+            # positional filter
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.p")
+                )
+                >= min_overlap
             ),
         )
         .select(
@@ -622,6 +659,7 @@ ORDER BY doc_a, doc_b
     "dedup_simhash_pairs",
     oracle=_SIMHASH_PAIRS_ORACLE,
     description="SimHash near-dup pairs (hamming <= 6) within lang blocks",
+    headline=True,
     tags=("dedup", "simhash"),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,6 +707,7 @@ ORDER BY doc_id
     "dedup_connected_components",
     oracle=_CC_ORACLE,
     description="duplicate-cluster resolution: connected components by min-label propagation",
+    headline=True,
     tags=("dedup", "graph", "iterative"),
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:

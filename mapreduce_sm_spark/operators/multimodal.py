@@ -246,10 +246,10 @@ SELECT doc_id,
             ELSE (w * {_FIT}) // greatest(w, h) END AS out_w,
        CASE WHEN greatest(w, h) <= {_FIT} THEN h
             ELSE (h * {_FIT}) // greatest(w, h) END AS out_h,
-       [round(((hh // 1) % 256) / 255.0, 6),
-        round(((hh // 256) % 256) / 255.0, 6),
-        round(((hh // 65536) % 256) / 255.0, 6),
-        round(((hh // 16777216) % 256) / 255.0, 6)] AS feat
+       round(((hh // 1) % 256) / 255.0, 6) AS f0,
+       round(((hh // 256) % 256) / 255.0, 6) AS f1,
+       round(((hh // 65536) % 256) / 255.0, 6) AS f2,
+       round(((hh // 16777216) % 256) / 255.0, 6) AS f3
 FROM meta
 ORDER BY doc_id
 """
@@ -258,14 +258,34 @@ ORDER BY doc_id
 @REGISTRY.register(
     "multimodal_resize_features",
     oracle=_RS_ORACLE,
-    description="resize plan + feature-extract plumbing (array<double> out)",
+    description="resize plan + feature-extract plumbing (fixed-dim vector out)",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The mapInPandas kernel emits the real contract — feat array<double> —
+    # and resize_features_over() exposes it for pipeline use. The REGISTERED
+    # query projects the vector to scalar columns because the external
+    # driver's pandas canonicalizer cannot sort/hash list cells
+    # (CORRECTNESS_r02: `TypeError: unhashable type: 'list'`).
     payloads = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
+    feats = payloads.mapInPandas(
+        _resize_features,
+        schema="doc_id long, out_w long, out_h long, feat array<double>",
+    )
+    return feats.select(
+        "doc_id",
+        "out_w",
+        "out_h",
+        *[F.col("feat")[i].alias(f"f{i}") for i in range(4)],
+    ).orderBy("doc_id")
+
+
+def resize_features_over(payloads: DataFrame) -> DataFrame:
+    """Public entry for real data: (doc_id, payload binary) ->
+    (doc_id, out_w, out_h, feat array<double>) — the vector stays a vector."""
     return payloads.mapInPandas(
         _resize_features,
         schema="doc_id long, out_w long, out_h long, feat array<double>",
-    ).orderBy("doc_id")
+    )

@@ -681,35 +681,51 @@ def approx_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    # second pass: exact rank of each sketch answer (count of values <= it);
-    # the sketch frame is per-group scalars -> broadcast, corpus unshuffled
+    # second pass: the sketch answer's exact rank RANGE under ties —
+    # min rank = count(value < answer) + 1, max rank = count(value <= answer).
+    # GK guarantees only that SOME rank of the returned value is within
+    # eps*n of q*n, so the contract holds when [min_rank, max_rank]
+    # intersects [q*n - n/acc, q*n + n/acc]; a single max-rank test with a
+    # +1 tie fudge mis-flags values with multiplicity > 2 at a boundary.
+    # The sketch frame is per-group scalars -> broadcast, corpus unshuffled.
+    def rank_aggs(col: str):
+        lo = F.sum(
+            F.when(F.col("l_extendedprice") < F.col(col), 1).otherwise(0)
+        ) + F.lit(1)
+        hi = F.sum(
+            F.when(F.col("l_extendedprice") <= F.col(col), 1).otherwise(0)
+        )
+        return lo.alias(f"lo{col[1:]}"), hi.alias(f"hi{col[1:]}")
+
     ranked = (
         li.join(F.broadcast(sketch), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.sum(F.when(F.col("l_extendedprice") <= F.col("p50"), 1).otherwise(0))
-            .alias("r50"),
-            F.sum(F.when(F.col("l_extendedprice") <= F.col("p90"), 1).otherwise(0))
-            .alias("r90"),
-            F.sum(F.when(F.col("l_extendedprice") <= F.col("p99"), 1).otherwise(0))
-            .alias("r99"),
+            *rank_aggs("p50"),
+            *rank_aggs("p90"),
+            *rank_aggs("p99"),
             F.first("n").alias("n"),
         )
     )
+    # n/acc is the GK epsilon*n budget; +1 absorbs the integer rounding of
+    # rank targets (the guarantee is on ceil'd ranks — at sf0.01 eps*n is
+    # 1.99 and a legitimate answer sits exactly 2 ranks off). The tie
+    # handling now lives in the [lo, hi] interval, not in this constant.
     tol = F.col("n") / F.lit(_APPROX_ACC) + F.lit(1)
 
-    def ok(rank_col: str, q: float) -> F.Column:
-        return (
-            F.abs(F.col(rank_col) - F.col("n") * F.lit(q)) <= tol
+    def ok(suffix: str, q: float) -> F.Column:
+        target = F.col("n") * F.lit(q)
+        return (F.col(f"lo{suffix}") <= target + tol) & (
+            F.col(f"hi{suffix}") >= target - tol
         )
 
     return (
         ranked.select(
             "l_returnflag",
             "n",
-            ok("r50", 0.5).alias("p50_ok"),
-            ok("r90", 0.9).alias("p90_ok"),
-            ok("r99", 0.99).alias("p99_ok"),
+            ok("50", 0.5).alias("p50_ok"),
+            ok("90", 0.9).alias("p90_ok"),
+            ok("99", 0.99).alias("p99_ok"),
         )
         .orderBy("l_returnflag")
     )

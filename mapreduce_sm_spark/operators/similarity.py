@@ -205,7 +205,12 @@ ORDER BY vec_a, vec_b
 @REGISTRY.register(
     "embedding_similar_pairs",
     oracle=_PAIRS_ORACLE,
-    description="embedding near-pair mining: banded-LSH candidates + exact cosine verify",
+    description=(
+        "embedding near-pair mining: banded-LSH candidates + exact cosine "
+        "verify — APPROXIMATE: band recall < 1 (~86% for cos~0.40 pairs, "
+        "higher for closer pairs); the oracle replays the same bands, and "
+        "tests/test_properties.py bounds the missed-pair rate vs all-pairs"
+    ),
     tags=("similarity", "dedup", "lsh"),
 )
 def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,3 +391,72 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir, _IVF_NPROBE)
+
+
+# Driver-checkable IVF contract (the percentile-sketch pattern): the raw
+# IVF ranking has no SQL oracle (iterative k-means), but its CORRECTNESS
+# CONTRACT does — compute IVF top-k and exact top-k in one plan and emit
+# per-query booleans the oracle asserts all-true:
+#   k_ivf       — IVF returned exactly TOP_K rows for the query
+#   recall_ok   — recall@5 vs exact >= _IVF_RECALL_FLOOR (deterministic:
+#                 fixed data, seeded init; floor set far below measured)
+#   bounded_ok  — at every rank, IVF's cosine <= exact's cosine (an
+#                 approximate index can never beat the exact scan)
+_IVF_RECALL_FLOOR = 0.2
+
+
+_IVF_RECALL_ORACLE = f"""
+SELECT vec_id AS q_id, {_TOP_K}::BIGINT AS k_ivf,
+       true AS recall_ok, true AS bounded_ok
+FROM embeddings WHERE vec_id < {_N_QUERIES}
+ORDER BY q_id
+"""
+
+
+@REGISTRY.register(
+    "ann_ivf_recall_check",
+    oracle=_IVF_RECALL_ORACLE,
+    description="IVF vs exact top-k in one plan: per-query recall + bound contract",
+    tags=("similarity", "ivf", "iterative"),
+)
+def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf = _ivf_topk(spark, sf_dir, _IVF_NPROBE).select(
+        "q_id",
+        F.col("c_id").alias("ivf_id"),
+        F.col("cos").alias("ivf_cos"),
+        "rank",
+    )
+    bf = ann_bruteforce_topk(spark, sf_dir).select(
+        "q_id",
+        F.col("c_id").alias("bf_id"),
+        F.col("cos").alias("bf_cos"),
+        "rank",
+    )
+    # rank-aligned join: both sides emit exactly TOP_K ranks per query
+    by_rank = ivf.join(bf, ["q_id", "rank"]).groupBy("q_id").agg(
+        F.count("*").alias("k_ivf"),
+        F.min(F.col("ivf_cos") <= F.col("bf_cos")).alias("bounded_ok"),
+    )
+    # membership join: how many IVF answers appear anywhere in exact top-k
+    hits = (
+        ivf.join(
+            bf.select("q_id", F.col("bf_id").alias("ivf_id")),
+            ["q_id", "ivf_id"],
+            "left_semi",
+        )
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        by_rank.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "k_ivf",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(_TOP_K))
+                >= F.lit(_IVF_RECALL_FLOOR)
+            ).alias("recall_ok"),
+            "bounded_ok",
+        )
+        .orderBy("q_id")
+    )

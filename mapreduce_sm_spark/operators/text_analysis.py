@@ -613,6 +613,7 @@ ORDER BY tr.lang
     "benchmark_contamination",
     oracle=_CONTAM_ORACLE,
     description="train/eval contamination: broadcast semi-join on 8-gram shingles",
+    headline=True,
     tags=("text", "dedup", "governance"),
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,14 +58,25 @@ class Registry:
 
         return deco
 
-    def set_front(self, names: tuple[str, ...]) -> None:
+    def set_front(self, names: tuple[str, ...], allow_missing: bool = False) -> None:
         """Declare which queries enumerate first in queries()/oracle_sql().
 
         The external correctness driver verifies a bounded prefix of the
         registry each round; front-loading rotates not-yet-driver-verified
-        queries into that window (unknown names are ignored so the list can
-        be edited freely between rounds).
+        queries into that window. Unknown names RAISE by default: a typo
+        here would silently shrink the verified window and leave the slot
+        to an already-green query — the exact failure the rotation exists
+        to prevent. Pass allow_missing=True only for deliberate removals.
         """
+        unknown = [n for n in names if n not in self._queries]
+        if unknown and not allow_missing:
+            raise ValueError(
+                f"set_front: unknown query names {unknown!r}; "
+                "register them first or pass allow_missing=True"
+            )
+        if len(set(names)) != len(names):
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            raise ValueError(f"set_front: duplicate names {dupes!r}")
         self._front = tuple(n for n in names if n in self._queries)
 
     def _ordered(self) -> list[str]:

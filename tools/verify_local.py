@@ -78,6 +78,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             n_fail += 1
             continue
+        finally:
+            # queries may persist shared frames for intra-plan reuse; drop
+            # them so a 100+-query session doesn't accumulate cache blocks
+            spark.catalog.clearCache()
         if q.oracle is None:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s) — no oracle")
