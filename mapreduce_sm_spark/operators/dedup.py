@@ -122,7 +122,13 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_K = 5
 _JACCARD_THRESHOLD = 0.8
-_PREFIX_THRESHOLD = 0.75  # safety margin for the prefix filter
+# The filter threshold needs only to be < the smallest true Jaccard the
+# output gate can admit: the gate tests round(j, 4) >= 0.8, i.e. true
+# j >= 0.79995, so 0.78 is recall-safe while keeping prefixes (and the
+# candidate join's fan-out, which scales ~quadratically with prefix
+# length on low-cardinality shingle corpora) ~12% shorter than the old
+# extra-conservative 0.75.
+_PREFIX_THRESHOLD = 0.78  # safety margin for the prefix filter
 
 _SH = char_shingles_sql("text", _JACCARD_K)
 
@@ -192,6 +198,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: the shingle frame feeds the prefix index and both
     # verification join-backs (3 plan branches)
     sh = _shingle_sets(spark, sf_dir).withColumn("n", F.size("s")).cache()
+    # materialization barrier: AQE launches the broadcast-build jobs of the
+    # downstream joins CONCURRENTLY, and concurrent first readers of a lazy
+    # cache each recompute it (in-flight partitions aren't deduped across
+    # jobs) — measured 2-5x wall-time swings at sf0.1. One count() pays the
+    # shingle+md5 pipeline exactly once; every branch then reads blocks.
+    sh.count()
     # AllPairs/PPJoin prefix filter: under ANY global total order on
     # shingles, two sets with J >= t must share a token inside both of
     # their prefixes of length n - ceil(t*n) + 1. Ordering by GLOBAL
@@ -231,7 +243,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.tok").alias("tok"),
             (F.col("p0") + 1).alias("p"),
         )
+        # cached + materialized: the self-join below references idx twice,
+        # and exchange reuse does NOT dedupe the two alias branches — the
+        # whole explode+df-join+collect_list subplan ran 2x (measured via
+        # stage metrics: duplicated 1M-row shuffle writes). The count() is
+        # the same materialization barrier as on sh.
+        .cache()
     )
+    idx.count()
     a, b = idx.alias("a"), idx.alias("b")
     # PPJoin positional filter (Xiao et al., WWW'08): J >= t requires
     # overlap >= ceil(t/(1+t) * (na+nb)). For the smallest common shingle
@@ -273,15 +292,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # verification reuses the cached long arrays directly
+    # verification reuses the cached long arrays directly. The joins are
+    # PINNED to sort-merge: left adaptive, AQE sometimes broadcasts the
+    # CANDIDATE side (~1M narrow rows), and each broadcast build re-executes
+    # the expensive self-join + pair-dedup upstream — measured 2-5x wall
+    # swings. SMJ streams the candidates once, and is also the strategy a
+    # full-corpus run needs (neither side is broadcastable at 100 TB).
     sets = sh.select("doc_id", "n", F.col("s").alias("hs"))
     pairs = (
-        cand.join(
+        cand.hint("merge")
+        .join(
             sets.select(
                 F.col("doc_id").alias("doc_a"),
                 F.col("hs").alias("sa"),
                 F.col("n").alias("na"),
-            ),
+            ).hint("merge"),
             "doc_a",
         )
         .join(
@@ -289,7 +314,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").alias("doc_b"),
                 F.col("hs").alias("sb"),
                 F.col("n").alias("nb"),
-            ),
+            ).hint("merge"),
             "doc_b",
         )
     )
@@ -430,6 +455,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification join-backs); persist so shingling runs once, not 3x.
     # MEMORY_AND_DISK (spill, don't recompute) is the cluster-safe level —
     # and is what DataFrame.cache() resolves to, stated explicitly here.
+    # (No count() barrier here, unlike dedup_ngram_jaccard: this plan's
+    # broadcast builds are cheap and overlap productively — adding the
+    # barrier measured ~2x slower by serializing them.)
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     sig = _minhash_sigs(docs)
     banded = sig.select("doc_id", *_band_cols_spark())
@@ -665,6 +693,7 @@ ORDER BY doc_a, doc_b
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     sig = _simhash_spark(docs).cache()  # both join sides share one compute
+    sig.count()  # materialization barrier (see dedup_ngram_jaccard)
     return _banded_hamming_pairs(sig).orderBy("doc_a", "doc_b")
 
 
@@ -720,16 +749,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).cache()
+    ).localCheckpoint(eager=True)  # mine pairs once; iterations re-read blocks
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
-    # min-label propagation to fixpoint. Each iteration: neighbor minima
-    # (join on src -> groupBy dst) folded into current labels via least().
-    # Convergence check collects ONE scalar per round (never row data).
-    for _ in range(20):  # diameter cap; real corpora converge in < 10
+    def propagate(lbl: DataFrame) -> DataFrame:
+        """One min-label hop: fold each vertex's neighborhood minimum into
+        its label. Also emits `changed` so convergence needs no extra join."""
         nbr_min = (
             edges.join(
-                labels.select(
+                lbl.select(
                     F.col("doc_id").alias("src"),
                     F.col("component").alias("src_comp"),
                 ),
@@ -738,36 +765,40 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("src_comp").alias("nbr_comp"))
         )
+        return lbl.join(nbr_min, lbl.doc_id == nbr_min.dst, "left").select(
+            "doc_id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_comp"), F.col("component")),
+            ).alias("component"),
+            (F.col("nbr_comp") < F.col("component")).alias("changed"),
+        )
+
+    # Iterate ONLY over vertices that have at least one edge — isolated
+    # docs (the vast majority of a deduped corpus) are their own component
+    # by definition and rejoin at the end. Each outer round runs two hops
+    # before materializing, so a diameter-d cluster converges in ~d/2
+    # checkpoint+count actions; the driver only ever holds a changed-count
+    # scalar, never row data.
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    for _ in range(10):  # 2 hops/round: handles diameter ~20 worst case
         # localCheckpoint truncates the lineage: without it each round's
         # plan nests the previous one and planning blows up exponentially
         # (on a cluster this would be checkpoint() to reliable storage)
-        new_labels = (
-            labels.join(
-                nbr_min, labels.doc_id == nbr_min.dst, "left"
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_comp"), F.col("component")),
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
+        stepped = propagate(propagate(labels).drop("changed")).localCheckpoint(
+            eager=True
         )
-        changed = (
-            new_labels.join(
-                labels.select(
-                    F.col("doc_id").alias("d0"), F.col("component").alias("c0")
-                ),
-                new_labels.doc_id == F.col("d0"),
-            )
-            .filter(F.col("component") != F.col("c0"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("changed")).count()
+        labels = stepped.drop("changed")
         if changed == 0:
             break
-    return labels.select(
+    out = docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    return out.select(
         "doc_id",
         "component",
         F.when(F.col("doc_id") == F.col("component"), 1)

@@ -65,10 +65,13 @@ def get_spark(
         # quieter local runs; harmless on cluster
         .config("spark.ui.showConsoleProgress", "false")
     )
-    if os.environ.get("SPARKSM_DRIVER_MEMORY"):
-        builder = builder.config(
-            "spark.driver.memory", os.environ["SPARKSM_DRIVER_MEMORY"]
-        )
+    # local[N] runs executors inside the driver JVM: Spark's 1g default
+    # heap serves 32 concurrent tasks, which GC-thrashes on wide
+    # aggregation buffers. Applies only when THIS process launches the
+    # JVM; spark-submit / cluster managers override it.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARKSM_DRIVER_MEMORY", "8g")
+    )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
 
