@@ -41,6 +41,35 @@ def main() -> None:
         f"Post-AQE physical plans at `{sf_dir}` (local[32]). Regenerate with",
         "`python tools/plan_audit.py`.",
         "",
+        "## Scale findings (would this hold at 1000x?)",
+        "",
+        "- **Lazy caches + AQE broadcast builds race.** AQE launches each",
+        "  broadcast-exchange build as its own concurrent job; concurrent",
+        "  first readers of a lazily-cached frame each recompute it",
+        "  (in-flight partitions are not deduped across jobs). On the",
+        "  multi-branch dedup plans this ran the shingle pipeline up to 4x",
+        "  and made wall time bimodal (6-30 s). Shared cached frames are",
+        "  now materialized with an explicit count() barrier before fan-out",
+        "  — the same discipline a cluster job needs.",
+        "- **Exchange reuse does not cover self-join aliases.** The Jaccard",
+        "  prefix index fed both sides of its self-join and the whole",
+        "  explode+join+collect_list subplan executed twice; it is now",
+        "  cached once. At corpus scale this halves the most expensive map",
+        "  stage.",
+        "- **Verify joins are pinned to sort-merge.** AQE occasionally chose",
+        "  to broadcast the ~1M-row candidate side of the Jaccard verify",
+        "  joins; every broadcast build re-executed the candidate self-join",
+        "  upstream. SMJ streams candidates once and is the only viable",
+        "  strategy at 100 TB anyway (neither side fits a broadcast).",
+        "- **Iterative CC propagates only where edges exist.** Label",
+        "  propagation runs on vertices with at least one near-dup edge",
+        "  (a small fraction of any real corpus), two hops per",
+        "  localCheckpoint, one action per round; isolated docs rejoin at",
+        "  the end with a single left join.",
+        "- **fan_out never converts to an RDD.** Scan width is estimated",
+        "  from file sizes replaying Spark's FilePartition arithmetic,",
+        "  memoized per file set; remote stores fall back to file count.",
+        "",
     ]
     for q in registry.headline():
         df = q.fn(spark, sf_dir)
