@@ -61,6 +61,8 @@ REGISTRY.set_front(
         "multimodal_resize_features",
         "ann_ivf_recall_check",
         "ann_ivf_topk",  # stays no-oracle; rows-only check recorded
+        "dedup_exact_substring",  # new this round (Lee et al. substring dedup)
+        "doc_repetition_stats",  # new this round (Gopher repetition filter)
         # --- changed this round: re-verify under the driver ---
         "approx_percentiles_lineitem",
         "dedup_ngram_jaccard",

@@ -806,3 +806,78 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_keeper"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better", ACL'22): find runs of _SUBSTR_W word tokens that
+# recur across documents — the memorization-prone spans a training pipeline
+# wants to drop even when whole-document dedup misses them.
+#
+# Spark shape: slide a window over each doc's token array (array exprs, no
+# Python), hash the window text once (hash60 — the shuffle carries one
+# int64 per window, never the window text), then one partial-aggregable
+# groupBy. Work is linear in total tokens; there is no pair join at all.
+# ---------------------------------------------------------------------------
+
+_SUBSTR_W = 8  # window length in word tokens
+
+
+_SUBSTR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(upper(text), '[A-Z][A-Z'']*') AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         array_to_string(w[i:i+{_SUBSTR_W - 1}], ' ') AS win
+  FROM t, LATERAL unnest(generate_series(1, len(w) - {_SUBSTR_W} + 1)) AS g(i)
+  WHERE len(w) >= {_SUBSTR_W}
+)
+SELECT {hash60_sql('win')} AS win_hash,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences,
+       min(doc_id) AS first_doc
+FROM wins
+GROUP BY win_hash
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, win_hash ASC
+"""
+
+
+@REGISTRY.register(
+    "dedup_exact_substring",
+    oracle=_SUBSTR_ORACLE,
+    description=f"exact substring dedup: {_SUBSTR_W}-token windows recurring across docs",
+    tags=("dedup", "text"),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.functions.text import tokenize_words
+
+    docs = fan_out(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", tokenize_words("text").alias("w"))
+    n = F.size("w")
+    starts = F.when(
+        n >= _SUBSTR_W, F.sequence(F.lit(1), n - F.lit(_SUBSTR_W - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.concat_ws(" ", F.slice("w", i, F.lit(_SUBSTR_W))),
+            )
+        ).alias("win"),
+    )
+    return (
+        wins.select("doc_id", hash60(F.col("win")).alias("win_hash"))
+        .groupBy("win_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("win_hash").asc())
+    )

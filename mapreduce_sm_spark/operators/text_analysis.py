@@ -651,3 +651,117 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition stats (the Gopher/MassiveText repetition
+# filters, Rae et al. 2021 §A1.1): highly repetitive documents are a
+# training-quality hazard that cross-document dedup never sees. Emits the
+# duplicate-word fraction and the share of the most frequent word bigram,
+# plus the filter verdict.
+#
+# Scale shape: the distinct-word fraction is a pure array expression
+# (map-side); the top-bigram share explodes bigrams and runs two
+# partial-aggregable groupBys keyed by doc — no joins between documents.
+# ---------------------------------------------------------------------------
+
+_REP_TOP_BIGRAM_MAX = 0.20  # verdict thresholds (Gopher-style knobs)
+_REP_DUP_WORD_MAX = 0.80
+
+
+_REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(upper(text), '[A-Z][A-Z'']*') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM t, LATERAL unnest(generate_series(1, len(w) - 1)) AS s(i)
+  WHERE len(w) >= 2
+),
+per_gram AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+),
+per_doc AS (
+  SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_grams
+  FROM per_gram GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(w) AS n_words,
+       round(CASE WHEN len(w) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(w))::DOUBLE / len(w)::DOUBLE
+             END, 4) AS dup_word_frac,
+       round(coalesce(top_cnt::DOUBLE / n_grams::DOUBLE, 0.0), 4)
+           AS top_bigram_frac,
+       (round(coalesce(top_cnt::DOUBLE / n_grams::DOUBLE, 0.0), 4)
+            > {_REP_TOP_BIGRAM_MAX}
+        OR round(CASE WHEN len(w) = 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(w))::DOUBLE / len(w)::DOUBLE
+                 END, 4) > {_REP_DUP_WORD_MAX}) AS repetitive
+FROM t LEFT JOIN per_doc ON t.doc_id = per_doc.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@REGISTRY.register(
+    "doc_repetition_stats",
+    oracle=_REPETITION_ORACLE,
+    description="Gopher-style within-doc repetition filter: dup-word + top-bigram share",
+    tags=("text", "quality"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.functions.text import tokenize_words
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_words("text").alias("w")
+    )
+    n = F.size("w")
+    dup_word_frac = F.round(
+        F.when(n == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0)
+            - F.size(F.array_distinct("w")).cast("double") / n.cast("double")
+        ),
+        4,
+    )
+    base = docs.select("doc_id", n.alias("n_words"), dup_word_frac.alias("dwf"))
+    bigram_starts = F.when(n >= 2, F.sequence(F.lit(0), n - F.lit(2))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                bigram_starts,
+                lambda i: F.concat_ws(
+                    " ", F.col("w").getItem(i), F.col("w").getItem(i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    per_doc = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_grams"))
+    )
+    top_frac = F.round(
+        F.coalesce(
+            F.col("top_cnt").cast("double") / F.col("n_grams").cast("double"),
+            F.lit(0.0),
+        ),
+        4,
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("dwf").alias("dup_word_frac"),
+            top_frac.alias("top_bigram_frac"),
+            (
+                (top_frac > _REP_TOP_BIGRAM_MAX)
+                | (F.col("dwf") > _REP_DUP_WORD_MAX)
+            ).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
