@@ -63,6 +63,7 @@ REGISTRY.set_front(
         "ann_ivf_topk",  # stays no-oracle; rows-only check recorded
         "dedup_exact_substring",  # new this round (Lee et al. substring dedup)
         "doc_repetition_stats",  # new this round (Gopher repetition filter)
+        "multimodal_audio_meta",  # new this round (audio plumbing)
         # --- changed this round: re-verify under the driver ---
         "approx_percentiles_lineitem",
         "dedup_ngram_jaccard",

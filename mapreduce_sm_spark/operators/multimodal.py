@@ -289,3 +289,61 @@ def resize_features_over(payloads: DataFrame) -> DataFrame:
         _resize_features,
         schema="doc_id long, out_w long, out_h long, feat array<double>",
     )
+
+
+# --- audio metadata stub ---------------------------------------------------
+
+_AUDIO_RATES = (8000, 16000, 22050, 44100)
+
+
+def _audio_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB codec: derives (sample_rate, n_channels, duration_ms) from an
+    md5 of the payload plus its byte length — a real build would parse the
+    RIFF/WAV header or call soundfile here (absent in this container; the
+    Spark-side plumbing — Arrow batching, schema, map-side-only shape — is
+    the real contract, mirroring image_meta)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+            rate = _AUDIO_RATES[h % len(_AUDIO_RATES)]
+            channels = h % 2 + 1
+            # fake PCM16: bytes / (rate * channels * 2) seconds
+            duration_ms = (len(payload) * 1000) // (rate * channels * 2)
+            rows.append((int(doc_id), len(payload), rate, channels, duration_ms))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_bytes", "sample_rate", "n_channels", "duration_ms"],
+        )
+
+
+_AUDIO_ORACLE = f"""
+SELECT doc_id,
+       strlen(text) AS n_bytes,
+       (CASE {_H} % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                      WHEN 2 THEN 22050 ELSE 44100 END) AS sample_rate,
+       {_H} % 2 + 1 AS n_channels,
+       (strlen(text) * 1000) // (
+         (CASE {_H} % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END)
+         * ({_H} % 2 + 1) * 2) AS duration_ms
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@REGISTRY.register(
+    "multimodal_audio_meta",
+    oracle=_AUDIO_ORACLE,
+    description="audio-column decode plumbing: Arrow mapInPandas header parse (stub codec)",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return payloads.mapInPandas(
+        _audio_meta,
+        schema="doc_id long, n_bytes long, sample_rate long, "
+        "n_channels long, duration_ms long",
+    ).orderBy("doc_id")
