@@ -64,6 +64,7 @@ REGISTRY.set_front(
         "dedup_exact_substring",  # new this round (Lee et al. substring dedup)
         "doc_repetition_stats",  # new this round (Gopher repetition filter)
         "multimodal_audio_meta",  # new this round (audio plumbing)
+        "corpus_near_dedup",  # new this round (end-to-end near-dedup pipeline)
         # --- changed this round: re-verify under the driver ---
         "approx_percentiles_lineitem",
         "dedup_ngram_jaccard",

@@ -394,8 +394,9 @@ def _band_cols_sql() -> list[str]:
     return cols
 
 
-_MINHASH_ORACLE = f"""
-WITH sh AS (
+# CTE chain + final pair select, shared between the dedup_minhash oracle
+# and the recursive corpus_near_dedup oracle below.
+_MINHASH_CTES = f"""sh AS (
   SELECT doc_id, list_distinct({_SH}) AS sh
   FROM documents
 ), hashed AS (
@@ -414,27 +415,28 @@ WITH sh AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
+)"""
+
+_MINHASH_PAIRS_SELECT = f"""SELECT doc_a, doc_b,
        round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
              / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 4) AS jaccard
 FROM cand
 JOIN sh sa ON sa.doc_id = doc_a
 JOIN sh sb ON sb.doc_id = doc_b
 WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-            / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 4) >= {_JACCARD_THRESHOLD}
+            / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 4) >= {_JACCARD_THRESHOLD}"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CTES}
+{_MINHASH_PAIRS_SELECT}
 ORDER BY doc_a, doc_b
 """
 
 
-@REGISTRY.register(
-    "dedup_minhash",
-    oracle=_MINHASH_ORACLE,
-    description="MinHash-LSH banding candidates + exact-Jaccard verify",
-    headline=True,
-    tags=("dedup", "lsh"),
-)
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — banded MinHash candidates verified with
+    exact Jaccard; the shared core of dedup_minhash and the end-to-end
+    corpus_near_dedup pipeline."""
     # hash shingles to 60-bit longs HERE, before the cache: md5 runs once
     # per shingle total; signatures and both verification join-backs all
     # work on the cached long array. Jaccard over 60-bit hashes equals
@@ -504,17 +506,24 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
     )
-    return (
-        pairs.select(
-            "doc_a",
-            "doc_b",
-            _jaccard_sized(
-                F.col("sa"), F.col("sb"), F.col("na"), F.col("nb")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
-    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        _jaccard_sized(
+            F.col("sa"), F.col("sb"), F.col("na"), F.col("nb")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+
+
+@REGISTRY.register(
+    "dedup_minhash",
+    oracle=_MINHASH_ORACLE,
+    description="MinHash-LSH banding candidates + exact-Jaccard verify",
+    headline=True,
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_verified_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -732,19 +741,10 @@ ORDER BY doc_id
 """
 
 
-@REGISTRY.register(
-    "dedup_connected_components",
-    oracle=_CC_ORACLE,
-    description="duplicate-cluster resolution: connected components by min-label propagation",
-    headline=True,
-    tags=("dedup", "graph", "iterative"),
-)
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    sig = _simhash_spark(docs)
-    # pair mining via the same pigeonhole-banded candidate join the pairs
-    # query uses — identical result set, never quadratic in a lang block
-    pairs = _banded_hamming_pairs(sig).select("doc_a", "doc_b")
+def _cc_labels(pairs: DataFrame) -> DataFrame:
+    """(doc_id, component) for every vertex appearing in the (doc_a, doc_b)
+    pair frame, via iterative min-label propagation. Shared by
+    dedup_connected_components and the corpus_near_dedup pipeline."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
@@ -794,6 +794,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = stepped.drop("changed")
         if changed == 0:
             break
+    return labels
+
+
+@REGISTRY.register(
+    "dedup_connected_components",
+    oracle=_CC_ORACLE,
+    description="duplicate-cluster resolution: connected components by min-label propagation",
+    headline=True,
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sig = _simhash_spark(docs)
+    # pair mining via the same pigeonhole-banded candidate join the pairs
+    # query uses — identical result set, never quadratic in a lang block
+    labels = _cc_labels(_banded_hamming_pairs(sig).select("doc_a", "doc_b"))
     out = docs.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
@@ -880,4 +896,72 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.col("n_docs").desc(), F.col("win_hash").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dedup pipeline: MinHash-LSH pair mining -> exact-Jaccard
+# verification -> connected-component cluster resolution -> per-source
+# keep/drop yield. This is the full production shape (candidate blocking,
+# exact verify, transitive closure, reporting) in ONE query; the DuckDB
+# oracle replays it with the shared MinHash CTE chain plus a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_NEAR_DEDUP_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+p AS (
+{_MINHASH_PAIRS_SELECT}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+cc AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents
+  UNION
+  SELECT e.b, cc.r FROM cc JOIN edges e ON cc.v = e.a
+),
+lab AS (
+  SELECT v AS doc_id, min(r) AS component FROM cc GROUP BY v
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN l.component = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_keep,
+       CAST(sum(CASE WHEN l.component <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_drop
+FROM documents d JOIN lab l ON d.doc_id = l.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@REGISTRY.register(
+    "corpus_near_dedup",
+    oracle=_NEAR_DEDUP_ORACLE,
+    description=(
+        "end-to-end near-dedup: MinHash-LSH mine -> exact verify -> "
+        "connected components -> per-source keep/drop yield"
+    ),
+    tags=("dedup", "lsh", "graph", "iterative", "pipeline"),
+)
+def corpus_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _cc_labels(pairs)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    resolved = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    keep = F.when(F.col("component") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        resolved.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(keep).cast("long").alias("n_keep"),
+            F.sum(F.lit(1) - keep).cast("long").alias("n_drop"),
+        )
+        .orderBy("source")
     )

@@ -79,3 +79,62 @@ def test_hash60_portable_and_in_range(spark, texts):
     ]
     assert spark_vals == duck_vals
     assert all(0 <= v < (1 << 60) for v in spark_vals)
+
+
+# ---------------------------------------------------------------------------
+# AllPairs/PPJoin candidate-generation completeness: the prefix + length +
+# positional filters in operators/dedup.py::dedup_ngram_jaccard must never
+# drop a pair the output gate (round(J,4) >= 0.8) can admit. This mirrors
+# the Spark candidate logic exactly in Python and checks it against brute
+# force on random set corpora — guarding the _PREFIX_THRESHOLD=0.78 margin
+# and the ceil(t/(1+t)(na+nb)) positional bound.
+# ---------------------------------------------------------------------------
+
+
+def _candidate_pairs_py(docs: list[list[int]], t: float) -> set[tuple[int, int]]:
+    import math
+    from collections import Counter
+
+    df = Counter(tok for d in docs for tok in set(d))
+    ordered = [sorted(set(d), key=lambda x: (df[x], x)) for d in docs]
+    pref = [d[: int((1.0 - t) * len(d)) + 2] for d in ordered]
+    pos = [{tok: i + 1 for i, tok in enumerate(d)} for d in ordered]
+    out = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            na, nb = len(ordered[a]), len(ordered[b])
+            if not (nb >= na * t and nb <= na / t):
+                continue
+            for tok in set(pref[a]) & set(pref[b]):
+                bound = 1 + min(na - pos[a][tok], nb - pos[b][tok])
+                if bound >= math.ceil(t / (1.0 + t) * (na + nb)):
+                    out.add((a, b))
+                    break
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.frozensets(st.integers(0, 12), min_size=3, max_size=12),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_prefix_filter_candidates_complete(doc_sets):
+    from mapreduce_sm_spark.operators.dedup import (
+        _JACCARD_THRESHOLD,
+        _PREFIX_THRESHOLD,
+    )
+
+    docs = [sorted(s) for s in doc_sets]
+    docs.append(list(docs[0]))  # guarantee at least one J=1.0 pair
+    cands = _candidate_pairs_py(docs, _PREFIX_THRESHOLD)
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = set(docs[a]), set(docs[b])
+            j = round(len(sa & sb) / len(sa | sb), 4)
+            if j >= _JACCARD_THRESHOLD:
+                assert (a, b) in cands, (
+                    f"true pair ({a},{b}) J={j} dropped by candidate filters"
+                )
