@@ -114,3 +114,4 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+

@@ -260,3 +260,38 @@ def test_late_event_beyond_watermark_dropped(spark, tmp_path):
     emitted = {r.event_type for r in spark.table("late_drop_test").collect()}
     assert "ontime" in emitted and "sentinel" in emitted and "tail" in emitted
     assert "late" not in emitted, "late event leaked past the watermark"
+
+
+def test_transform_with_state_user_profile(spark, duck):
+    """transformWithStateInPandas profile fold == batch aggregate.
+
+    Skipped where the protobuf package (required by the transformWithState
+    Python worker protocol) is absent — same gating pattern as the Pillow
+    codec test."""
+    import pytest
+
+    from mapreduce_sm_spark.streaming.transform_state import (
+        have_protobuf,
+        run_user_profile,
+    )
+
+    if not have_protobuf():
+        pytest.skip("google.protobuf not installed in this container")
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.max_value)
+        for r in run_user_profile(
+            spark, f"{SF_DIR}/events.parquet", "tws_test"
+        ).collect()
+    }
+    want = {
+        u: (n, t, m)
+        for u, n, t, m in duck.execute(
+            """
+            SELECT user_id, count(*),
+                   (CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR))::DOUBLE,
+                   (CAST(max(CAST(value AS DECIMAL(18,2))) AS VARCHAR))::DOUBLE
+            FROM events GROUP BY user_id
+            """
+        ).fetchall()
+    }
+    assert got == want
