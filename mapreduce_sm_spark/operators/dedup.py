@@ -865,6 +865,7 @@ ORDER BY n_docs DESC, win_hash ASC
     "dedup_exact_substring",
     oracle=_SUBSTR_ORACLE,
     description=f"exact substring dedup: {_SUBSTR_W}-token windows recurring across docs",
+    headline=True,
     tags=("dedup", "text"),
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,6 +945,7 @@ ORDER BY d.source
         "end-to-end near-dedup: MinHash-LSH mine -> exact verify -> "
         "connected components -> per-source keep/drop yield"
     ),
+    headline=True,
     tags=("dedup", "lsh", "graph", "iterative", "pipeline"),
 )
 def corpus_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
