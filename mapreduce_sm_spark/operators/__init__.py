@@ -34,6 +34,9 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
     similarity,
     text_analysis,
     multimodal,
+    behavioral,
+    cdc,
+    language_model,
 )
 
 from mapreduce_sm_spark.registry import REGISTRY
@@ -65,6 +68,14 @@ REGISTRY.set_front(
         "doc_repetition_stats",  # new this round (Gopher repetition filter)
         "multimodal_audio_meta",  # new this round (audio plumbing)
         "corpus_near_dedup",  # new this round (end-to-end near-dedup pipeline)
+        # --- new in round 4: behavioral, CDC, and n-gram LM operators ---
+        "sessionize_events",
+        "funnel_view_click_purchase",
+        "retention_cohorts_weekly",
+        "anomaly_zscore_events",
+        "merge_upsert_orders",
+        "bigram_lm_counts",
+        "zipf_token_stats",
         # --- changed this round: re-verify under the driver ---
         "approx_percentiles_lineitem",
         "dedup_ngram_jaccard",

@@ -1,0 +1,85 @@
+"""CDC-style MERGE (upsert) expressed on plain Spark (§2.B completion).
+
+Engines with table formats get `MERGE INTO`; on bare parquet the same
+semantics are one full-outer join on the key with column-wise COALESCE:
+  - key in both          -> the change row wins (UPDATE)
+  - key only in changes  -> the change row is appended (INSERT)
+  - key only in base     -> the base row is kept
+The change feed here is derived deterministically from the orders table
+itself (keys %7==0 become updates, %13==0 spawn inserts under shifted
+keys), so the oracle can rebuild the identical feed.
+
+100 TB posture: one shuffle join keyed on o_orderkey. A real change feed
+is orders of magnitude smaller than the base snapshot, so AQE broadcasts
+it and the base table never shuffles; for repeated merges, bucket the
+base snapshot on the key (sources/sinks.py::write_bucketed_table) and
+the join is exchange-free on the base side. No window functions, no
+driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_sm_spark.operators._parity import date_str, date_str_sql
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+_MERGE_ORACLE = f"""
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 100.0 AS o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+         'I' AS o_orderstatus, o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+       coalesce(c.o_custkey, b.o_custkey) AS o_custkey,
+       coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+       coalesce(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+       {date_str_sql('coalesce(c.o_orderdate, b.o_orderdate)')} AS o_orderdate
+FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+ORDER BY o_orderkey
+"""
+
+
+@REGISTRY.register(
+    "merge_upsert_orders",
+    oracle=_MERGE_ORACLE,
+    description="CDC MERGE semantics: full-outer join + coalesce = upsert snapshot",
+    tags=("join", "cdc"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    updates = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        "o_orderdate",
+    )
+    inserts = base.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("I").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+    changes = updates.unionByName(inserts)
+    b, c = base.alias("b"), changes.alias("c")
+    merged = b.join(
+        c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer"
+    )
+    pick = lambda col: F.coalesce(F.col(f"c.{col}"), F.col(f"b.{col}"))
+    return merged.select(
+        pick("o_orderkey").alias("o_orderkey"),
+        pick("o_custkey").alias("o_custkey"),
+        pick("o_orderstatus").alias("o_orderstatus"),
+        pick("o_totalprice").alias("o_totalprice"),
+        date_str(pick("o_orderdate")).alias("o_orderdate"),
+    ).orderBy("o_orderkey")
