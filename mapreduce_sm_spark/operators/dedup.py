@@ -776,20 +776,25 @@ def _cc_labels(pairs: DataFrame) -> DataFrame:
 
     # Iterate ONLY over vertices that have at least one edge — isolated
     # docs (the vast majority of a deduped corpus) are their own component
-    # by definition and rejoin at the end. Each outer round runs two hops
-    # before materializing, so a diameter-d cluster converges in ~d/2
-    # checkpoint+count actions; the driver only ever holds a changed-count
+    # by definition and rejoin at the end. Each outer round runs FOUR hops
+    # before materializing: the dominant cost of a round locally is its
+    # fixed barrier overhead (checkpoint + convergence action), not the
+    # per-hop shuffles of the small label frame, so batching hops halves
+    # wall time vs 2 hops/round (measured 15.2 s -> 7.7 s at sf0.1; near-dup
+    # clusters have small diameter, so round 1 converges almost everything
+    # and round 2 proves it). The driver only ever holds a changed-count
     # scalar, never row data.
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("component")
     )
-    for _ in range(10):  # 2 hops/round: handles diameter ~20 worst case
+    for _ in range(10):  # 4 hops/round: handles diameter ~40 worst case
         # localCheckpoint truncates the lineage: without it each round's
         # plan nests the previous one and planning blows up exponentially
         # (on a cluster this would be checkpoint() to reliable storage)
-        stepped = propagate(propagate(labels).drop("changed")).localCheckpoint(
-            eager=True
-        )
+        stepped = labels
+        for _hop in range(3):
+            stepped = propagate(stepped).drop("changed")
+        stepped = propagate(stepped).localCheckpoint(eager=True)
         changed = stepped.filter(F.col("changed")).count()
         labels = stepped.drop("changed")
         if changed == 0:
