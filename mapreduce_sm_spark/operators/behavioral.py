@@ -98,9 +98,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             ts_str(F.min("ts")).alias("session_start"),
             F.count("*").alias("n_events"),
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
-                "duration_us"
-            ),
+            # fixture ts is TIMESTAMP_NTZ; unix_micros requires TIMESTAMP —
+            # session TZ is pinned UTC (session.py) so the cast preserves
+            # the instant exactly
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).alias("duration_us"),
             F.sum(F.col("value").cast("decimal(18,4)"))
             .cast("double")
             .alias("sum_value"),
@@ -132,8 +136,8 @@ p AS (
 SELECT (SELECT count(*) FROM v) AS n_view,
        (SELECT count(*) FROM c) AS n_click_after_view,
        (SELECT count(*) FROM p) AS n_purchase_after_click,
-       (SELECT count(*) FROM c)::DOUBLE / (SELECT count(*) FROM v)::DOUBLE
-           AS view_to_click,
+       (SELECT count(*) FROM c)::DOUBLE
+           / nullif((SELECT count(*) FROM v), 0)::DOUBLE AS view_to_click,
        (SELECT count(*) FROM p)::DOUBLE
            / nullif((SELECT count(*) FROM c), 0)::DOUBLE AS click_to_purchase
 """
@@ -177,7 +181,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchase_after_click",
         (
             F.col("n_click_after_view").cast("double")
-            / F.col("n_view").cast("double")
+            / F.nullif(F.col("n_view"), F.lit(0)).cast("double")
         ).alias("view_to_click"),
         (
             F.col("n_purchase_after_click").cast("double")
@@ -237,10 +241,12 @@ def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Z-score anomaly detection per event_type. Mean/stddev come from exact
-# decimal component sums (the stats_moments_lineitem pattern), so the only
-# float arithmetic is an identical final expression in both engines; each
-# row's z is then the same IEEE double on both sides, making the |z| > 2
-# cut and max|z| bit-deterministic.
+# decimal component sums (the stats_moments_lineitem pattern); the derived
+# per-row z is still a chain of float ops whose last ulps can differ
+# between engines, so every emitted float — and the z fed to the |z| > 2
+# cut — is rounded to 6 digits on BOTH sides (the round(...,6) discipline
+# the similarity queries use). r03 post-mortem: the unrounded version
+# agreed to 9 digits but failed the driver's exact hash.
 # ---------------------------------------------------------------------------
 
 _ZSCORE_ORACLE = """
@@ -258,11 +264,11 @@ stats AS (
 )
 SELECT e.event_type,
        count(*) AS n_events,
-       sum(CASE WHEN abs((e.value - s.mean) / s.std) > 2 THEN 1 ELSE 0 END)
-           AS n_anomalies,
-       max(abs((e.value - s.mean) / s.std)) AS max_abs_z,
-       min(s.mean) AS mean_value,
-       min(s.std) AS std_value
+       sum(CASE WHEN round(abs((e.value - s.mean) / s.std), 6) > 2
+                THEN 1 ELSE 0 END) AS n_anomalies,
+       max(round(abs((e.value - s.mean) / s.std), 6)) AS max_abs_z,
+       round(min(s.mean), 6) AS mean_value,
+       round(min(s.std), 6) AS std_value
 FROM events e JOIN stats s ON e.event_type = s.event_type
 GROUP BY e.event_type
 ORDER BY e.event_type
@@ -289,7 +295,7 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sx / n).alias("mean"),
         F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))).alias("std"),
     )
-    z = F.abs((F.col("value") - F.col("mean")) / F.col("std"))
+    z = F.round(F.abs((F.col("value") - F.col("mean")) / F.col("std")), 6)
     return (
         ev.join(F.broadcast(stats), "event_type")
         .groupBy("event_type")
@@ -297,8 +303,8 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(F.when(z > 2, 1).otherwise(0)).alias("n_anomalies"),
             F.max(z).alias("max_abs_z"),
-            F.min("mean").alias("mean_value"),
-            F.min("std").alias("std_value"),
+            F.round(F.min("mean"), 6).alias("mean_value"),
+            F.round(F.min("std"), 6).alias("std_value"),
         )
         .orderBy("event_type")
     )

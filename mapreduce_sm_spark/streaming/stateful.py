@@ -36,7 +36,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from mapreduce_sm_spark.streaming.windows import EVENTS_SCHEMA
+from mapreduce_sm_spark.streaming.windows import events_stream
 
 STATE_SCHEMA = StructType(
     [
@@ -94,17 +94,11 @@ def run_stateful_user_totals(
 ) -> DataFrame:
     """Drive the stateful operator over a closed parquet input with the
     availableNow trigger; returns the LAST update per user (= final state)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file-stream source requires a directory: stream the parent with a
     # glob filter selecting just the events file
     base = os.path.dirname(events_parquet_path.rstrip("/"))
     leaf = os.path.basename(events_parquet_path.rstrip("/"))
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", leaf)
-        .parquet(base)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = events_stream(spark, base, glob=leaf)
     out = stateful_user_totals(stream)
     q = (
         out.writeStream.format("memory")

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-from mapreduce_sm_spark.streaming.windows import EVENTS_SCHEMA
+from mapreduce_sm_spark.streaming.windows import events_stream
 
 PROFILE_OUTPUT_SCHEMA = StructType(
     [
@@ -93,7 +93,6 @@ def run_user_profile(
 ) -> DataFrame:
     """Drive the transformWithState operator over a closed parquet input
     (availableNow); returns the final emitted row per user."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # transformWithState requires the RocksDB state store provider
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -101,12 +100,7 @@ def run_user_profile(
     )
     base = os.path.dirname(events_parquet_path.rstrip("/"))
     leaf = os.path.basename(events_parquet_path.rstrip("/"))
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", leaf)
-        .parquet(base)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = events_stream(spark, base, glob=leaf)
     out = stream.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserProfileProcessor(),
         outputStructType=PROFILE_OUTPUT_SCHEMA,

@@ -15,30 +15,51 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
 
-# The events fixture stores TIMESTAMP(NANOS); the stream reads it as long
-# (with spark.sql.legacy.parquet.nanosAsLong) and converts to micros below —
-# mirroring session.table()'s batch-side handling.
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
-_ = TimestampType  # kept for callers building micros-native event schemas
+def events_stream(
+    spark: SparkSession,
+    events_parquet_dir: str,
+    glob: str = "*.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming source over the events fixture that mirrors the batch
+    path's timestamp handling (session.table(), session.py).
+
+    readStream needs an explicit schema, and hard-coding one is how r03
+    silently broke: the fixture moved from TIMESTAMP(NANOS) to
+    timestamp[us], and a frozen LongType-ts schema plus a `ts DIV 1000`
+    conversion collapsed every streamed timestamp to January 1970
+    (VERDICT r3 item 4). Instead, take the schema from a one-off batch
+    scan of the same files (driver-side footer read, no data scan) and
+    apply the nanos->micros conversion only when the scanned dtype really
+    is nanos-as-long — the exact guard the batch path uses."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        batch = (
+            spark.read.option("pathGlobFilter", glob).parquet(events_parquet_dir)
+        )
+        schema, ts_dtype = batch.schema, dict(batch.dtypes).get("ts")
+    except Exception:
+        # no matching files yet (e.g. a source directory that will be fed
+        # later, or an empty-fixture layout): declare the canonical events
+        # schema so the stream starts empty instead of failing inference
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        ts_dtype = "timestamp"
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(events_parquet_dir)
+    if ts_dtype == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP (LTZ); session TZ is pinned UTC
+        # (session.py) so the cast preserves the wall-clock instant
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def streaming_tumbling_counts(stream: DataFrame) -> DataFrame:
@@ -65,13 +86,7 @@ def run_streaming_tumbling_counts(
     availableNow trigger and return the complete result from the memory
     sink. Exercises the real streaming engine: source -> watermark ->
     stateful agg -> sink."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(events_parquet_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = events_stream(spark, events_parquet_dir, max_files_per_trigger=1)
     out = streaming_tumbling_counts(stream)
     q = (
         out.writeStream.format("memory")
@@ -131,13 +146,7 @@ def run_streaming_query(
 ) -> DataFrame:
     """Run any closed-input streaming plan with availableNow + complete
     mode into a memory sink and return the result table."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(events_parquet_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = events_stream(spark, events_parquet_dir, max_files_per_trigger=1)
     q = (
         plan_fn(stream)
         .writeStream.format("memory")
@@ -193,18 +202,12 @@ def run_streaming_click_purchase_join(
     stream-stream inner joins emit once per match). `glob` restricts the
     directory listing (pass "events.parquet" when the dir holds other
     tables)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-    def _stream():
-        return (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("pathGlobFilter", glob)
-            .parquet(events_parquet_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        )
-
-    clicks = _stream().filter(F.col("event_type") == "click")
-    purchases = _stream().filter(F.col("event_type") == "purchase")
+    clicks = events_stream(spark, events_parquet_dir, glob=glob).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = events_stream(spark, events_parquet_dir, glob=glob).filter(
+        F.col("event_type") == "purchase"
+    )
     q = (
         streaming_click_purchase_join(clicks, purchases)
         .writeStream.format("memory")
@@ -228,13 +231,7 @@ def run_foreach_batch_parquet(
     replayed batch overwrites its own output instead of duplicating
     (idempotent-by-path, the standard foreachBatch pattern when the
     target isn't transactional)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(events_parquet_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = events_stream(spark, events_parquet_dir, max_files_per_trigger=1)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy("event_type")
@@ -275,19 +272,9 @@ def run_streaming_dedup_counts(
     event times spanned more than the watermark, a late second copy could
     leak past its evicted key; the post-run assertion below makes that
     failure loud instead of a nondeterministic hash mismatch."""
-    # conf also set in get_spark's builder; repeated here so the query is
-    # correct under a driver-provided session too (idempotent runtime set)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-    def _stream():
-        return (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("pathGlobFilter", glob)
-            .parquet(events_parquet_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        )
-
-    doubled = _stream().unionAll(_stream())
+    doubled = events_stream(spark, events_parquet_dir, glob=glob).unionAll(
+        events_stream(spark, events_parquet_dir, glob=glob)
+    )
     deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )

@@ -207,25 +207,29 @@ def test_late_event_beyond_watermark_dropped(spark, tmp_path):
     import glob as globmod
     import os
     import shutil
+    from datetime import datetime, timezone
 
     from mapreduce_sm_spark.streaming.windows import (
-        EVENTS_SCHEMA,
+        events_stream,
         streaming_tumbling_counts,
     )
 
     base = 1704067200  # 2024-01-01 00:00:00 UTC
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
 
     def ev(eid, sec, etype):
-        return (eid, (base + sec) * 10**9, 1, etype, 1.0, "{}")
+        t = datetime.fromtimestamp(base + sec, tz=timezone.utc).replace(tzinfo=None)
+        return (eid, t, 1, etype, 1.0, "{}")
 
     stream_dir = tmp_path / "stream"
     stream_dir.mkdir()
 
     def add_file(name, rows, mtime):
         tmp_out = str(tmp_path / ("w_" + name))
-        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(
-            tmp_out
-        )
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp_out)
         part = globmod.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
         dst = str(stream_dir / f"{name}.parquet")
         shutil.copy(part, dst)
@@ -239,15 +243,7 @@ def test_late_event_beyond_watermark_dropped(spark, tmp_path):
     # watermark -> must be dropped
     add_file("c", [ev(3, 90 * 60, "late")], base + 120)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    from pyspark.sql import functions as F
-
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(str(stream_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = events_stream(spark, str(stream_dir), max_files_per_trigger=1)
     q = (
         streaming_tumbling_counts(stream)
         .writeStream.format("memory")

@@ -34,9 +34,14 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return repr(round(v, 9))
+        # FULL repr — no rounding. r03 post-mortem: rounding to 9 digits
+        # here let anomaly_zscore_events pass locally while failing the
+        # driver's exact hash; the local gate must be at least as strict
+        # as the driver. Queries are responsible for emitting pre-rounded
+        # floats where cross-engine ulp drift is possible.
+        return repr(v)
     if isinstance(v, Decimal):
-        return repr(round(float(v), 9))
+        return repr(float(v))
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
