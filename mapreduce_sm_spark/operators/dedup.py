@@ -41,7 +41,7 @@ from mapreduce_sm_spark.functions.hashing import (
 )
 from mapreduce_sm_spark.functions.text import char_shingles, char_shingles_sql
 from mapreduce_sm_spark.registry import REGISTRY
-from mapreduce_sm_spark.session import fan_out, table
+from mapreduce_sm_spark.session import checkpoint_df, fan_out, table
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -745,11 +745,13 @@ def _cc_labels(pairs: DataFrame) -> DataFrame:
     """(doc_id, component) for every vertex appearing in the (doc_a, doc_b)
     pair frame, via iterative min-label propagation. Shared by
     dedup_connected_components and the corpus_near_dedup pipeline."""
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint(eager=True)  # mine pairs once; iterations re-read blocks
+    edges = checkpoint_df(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+    )  # mine pairs once; iterations re-read the checkpointed blocks
 
     def propagate(lbl: DataFrame) -> DataFrame:
         """One min-label hop: fold each vertex's neighborhood minimum into
@@ -788,13 +790,14 @@ def _cc_labels(pairs: DataFrame) -> DataFrame:
         "doc_id", F.col("doc_id").alias("component")
     )
     for _ in range(10):  # 4 hops/round: handles diameter ~40 worst case
-        # localCheckpoint truncates the lineage: without it each round's
-        # plan nests the previous one and planning blows up exponentially
-        # (on a cluster this would be checkpoint() to reliable storage)
+        # the checkpoint truncates the lineage: without it each round's
+        # plan nests the previous one and planning blows up exponentially.
+        # checkpoint_df is executor-local by default; SPARKSM_CHECKPOINT_DIR
+        # switches it to reliable checkpoint() storage for cluster runs
         stepped = labels
         for _hop in range(3):
             stepped = propagate(stepped).drop("changed")
-        stepped = propagate(stepped).localCheckpoint(eager=True)
+        stepped = checkpoint_df(propagate(stepped))
         changed = stepped.filter(F.col("changed")).count()
         labels = stepped.drop("changed")
         if changed == 0:

@@ -149,16 +149,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "embedding", _bucket_spark(F.col("embedding")).alias("bucket")
     )
+    # rename bucket on each side: both frames derive from the same parent,
+    # so `q.bucket == c.bucket` builds a self-referential (trivially-true)
+    # predicate that only works through positional disambiguation and
+    # warns on every run — distinct names make the join key structural
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"), "bucket"
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("q_bucket"),
     )
     c = emb.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"), "bucket"
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        F.col("bucket").alias("c_bucket"),
     )
     sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
-        c.join(F.broadcast(q), (q.bucket == c.bucket) & (F.col("q_id") != F.col("c_id")))
+        c.join(
+            F.broadcast(q),
+            (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("q_id") != F.col("c_id")),
+        )
         .select("q_id", "c_id", sim.alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
@@ -383,13 +395,15 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     )
 
 
-@REGISTRY.register(
-    "ann_ivf_topk",
-    oracle=None,  # iterative (k-means) — no single-statement SQL oracle
-    description="IVF ANN: distributed k-means cells + nprobe-pruned cosine top-k",
-    tags=("similarity", "ivf", "iterative"),
-)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: distributed k-means cells + nprobe-pruned cosine top-k.
+
+    Library API + pytest surface, NOT a registered driver query: the
+    iterative k-means has no single-statement SQL oracle, and a rows-only
+    driver row is weaker evidence than the registered ann_ivf_recall_check
+    below, which runs this exact ranking against the exact scan inside one
+    driver-hashable contract (VERDICT r3 item 7). tests/test_ivf.py
+    additionally proves nprobe=K degenerates to the brute-force result."""
     return _ivf_topk(spark, sf_dir, _IVF_NPROBE)
 
 

@@ -192,6 +192,31 @@ def fan_out(df, *keys: str):
     return df.repartition(n, *keys) if keys else df.repartition(n)
 
 
+# set-once guard: setCheckpointDir is global to the SparkContext
+_CHECKPOINT_DIR_SET = False
+
+
+def checkpoint_df(df, eager: bool = True):
+    """Lineage-truncating checkpoint for iterative algorithms, with a
+    cluster-real switch.
+
+    Default: localCheckpoint — blocks live on executors, fastest, fine for
+    single-JVM local runs. localCheckpoint is NOT durable: losing one
+    executor invalidates the frame, so a long-running job on a real
+    cluster must checkpoint to reliable storage instead. Setting
+    SPARKSM_CHECKPOINT_DIR (an HDFS/S3/posix path visible to all
+    executors) switches every iterative operator to reliable
+    df.checkpoint() into that directory — no code change."""
+    ckpt_dir = os.environ.get("SPARKSM_CHECKPOINT_DIR")
+    if not ckpt_dir:
+        return df.localCheckpoint(eager=eager)
+    global _CHECKPOINT_DIR_SET
+    if not _CHECKPOINT_DIR_SET:
+        df.sparkSession.sparkContext.setCheckpointDir(ckpt_dir)
+        _CHECKPOINT_DIR_SET = True
+    return df.checkpoint(eager=eager)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str):
     """Read one fixture table. Column pruning/predicate pushdown happen at
     the parquet scan because callers select/filter on the returned frame.

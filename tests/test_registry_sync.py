@@ -21,6 +21,7 @@ _NON_QUERY = {
     "mapreduce_opts",
     "pandas_udf",
     "read_text",
+    "ann_ivf_topk",  # library helper; registered surface is ann_ivf_recall_check
 }
 
 
