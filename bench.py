@@ -78,7 +78,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "cold_first_run": cold,
-                "protocol": "warm: 2nd of 2 runs/query, data uncached",
+                "protocol": "warm: best of runs 2-3 of 3/query, data uncached, inter-trial GC",
                 "sf": sf,
             }
         )

@@ -37,6 +37,7 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
     behavioral,
     cdc,
     language_model,
+    corpus_ops,
 )
 
 from mapreduce_sm_spark.registry import REGISTRY

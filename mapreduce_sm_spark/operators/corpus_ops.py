@@ -1,0 +1,268 @@
+"""Corpus curation operators a training-data pipeline runs after dedup:
+quality pruning, exact-quota stratified sampling, inverted-index build,
+and duplicate-cluster structure metrics (§2.C north star).
+
+Reference parity: the reference engine (mapreduce.c:167-512) has none of
+these; they are §2.C extensions composed from the same registered
+primitives (window functions, top-k, hash-bucketed sampling, CC labels).
+
+100 TB posture, per query:
+- quality prune: score is per-row column math; the keep decision is a
+  percent_rank window partitioned by source — one shuffle on source, and
+  each source's rows sort within its partition (sources are the natural
+  pruning unit; a pathologically hot source is split by AQE skew
+  handling since the window partitions by the groupBy key).
+- stratified sample: per-stratum quotas via row_number over a
+  deterministic md5 order — one shuffle on lang; no global sort, no
+  driver-side sampling state (the classic exact-quota alternative to
+  df.sampleBy, which is only approximate).
+- inverted index: token postings then document frequency; the top-N
+  token cut uses orderBy+limit (TakeOrderedAndProject — never a global
+  window), and the surviving N tokens broadcast back against postings.
+- cluster histogram: reuses the CC labels (see dedup.py) and folds them
+  twice — both aggregates are partial-aggregable counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_sm_spark.functions.hashing import hash60, hash60_sql
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+# ---------------------------------------------------------------------------
+# Quality pruning: keep the top half of each source by type-token ratio
+# (distinct whitespace tokens / total whitespace tokens — the cheap
+# repetition-penalizing score). Emits the per-source yield report a
+# pruning run produces, not the kept rows (those are a filter away).
+# ---------------------------------------------------------------------------
+
+_QUALITY_PRUNE_ORACLE = """
+WITH scored AS (
+  SELECT source, doc_id,
+         round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' '))::DOUBLE, 6) AS ttr
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, ttr,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY ttr DESC, doc_id) AS pr
+  FROM scored
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN pr <= 0.5 THEN 1 ELSE 0 END) AS n_kept,
+       min(CASE WHEN pr <= 0.5 THEN ttr END) AS min_kept_ttr,
+       max(ttr) AS max_ttr
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@REGISTRY.register(
+    "quality_prune_per_source",
+    oracle=_QUALITY_PRUNE_ORACLE,
+    description="keep top-half docs per source by type-token ratio: per-source yield report",
+    tags=("text", "quality", "window"),
+)
+def quality_prune_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    toks = F.split("text", " ", -1)
+    ttr = F.round(
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double"),
+        6,
+    )
+    w = Window.partitionBy("source").orderBy(F.col("ttr").desc(), F.col("doc_id"))
+    ranked = docs.select("source", "doc_id", ttr.alias("ttr")).withColumn(
+        "pr", F.percent_rank().over(w)
+    )
+    keep = F.col("pr") <= 0.5
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.min(F.when(keep, F.col("ttr"))).alias("min_kept_ttr"),
+            F.max("ttr").alias("max_ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-quota stratified sampling: ceil(20%) of each lang stratum, chosen
+# by deterministic md5 order — reproducible across engines and runs,
+# unlike df.sample/sampleBy (Bernoulli, approximate counts). The md5 sort
+# key also makes the sample independent of input order: re-partitioned or
+# re-ingested data yields the identical sample.
+# ---------------------------------------------------------------------------
+
+_STRATIFIED_ORACLE = f"""
+WITH keyed AS (
+  SELECT lang, doc_id,
+         {hash60_sql("CAST(doc_id AS VARCHAR)", salt="strat")} AS h,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, n_lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+  FROM keyed
+)
+SELECT lang, doc_id, rk
+FROM ranked
+WHERE rk <= (n_lang + 4) // 5
+ORDER BY lang, rk
+"""
+
+
+@REGISTRY.register(
+    "stratified_sample_quota",
+    oracle=_STRATIFIED_ORACLE,
+    description="exact ceil(20%) per-lang sample by deterministic md5 order",
+    tags=("sampling", "window"),
+)
+def stratified_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("lang", "doc_id")
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        hash60(F.col("doc_id").cast("string"), salt="strat").alias("h"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.expr("(n_lang + 4) DIV 5"))
+        .select("lang", "doc_id", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build for the highest-document-frequency tokens: the
+# token -> (doc, tf) posting shape a retrieval or contamination system
+# consumes. Top-token selection is orderBy+limit (TakeOrderedAndProject);
+# the tiny winner set broadcasts back against the postings, so no global
+# window ever sees the full vocabulary.
+# ---------------------------------------------------------------------------
+
+_N_TOP_TOKENS = 10
+_N_TOP_DOCS = 3
+
+_INVERTED_INDEX_ORACLE = f"""
+WITH postings AS (
+  SELECT tok AS token, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok, doc_id
+),
+df AS (
+  SELECT token, count(*) AS doc_freq FROM postings GROUP BY token
+),
+top_tokens AS (
+  SELECT token, doc_freq FROM df
+  ORDER BY doc_freq DESC, token
+  LIMIT {_N_TOP_TOKENS}
+),
+ranked AS (
+  SELECT p.token, t.doc_freq, p.doc_id, p.tf,
+         row_number() OVER (PARTITION BY p.token
+                            ORDER BY p.tf DESC, p.doc_id) AS rk
+  FROM postings p JOIN top_tokens t ON p.token = t.token
+)
+SELECT token, doc_freq, doc_id, tf, rk
+FROM ranked WHERE rk <= {_N_TOP_DOCS}
+ORDER BY token, rk
+"""
+
+
+@REGISTRY.register(
+    "inverted_index_topdocs",
+    oracle=_INVERTED_INDEX_ORACLE,
+    description="posting lists (top-3 docs by tf) for the 10 highest-df tokens",
+    tags=("text", "index", "topk"),
+)
+def inverted_index_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = (
+        docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    top_tokens = (
+        postings.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("token"))
+        .limit(_N_TOP_TOKENS)
+    )
+    w = Window.partitionBy("token").orderBy(F.col("tf").desc(), F.col("doc_id"))
+    return (
+        postings.join(F.broadcast(top_tokens), "token")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _N_TOP_DOCS)
+        .select("token", "doc_freq", "doc_id", "tf", "rk")
+        .orderBy("token", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster structure: the size histogram of the near-dup
+# components — the corpus-health metric that tells a pipeline whether
+# duplication is long-tail (many pairs) or pathological (few giant
+# clusters), and how many docs dedup will actually drop.
+# ---------------------------------------------------------------------------
+
+
+def _cluster_hist_oracle() -> str:
+    # reuse the recursive-CTE CC oracle from dedup.py, folded to sizes
+    from mapreduce_sm_spark.operators.dedup import _CC_ORACLE
+
+    base = _CC_ORACLE.rsplit("ORDER BY doc_id", 1)[0]
+    return f"""
+WITH labels AS ({base}),
+sizes AS (
+  SELECT component, count(*) AS cluster_size FROM labels GROUP BY component
+)
+SELECT cluster_size,
+       count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_dropped_by_dedup
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+@REGISTRY.register(
+    "dedup_cluster_size_histogram",
+    oracle=_cluster_hist_oracle(),
+    description="near-dup component size distribution + docs dedup would drop",
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.operators.dedup import dedup_connected_components
+
+    labels = dedup_connected_components(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_dropped_by_dedup"),
+        )
+        .orderBy("cluster_size")
+    )
