@@ -240,6 +240,132 @@ ORDER BY cluster_size
 """
 
 
+# ---------------------------------------------------------------------------
+# End-to-end curation report: the full pre-training data path in one plan —
+# quality gate (type-token ratio) -> normalized exact dedup (keep min
+# doc_id per normalized text) -> exact-quota 50% per-lang sample by
+# deterministic md5 order -> per-lang yield + mixture weights. This is the
+# report a data team reads before kicking off a training run.
+#
+# 100 TB shape: one shuffle on the normalized-text hash (dedup), one on
+# lang (sample window + rollup); the global sampled total is a 1-row
+# broadcast. No stage ever materializes pairs or collects rows.
+# ---------------------------------------------------------------------------
+
+_TTR_GATE = 0.5
+
+_CURATION_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' '))::DOUBLE, 6) AS ttr
+  FROM documents
+),
+gated AS (
+  SELECT * FROM scored WHERE ttr >= {_TTR_GATE}
+),
+uniq AS (
+  SELECT min(doc_id) AS doc_id, min(lang) AS lang
+  FROM (
+    SELECT doc_id, lang,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+    FROM gated
+  )
+  GROUP BY norm
+),
+ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {hash60_sql("CAST(doc_id AS VARCHAR)", salt="cur")}, doc_id
+         ) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n_uniq
+  FROM uniq
+),
+sampled AS (
+  SELECT lang, n_uniq, count(*) AS n_sampled
+  FROM ranked WHERE rk <= (n_uniq + 1) // 2
+  GROUP BY lang, n_uniq
+),
+raw AS (SELECT lang, count(*) AS n_raw FROM documents GROUP BY lang),
+gate AS (SELECT lang, count(*) AS n_gated FROM gated GROUP BY lang),
+tot AS (SELECT sum(n_sampled) AS total_sampled FROM sampled)
+SELECT r.lang, r.n_raw, g.n_gated, s.n_uniq, s.n_sampled,
+       round(s.n_sampled::DOUBLE / t.total_sampled::DOUBLE, 6) AS mixture_weight
+FROM raw r
+JOIN gate g ON r.lang = g.lang
+JOIN sampled s ON r.lang = s.lang
+CROSS JOIN tot t
+ORDER BY r.lang
+"""
+
+
+@REGISTRY.register(
+    "corpus_curation_report",
+    oracle=_CURATION_ORACLE,
+    description="end-to-end curation: quality gate -> normalized dedup -> 50% quota sample -> per-lang mixture weights",
+    tags=("text", "dedup", "sampling", "pipeline"),
+)
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = F.split("text", " ", -1)
+    ttr = F.round(
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double"),
+        6,
+    )
+    scored = docs.select("doc_id", "lang", "text", ttr.alias("ttr"))
+    gated = scored.filter(F.col("ttr") >= _TTR_GATE)
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    uniq = (
+        gated.groupBy(norm.alias("norm"))
+        # min(lang), not any_value: copies of the same normalized text can
+        # in principle carry different langs, and the keeper's lang must be
+        # deterministic for the oracle hash
+        .agg(F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang"))
+        .select("doc_id", "lang")
+    )
+
+    w_rank = Window.partitionBy("lang").orderBy(
+        hash60(F.col("doc_id").cast("string"), salt="cur"), F.col("doc_id")
+    )
+    ranked = uniq.select(
+        "lang",
+        "doc_id",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n_uniq"),
+    )
+    sampled = (
+        ranked.filter(F.col("rk") <= F.expr("(n_uniq + 1) DIV 2"))
+        .groupBy("lang", "n_uniq")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+    raw = docs.groupBy("lang").agg(F.count("*").alias("n_raw"))
+    gate = gated.groupBy("lang").agg(F.count("*").alias("n_gated"))
+    tot = sampled.agg(F.sum("n_sampled").alias("total_sampled"))
+
+    return (
+        raw.join(gate, "lang")
+        .join(sampled, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_raw",
+            "n_gated",
+            "n_uniq",
+            "n_sampled",
+            F.round(
+                F.col("n_sampled").cast("double")
+                / F.col("total_sampled").cast("double"),
+                6,
+            ).alias("mixture_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
 @REGISTRY.register(
     "dedup_cluster_size_histogram",
     oracle=_cluster_hist_oracle(),

@@ -62,3 +62,10 @@ def read_json(
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC: the other columnar warehouse format Spark reads natively, with
+    the same vectorized scan + predicate pushdown + column pruning as
+    parquet (PushedFilters show in .explain identically)."""
+    return spark.read.orc(path)

@@ -69,3 +69,13 @@ def write_bucketed_table(
 
 def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> None:
     df.write.mode("overwrite").option("header", header).option("sep", sep).csv(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: Sequence[str] = ()
+) -> None:
+    """ORC twin of write_parquet — same partition-pruning layout."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -153,3 +153,37 @@ def test_fan_out_is_width_aware(spark):
     assert fan_out(wide, "id") is wide  # untouched, no extra exchange
     narrow = spark.range(10_000).coalesce(1)
     assert fan_out(narrow, "id").rdd.getNumPartitions() == n
+
+
+def test_inverted_index_topk_and_broadcast_back(spark):
+    """Top-token selection must plan as TakeOrderedAndProject (never a
+    global window over the vocabulary) and the winner set must broadcast
+    back against the postings."""
+    from mapreduce_sm_spark.operators.corpus_ops import inverted_index_topdocs
+
+    plan = _plan(inverted_index_topdocs(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # per-token top-docs should use the rank-limit pushdown, not a full
+    # per-partition sort of all postings
+    assert "WindowGroupLimit" in plan
+
+
+def test_quality_prune_single_exchange_per_source(spark):
+    """The percent_rank window and the per-source rollup share the
+    source-hash partitioning — exactly one shuffle of the docs."""
+    from mapreduce_sm_spark.operators.corpus_ops import quality_prune_per_source
+
+    plan = _plan(quality_prune_per_source(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(source") == 1
+
+
+def test_stratified_sample_no_global_sort(spark):
+    """Quota sampling must sort within lang partitions only — a global
+    sort of the corpus would be the scale-killer."""
+    from mapreduce_sm_spark.operators.corpus_ops import stratified_sample_quota
+
+    plan = _plan(stratified_sample_quota(spark, SF_DIR))
+    # exactly one hash exchange on lang for both windows; the only range
+    # exchange is the final tiny ORDER BY of the sampled rows
+    assert plan.count("Exchange hashpartitioning(lang") == 1

@@ -128,3 +128,31 @@ def test_two_bucketed_tables_join_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_ord_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC write/read parity with parquet, including predicate pushdown
+    and column pruning at the vectorized scan."""
+    from mapreduce_sm_spark.session import table
+    from mapreduce_sm_spark.sources.readers import read_orc
+    from mapreduce_sm_spark.sources.sinks import write_orc
+
+    orders = table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path, partition_by=["o_orderpriority"])
+
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+
+    pruned = back.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    # partition pruning on the partition column + pruned read schema
+    assert "o_custkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    expected = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert pruned.count() == expected
