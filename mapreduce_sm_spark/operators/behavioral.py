@@ -308,3 +308,62 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-windowed event dedup (batch twin of the streaming
+# dropDuplicatesWithinWatermark query): a telemetry pipeline drops
+# repeats of the same (user, event_type, value) arriving within 5
+# minutes of the previous occurrence — double-clicks, retry storms,
+# at-least-once delivery. One shuffle on the dedup key; per-key state is
+# a lag window over that key's events.
+# ---------------------------------------------------------------------------
+
+_EVENT_DEDUP_ORACLE = """
+WITH seq AS (
+  SELECT event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type, value
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CASE WHEN prev_ts IS NOT NULL
+                     AND ts <= prev_ts + INTERVAL 5 MINUTE
+                THEN 1 ELSE 0 END) AS n_dropped,
+       count(*) - sum(CASE WHEN prev_ts IS NOT NULL
+                                AND ts <= prev_ts + INTERVAL 5 MINUTE
+                           THEN 1 ELSE 0 END) AS n_kept
+FROM seq
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@REGISTRY.register(
+    "dedup_events_time_window",
+    oracle=_EVENT_DEDUP_ORACLE,
+    description="drop repeated (user,type,value) events within 5 min: per-type keep/drop counts",
+    tags=("dedup", "window", "behavioral"),
+)
+def dedup_events_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type", "value").orderBy(
+        "ts", "event_id"
+    )
+    prev_ts = F.lag("ts").over(w)
+    dup = F.when(
+        prev_ts.isNotNull()
+        & (F.col("ts") <= prev_ts + F.expr("INTERVAL 5 MINUTES")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select("event_type", dup.alias("dup"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("dup").alias("n_dropped"),
+            (F.count("*") - F.sum("dup")).alias("n_kept"),
+        )
+        .orderBy("event_type")
+    )

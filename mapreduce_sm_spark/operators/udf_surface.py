@@ -6,6 +6,8 @@ registered, oracle-checked query:
   pandas_udf GROUPED_AGG       — arbitrary grouped reduce (Arrow-batched)
   applyInPandas (GROUPED_MAP)  — the free-form per-group hook, like the
                                  reference's reduce writing multiple rows
+  cogroup().applyInPandas      — two keyed frames per key in one function
+                                 (COGROUPED_MAP; per-user merge_asof)
   sql_interface                — the spark.sql() entry point over temp views
 
 Determinism note: Python-side float accumulation is ordered explicitly
@@ -288,3 +290,75 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.doc_id, s.sent_idx
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped pandas map (the last pandas-API slot): two keyed frames are
+# grouped on the same key and each key's pair of pandas frames is handed
+# to one Python function — the surface for per-key algorithms that need
+# BOTH sides at once (here: pandas merge_asof of each user's purchases
+# against their clicks). The same semantics exist as a pure-column as-of
+# join in joins_advanced.py; this query exists to exercise the
+# groupBy().cogroup().applyInPandas hook with an oracle.
+#
+# 100 TB shape: cogroup shuffles both sides once on user_id (Arrow
+# batches, combined per key); per-key state is one user's events.
+# Determinism: the emitted gap depends only on timestamps (never on which
+# equal-timestamp click row merge_asof picked), so ties cannot leak
+# nondeterminism into the hash.
+# ---------------------------------------------------------------------------
+
+_COGROUP_ASOF_ORACLE = """
+SELECT p.user_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+"""
+
+
+def _asof_gap(key, clicks: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
+    if len(purchases) == 0 or len(clicks) == 0:
+        return pd.DataFrame(
+            {"user_id": [], "purchase_id": [], "gap_us": []}
+        ).astype({"user_id": "int64", "purchase_id": "int64", "gap_us": "int64"})
+    p = purchases.sort_values("ts", kind="mergesort")
+    c = clicks.sort_values("ts", kind="mergesort")[["ts"]].rename(
+        columns={"ts": "c_ts"}
+    )
+    m = pd.merge_asof(
+        p, c, left_on="ts", right_on="c_ts", direction="backward"
+    ).dropna(subset=["c_ts"])
+    gap = m["ts"].to_numpy().astype("datetime64[us]").astype("int64") - m[
+        "c_ts"
+    ].to_numpy().astype("datetime64[us]").astype("int64")
+    return pd.DataFrame(
+        {
+            "user_id": key[0],
+            "purchase_id": m["event_id"].astype("int64"),
+            "gap_us": gap,
+        }
+    )
+
+
+@REGISTRY.register(
+    "cogrouped_asof_gap",
+    oracle=_COGROUP_ASOF_ORACLE,
+    description="cogrouped pandas map: per-user merge_asof purchase->latest prior click gap",
+    tags=("udf", "cogroup", "asof"),
+)
+def cogrouped_asof_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    out = (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            _asof_gap, schema="user_id long, purchase_id long, gap_us long"
+        )
+    )
+    return out.orderBy("purchase_id")

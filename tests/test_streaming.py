@@ -291,3 +291,58 @@ def test_transform_with_state_user_profile(spark, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restarts: a file-source query with a
+    checkpointLocation must, on restart, process ONLY files that arrived
+    since the last run. If the checkpoint were ignored, the restarted run
+    would re-ingest the first file and the sink would hold 3N rows
+    instead of 2N."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.streaming.windows import events_stream
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copy(
+        os.path.join(SF_DIR, "events.parquet"), str(src_dir / "a.parquet")
+    )
+
+    def run_once():
+        q = (
+            events_stream(spark, str(src_dir))
+            .select("event_id", "user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    n = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
+    run_once()
+    assert spark.read.parquet(out).count() == n
+
+    # second file lands; restart from the same checkpoint
+    shutil.copy(
+        os.path.join(SF_DIR, "events.parquet"), str(src_dir / "b.parquet")
+    )
+    run_once()
+    sink = spark.read.parquet(out)
+    assert sink.count() == 2 * n  # NOT 3n: file a was not re-ingested
+    # every event_id appears exactly twice (once per source file)
+    dup_histogram = (
+        sink.groupBy("event_id")
+        .agg(F.count("*").alias("k"))
+        .groupBy("k")
+        .count()
+        .collect()
+    )
+    assert len(dup_histogram) == 1 and dup_histogram[0]["k"] == 2
