@@ -43,20 +43,29 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
 from mapreduce_sm_spark.registry import REGISTRY
 
 # Round-4 driver window: the external correctness gate verifies the first 50
-# entries of queries(). Leads with the two queries that have NEVER been
-# driver-green (both broken in r03, both fixed this round), then every
-# query whose code or source path changed this round (funnel nullif, LSH
-# join aliasing, the streaming-source schema rework), then the 65 queries
-# the r03 sample skipped, oldest driver evidence first (the r01-era set —
-# r02/r03 refactors touched them most recently without a fresh driver row).
-# The 22 that don't fit the window have green r01/r02 driver rows and stay
+# entries of queries(). Priority order (the r03 verdict's own framework —
+# never-driver-verified first): (1) the two queries that have NEVER been
+# driver-green (both broken in r03, both fixed this round), (2) the seven
+# operators ADDED this round (no driver row exists yet), (3) every query
+# whose code or source path changed this round (funnel nullif, LSH join
+# aliasing, the streaming-source schema rework), (4) the queries the r03
+# sample skipped, oldest driver evidence first (the r01-era set). The
+# ~29 that don't fit the window have green r01/r02 driver rows and stay
 # covered by tests/test_oracle_parity.py (sf0.001) and the committed
-# tools/verify_local.py sf0.01 log (115/115 under exact-float compare).
+# VERIFY_LOCAL_r04.txt sf0.01 log (exact-float compare).
 REGISTRY.set_front(
     (
         # --- never driver-green; fixed this round ---
         "sessionize_events",
         "anomaly_zscore_events",
+        # --- new this round: no driver row exists yet ---
+        "quality_prune_per_source",
+        "stratified_sample_quota",
+        "inverted_index_topdocs",
+        "dedup_cluster_size_histogram",
+        "corpus_curation_report",
+        "cogrouped_asof_gap",
+        "dedup_events_time_window",
         # --- code changed this round: re-verify under the driver ---
         "funnel_view_click_purchase",
         "ann_lsh_topk",
@@ -100,15 +109,5 @@ REGISTRY.set_front(
         "stats_moments_lineitem",
         "string_functions_extended",
         "topk_orders",
-        "train_val_test_split",
-        "unpivot_lineitem_measures",
-        "window_distribution_funcs",
-        "window_lag_lead_events",
-        "window_moving_avg",
-        "window_rank_top_orders",
-        "window_running_total",
-        # --- not sampled in r03; last driver row is r02 ---
-        "tumbling_window_events",
-        "session_window_events",
     )
 )

@@ -304,6 +304,7 @@ ORDER BY r.lang
     "corpus_curation_report",
     oracle=_CURATION_ORACLE,
     description="end-to-end curation: quality gate -> normalized dedup -> 50% quota sample -> per-lang mixture weights",
+    headline=True,
     tags=("text", "dedup", "sampling", "pipeline"),
 )
 def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:

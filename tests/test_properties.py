@@ -138,3 +138,70 @@ def test_prefix_filter_candidates_complete(doc_sets):
                 assert (a, b) in cands, (
                     f"true pair ({a},{b}) J={j} dropped by candidate filters"
                 )
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from(["en", "de", "fr"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_stratified_quota_invariants(spark, rows):
+    """Quota sampling contract on arbitrary (doc_id, lang) sets: every
+    stratum contributes exactly ceil(n/5) rows, ranks are 1..quota, and
+    the sample is a function of doc_ids only (order independent)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    # replay the operator's exact plan against an in-memory frame (the
+    # registered query is fixture-bound; the contract is in the plan)
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    from mapreduce_sm_spark.functions.hashing import hash60
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        "lang",
+        "doc_id",
+        hash60(F.col("doc_id").cast("string"), salt="strat").alias("h"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    out = (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.expr("(n_lang + 4) DIV 5"))
+        .select("lang", "doc_id", "rk")
+    ).collect()
+
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    n_per_lang = {}
+    for doc_id, lang in rows:
+        n_per_lang[lang] = n_per_lang.get(lang, 0) + 1
+    for lang, n in n_per_lang.items():
+        quota = math.ceil(n / 5)
+        got = by_lang.get(lang, [])
+        assert len(got) == quota, (lang, n, quota, len(got))
+        assert sorted(r.rk for r in got) == list(range(1, quota + 1))
+
+    # order independence: shuffling input rows yields the same sample set
+    df2 = spark.createDataFrame(list(reversed(rows)), "doc_id long, lang string")
+    keyed2 = df2.select(
+        "lang",
+        "doc_id",
+        hash60(F.col("doc_id").cast("string"), salt="strat").alias("h"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    out2 = (
+        keyed2.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.expr("(n_lang + 4) DIV 5"))
+        .select("lang", "doc_id", "rk")
+    ).collect()
+    assert {(r.lang, r.doc_id) for r in out} == {(r.lang, r.doc_id) for r in out2}
