@@ -247,9 +247,14 @@ ORDER BY cluster_size
 # deterministic md5 order -> per-lang yield + mixture weights. This is the
 # report a data team reads before kicking off a training run.
 #
-# 100 TB shape: one shuffle on the normalized-text hash (dedup), one on
-# lang (sample window + rollup); the global sampled total is a 1-row
-# broadcast. No stage ever materializes pairs or collects rows.
+# 100 TB shape: ONE shuffle carries document-scale bytes (the normalized-
+# text groupBy for dedup — and only because the normalized text is the
+# grouping key; hashing it first, as dedup_exact does, would shrink that
+# to 16 B/row). Every other exchange in the plan moves id-width rows
+# (the per-lang sample window over unique doc_ids) or per-lang aggregate
+# rows; the global sampled total is a 1-row broadcast (the
+# BroadcastNestedLoopJoin in the plan is that 1-row cross join). No stage
+# materializes pairs or collects rows.
 # ---------------------------------------------------------------------------
 
 _TTR_GATE = 0.5
