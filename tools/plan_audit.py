@@ -72,7 +72,8 @@ def main() -> None:
         "  dedup_ngram_jaccard dropped from 99 s/9.1 s to 24.6 s/7.5 s",
         "  (3.3x) — the residual cold gap is HotSpot C2 compilation of the",
         "  codegen'd array loops, which amortizes over any real corpus run;",
-        "  the plan itself is identical cold and warm.",
+        "  the executed plan is structurally identical cold and warm",
+        "  (verified: normalized plan diff is empty).",
         "- **Iterative CC propagates only where edges exist.** Label",
         "  propagation runs on vertices with at least one near-dup edge",
         "  (a small fraction of any real corpus), four hops per checkpoint",
