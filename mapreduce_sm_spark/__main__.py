@@ -39,6 +39,9 @@ def _usage() -> str:
         "num_threads task_size input_file output_file\n"
         "  python -m mapreduce_sm_spark string_match "
         "num_threads task_size search_word input_folder output_file\n"
+        "  python -m mapreduce_sm_spark list\n"
+        "  python -m mapreduce_sm_spark run query_name sf_dir "
+        "[output_dir]\n"
     )
 
 
@@ -110,13 +113,50 @@ def run_string_match(
     _write_single_file(df, "%d:%s", ["line_no", "value"], out_path)
 
 
+def run_list() -> None:
+    """Print the registered query inventory (name<TAB>description)."""
+    from mapreduce_sm_spark.registry import load_all_operators
+
+    for name, q in load_all_operators().all().items():
+        sys.stdout.write(f"{name}\t{q.description}\n")
+
+
+def run_query(name: str, sf_dir: str, output_dir: str | None) -> None:
+    """Run any registered query against a fixture directory. With an
+    output_dir the result lands as CSV (header, one file per partition —
+    the scale-safe layout); without one the first 100 rows print as TSV."""
+    from mapreduce_sm_spark.registry import load_all_operators
+    from mapreduce_sm_spark.session import get_spark
+    from mapreduce_sm_spark.sources.sinks import write_csv
+
+    registry = load_all_operators()
+    if name not in registry.all():
+        raise ValueError(f"unknown query {name!r}; see `list`")
+    spark = get_spark("mapreduce-sm-cli")
+    df = registry.all()[name].fn(spark, sf_dir)
+    if output_dir:
+        write_csv(df, output_dir)
+        return
+    cols = df.columns
+    sys.stdout.write("\t".join(cols) + "\n")
+    for row in df.limit(100).collect():  # CLI preview only — bounded
+        sys.stdout.write("\t".join("" if v is None else str(v) for v in row) + "\n")
+
+
 def main(argv: list[str]) -> int:
     if not argv:
         sys.stderr.write(_usage())
         return 1
     job, *rest = argv
     try:
-        if job == "wordcount":
+        if job == "list":
+            run_list()
+        elif job == "run":
+            if len(rest) not in (2, 3):
+                sys.stderr.write(_usage())
+                return 1
+            run_query(rest[0], rest[1], rest[2] if len(rest) == 3 else None)
+        elif job == "wordcount":
             if len(rest) != 4:
                 sys.stderr.write(_usage())
                 return 1

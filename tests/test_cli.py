@@ -68,3 +68,32 @@ def test_cli_usage_errors():
     assert _run_cli([]).returncode == 1
     assert _run_cli(["wordcount", "1", "2"]).returncode == 1
     assert _run_cli(["unknown_job"]).returncode == 1
+
+
+def test_list_prints_full_inventory():
+    res = _run_cli(["list"])
+    assert res.returncode == 0
+    lines = [l for l in res.stdout.splitlines() if l.strip()]
+    names = {l.split("\t")[0] for l in lines}
+    assert len(names) >= 120
+    assert "wordcount" in names and "corpus_curation_report" in names
+
+
+def test_run_query_tsv_and_csv(tmp_path):
+    res = _run_cli(["run", "token_count", "/root/testdata/sf0.001"])
+    assert res.returncode == 0
+    lines = res.stdout.splitlines()
+    assert lines and "\t" in lines[0]  # header row
+
+    out = tmp_path / "csv_out"
+    res2 = _run_cli(["run", "token_count", "/root/testdata/sf0.001", str(out)])
+    assert res2.returncode == 0
+    import glob as globmod
+
+    assert globmod.glob(str(out / "*.csv")) or globmod.glob(str(out / "part-*"))
+
+
+def test_run_unknown_query_fails_cleanly():
+    res = _run_cli(["run", "no_such_query", "/root/testdata/sf0.001"])
+    assert res.returncode == 1
+    assert "unknown query" in res.stderr
