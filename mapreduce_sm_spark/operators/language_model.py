@@ -148,3 +148,103 @@ def zipf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("top_cnt").cast("double")
         ).alias("zipf_product"),
     ).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: pointwise mutual information of adjacent word pairs —
+# log( p(w1,w2) / (p(w1) p(w2)) ). The standard collocation miner a
+# corpus pipeline runs to find multiword expressions worth preserving as
+# units during tokenization. All counts are exact integers; the only
+# float math is the final ratio + ln, rounded to 6 digits in both
+# engines (libm ln can differ in the last ulp across engines).
+#
+# 100 TB shape: bigram and unigram counts are the same two shuffles as
+# bigram_lm_counts; the unigram side joins back on w1 then w2 (vocab-
+# sized equality joins); the corpus totals are a 1-row broadcast.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+_PMI_ORACLE = f"""
+WITH {_TOKS_CTE},
+bi AS (
+  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+bc AS (
+  SELECT w1, w2, count(*) AS cnt_ab FROM bi
+  WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+uc AS (SELECT w AS word, count(*) AS cnt FROM toks GROUP BY w),
+tot AS (
+  SELECT (SELECT sum(cnt) FROM uc)::DOUBLE AS n_uni,
+         (SELECT sum(cnt_ab) FROM bc)::DOUBLE AS n_bi
+)
+SELECT b.w1, b.w2, b.cnt_ab,
+       round(ln((b.cnt_ab::DOUBLE / t.n_bi)
+                / ((a.cnt::DOUBLE / t.n_uni) * (c.cnt::DOUBLE / t.n_uni))),
+             6) AS pmi
+FROM bc b
+JOIN uc a ON b.w1 = a.word
+JOIN uc c ON b.w2 = c.word
+CROSS JOIN tot t
+WHERE b.cnt_ab >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT 100
+"""
+
+
+@REGISTRY.register(
+    "pmi_collocations",
+    oracle=_PMI_ORACLE,
+    description="top-100 adjacent-pair collocations by pointwise mutual information",
+    tags=("text", "ngram", "statistics"),
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = tokenize_words("text")
+    n = F.size(t)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+        ),
+    )
+    bc = (
+        docs.select(F.explode(pairs).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt_ab"))
+    )
+    uc = (
+        docs.select(F.explode(t).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = uc.agg(F.sum("cnt").cast("double").alias("n_uni")).crossJoin(
+        bc.agg(F.sum("cnt_ab").cast("double").alias("n_bi"))
+    )
+    a = uc.select(F.col("word").alias("w1"), F.col("cnt").alias("cnt_a"))
+    c = uc.select(F.col("word").alias("w2"), F.col("cnt").alias("cnt_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("cnt_ab").cast("double") / F.col("n_bi"))
+            / (
+                (F.col("cnt_a").cast("double") / F.col("n_uni"))
+                * (F.col("cnt_b").cast("double") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    return (
+        bc.filter(F.col("cnt_ab") >= _PMI_MIN_COUNT)
+        .join(a, "w1")
+        .join(c, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "cnt_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(100)
+    )

@@ -729,3 +729,80 @@ def approx_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics: clip a metric at its per-group p01/p99 before
+# aggregating — the standard outlier-robust cleaning step before a metric
+# feeds sampling weights or quality scores. Percentile parity: Spark
+# `percentile` == DuckDB `quantile_cont` bit-for-bit (see
+# percentiles_order_price); the clipped values are rounded to 2 decimals
+# before the exact decimal sum so the mean is order-independent.
+#
+# 100 TB shape: two aggregations over the same o_orderpriority hash
+# partitioning (percentile frame is |groups| rows, broadcast back); the
+# clip itself is codegen'd per-row math.
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH cuts AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.01) AS p01,
+         quantile_cont(o_totalprice, 0.99) AS p99
+  FROM orders GROUP BY o_orderpriority
+),
+clipped AS (
+  SELECT o.o_orderpriority,
+         o.o_totalprice,
+         round(least(greatest(o.o_totalprice, c.p01), c.p99), 2) AS w
+  FROM orders o JOIN cuts c ON o.o_orderpriority = c.o_orderpriority
+)
+SELECT o_orderpriority,
+       count(*) AS n,
+       (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR))::DOUBLE
+           / count(*) AS mean_raw,
+       (CAST(sum(CAST(w AS DECIMAL(18,2))) AS VARCHAR))::DOUBLE
+           / count(*) AS mean_winsorized,
+       sum(CASE WHEN w <> o_totalprice THEN 1 ELSE 0 END) AS n_clipped
+FROM clipped
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@REGISTRY.register(
+    "winsorized_price_stats",
+    oracle=_WINSOR_ORACLE,
+    description="p01/p99-winsorized mean vs raw mean per order priority",
+    tags=("aggregate", "percentile", "cleaning"),
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    cuts = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.01)).alias("p01"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )
+    w = F.round(
+        F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99")), 2
+    )
+    clipped = o.join(F.broadcast(cuts), "o_orderpriority").select(
+        "o_orderpriority", "o_totalprice", w.alias("w")
+    )
+    return (
+        clipped.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("mean_raw"),
+            (
+                F.sum(F.col("w").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("mean_winsorized"),
+            F.sum(
+                F.when(F.col("w") != F.col("o_totalprice"), 1).otherwise(0)
+            ).alias("n_clipped"),
+        )
+        .orderBy("o_orderpriority")
+    )
