@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from mapreduce_sm_spark.functions.vectors import cosine_similarity, cosine_sql
+from mapreduce_sm_spark.functions.vectors import (
+    cosine_similarity,
+    cosine_sql,
+    norm_sql,
+)
 from mapreduce_sm_spark.registry import REGISTRY
 from mapreduce_sm_spark.session import fan_out, table
 
@@ -473,4 +477,60 @@ def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bounded_ok",
         )
         .orderBy("q_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm distribution per label: the vector-health diagnostic a
+# pipeline runs before indexing (un-normalized or degenerate shards show
+# up as displaced norm quantiles). Per-row norm is a codegen'd fold in
+# index order (bit-identical in both engines); the quantiles interpolate
+# over identical inputs (Spark `percentile` == DuckDB `quantile_cont`),
+# and everything emitted is rounded to 6 digits at the boundary.
+#
+# 100 TB shape: one map-side fold per row + one shuffle on label; the
+# percentile state per group is that label's norms (a sort within the
+# group's partition — labels are the natural shard unit).
+# ---------------------------------------------------------------------------
+
+_NORM_ORACLE = f"""
+WITH n AS (
+  SELECT label, {norm_sql('embedding')} AS nrm FROM embeddings
+)
+SELECT label,
+       count(*) AS n_vecs,
+       round(quantile_cont(nrm, 0.25), 6) AS p25,
+       round(quantile_cont(nrm, 0.50), 6) AS p50,
+       round(quantile_cont(nrm, 0.75), 6) AS p75,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM n
+GROUP BY label
+ORDER BY label
+"""
+
+
+@REGISTRY.register(
+    "embedding_norm_quantiles",
+    oracle=_NORM_ORACLE,
+    description="per-label L2-norm quartiles of the embedding corpus",
+    tags=("similarity", "statistics"),
+)
+def embedding_norm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.functions.vectors import l2_norm
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "label", l2_norm("embedding").alias("nrm")
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.percentile("nrm", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("nrm", F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile("nrm", F.lit(0.75)), 6).alias("p75"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
     )
