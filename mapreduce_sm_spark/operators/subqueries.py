@@ -410,3 +410,79 @@ def q2_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey", "c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery with ORDER BY + LIMIT — the per-row top-k
+# SQL shape (Spark 4 decorrelates it into a ranked join; the plan never
+# executes the inner query once per outer row). Top-2 orders by price per
+# active customer. Both engines run the IDENTICAL SQL text.
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+FROM (SELECT DISTINCT o_custkey AS c_custkey FROM orders) c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) l
+ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey
+"""
+
+
+@REGISTRY.register(
+    "lateral_top2_orders",
+    oracle=_LATERAL_SQL,
+    description="LATERAL correlated top-2 subquery per customer (decorrelated by Catalyst)",
+    tags=("sql", "subquery", "lateral", "topk"),
+)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE, UNION ALL form): build a month
+# spine from the first to the last order month by recursion, then
+# left-join per-month order counts so gap months appear with 0 — the
+# recursive twin of calendar_spine_orders' sequence() generator. The
+# recursion is acyclic and bounded by the date span (Spark's recursive
+# CTE currently supports UNION ALL only, so cyclic closures like
+# connected components stay on the iterative DataFrame path).
+#
+# Perf note: Spark schedules one job per recursion step, so an N-month
+# span costs N sequential tiny jobs — fine for a bounded spine, wrong
+# for long chains. The production calendar path is the sequence()
+# generator (calendar_spine_orders); this query exists to cover the
+# WITH RECURSIVE surface with an oracle.
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+),
+per_month AS (
+  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT CAST(months.m AS DATE) AS month, coalesce(per_month.n, 0) AS n_orders
+FROM months LEFT JOIN per_month ON months.m = per_month.m
+ORDER BY month
+"""
+
+
+@REGISTRY.register(
+    "recursive_month_spine",
+    oracle=_RECURSIVE_SQL,
+    description="WITH RECURSIVE month spine + gap-filled order counts",
+    tags=("sql", "recursive", "calendar"),
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SQL)
