@@ -45,13 +45,13 @@ from mapreduce_sm_spark.registry import REGISTRY
 # Round-4 driver window: the external correctness gate verifies the first 50
 # entries of queries(). Priority order (the r03 verdict's own framework —
 # never-driver-verified first): (1) the two queries that have NEVER been
-# driver-green (both broken in r03, both fixed this round), (2) the seven
+# driver-green (both broken in r03, both fixed this round), (2) the twelve
 # operators ADDED this round (no driver row exists yet), (3) every query
 # whose code or source path changed this round (funnel nullif, LSH join
 # aliasing, the streaming-source schema rework), (4) the queries the r03
 # sample skipped, oldest driver evidence first (the r01-era set). The
-# ~29 that don't fit the window have green r01/r02 driver rows and stay
-# covered by tests/test_oracle_parity.py (sf0.001) and the committed
+# remainder that don't fit the window have green r01/r02 driver rows and
+# stay covered by tests/test_oracle_parity.py (sf0.001) and the committed
 # VERIFY_LOCAL_r04.txt sf0.01 log (exact-float compare).
 REGISTRY.set_front(
     (
@@ -66,6 +66,11 @@ REGISTRY.set_front(
         "corpus_curation_report",
         "cogrouped_asof_gap",
         "dedup_events_time_window",
+        "pmi_collocations",
+        "winsorized_price_stats",
+        "embedding_norm_quantiles",
+        "lateral_top2_orders",
+        "recursive_month_spine",
         # --- code changed this round: re-verify under the driver ---
         "funnel_view_click_purchase",
         "ann_lsh_topk",
@@ -104,10 +109,5 @@ REGISTRY.set_front(
         "scalar_functions",
         "scalar_subquery_part_avg",
         "setops_multiset",
-        "setops_nations",
-        "skew_salted_agg",
-        "stats_moments_lineitem",
-        "string_functions_extended",
-        "topk_orders",
     )
 )
