@@ -71,6 +71,7 @@ REGISTRY.set_front(
         "embedding_norm_quantiles",
         "lateral_top2_orders",
         "recursive_month_spine",
+        "variant_props_stats",
         # --- code changed this round: re-verify under the driver ---
         "funnel_view_click_purchase",
         "ann_lsh_topk",
@@ -108,6 +109,5 @@ REGISTRY.set_front(
         "rollup_lineitem",
         "scalar_functions",
         "scalar_subquery_part_avg",
-        "setops_multiset",
     )
 )

@@ -162,3 +162,46 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured path (Spark 4): parse the JSON props column
+# into the binary VARIANT encoding once, then typed-extract fields with
+# variant_get — the columnar-shredded fast path for schema-on-read data
+# (vs per-access string re-parsing with get_json_object). The DuckDB
+# oracle extracts the same values via its JSON type; the emitted columns
+# are plain longs so the comparison is encoding-independent.
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       count(json_extract(props, '$.k')) AS n_with_k,
+       sum((json_extract(props, '$.k'))::BIGINT) AS sum_k,
+       min((json_extract(props, '$.k'))::BIGINT) AS min_k,
+       max((json_extract(props, '$.k'))::BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@REGISTRY.register(
+    "variant_props_stats",
+    oracle=_VARIANT_ORACLE,
+    description="VARIANT parse_json + typed variant_get over the props column",
+    tags=("json", "variant"),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
