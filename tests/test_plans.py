@@ -187,3 +187,15 @@ def test_stratified_sample_no_global_sort(spark):
     # exactly one hash exchange on lang for both windows; the only range
     # exchange is the final tiny ORDER BY of the sampled rows
     assert plan.count("Exchange hashpartitioning(lang") == 1
+
+
+def test_lateral_topk_is_decorrelated(spark):
+    """The LATERAL ORDER BY+LIMIT subquery must plan as a ranked join
+    (row_number + WindowGroupLimit pruning), never per-outer-row
+    execution or a cartesian product."""
+    from mapreduce_sm_spark.operators.subqueries import lateral_top2_orders
+
+    plan = _plan(lateral_top2_orders(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
