@@ -72,6 +72,7 @@ REGISTRY.set_front(
         "lateral_top2_orders",
         "recursive_month_spine",
         "variant_props_stats",
+        "profile_orders_columns",
         # --- code changed this round: re-verify under the driver ---
         "funnel_view_click_purchase",
         "ann_lsh_topk",
@@ -108,6 +109,5 @@ REGISTRY.set_front(
         "q5_local_supplier_volume",
         "rollup_lineitem",
         "scalar_functions",
-        "scalar_subquery_part_avg",
     )
 )

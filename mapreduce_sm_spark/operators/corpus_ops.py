@@ -398,3 +398,61 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling: the null/distinct/count census a pipeline takes of a
+# new table before trusting it. One aggregation pass computes every
+# column's stats (no per-column scans); the output unpivots to one row
+# per column so downstream checks can diff profiles across snapshots.
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+       count(*) - count(o_custkey) AS n_null,
+       count(DISTINCT o_custkey) AS n_distinct
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice) FROM orders
+ORDER BY column_name
+"""
+
+_PROFILE_COLS = ("o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+
+
+@REGISTRY.register(
+    "profile_orders_columns",
+    oracle=_PROFILE_ORACLE,
+    description="per-column null/distinct census of orders in one aggregation pass",
+    tags=("profiling", "aggregate"),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append((F.count("*") - F.count(c)).alias(f"null_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"dist_{c}"))
+    wide = o.agg(*aggs)
+    # unpivot the single wide row into (column_name, n_rows, n_null,
+    # n_distinct) via a stack expression — still one job, one scan
+    stack_expr = ", ".join(
+        f"'{c}', null_{c}, dist_{c}" for c in _PROFILE_COLS
+    )
+    return (
+        wide.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_expr}) "
+                "AS (column_name, n_null, n_distinct)"
+            ),
+        )
+        .select("column_name", "n_rows", "n_null", "n_distinct")
+        .orderBy("column_name")
+    )
