@@ -73,6 +73,8 @@ REGISTRY.set_front(
         "recursive_month_spine",
         "variant_props_stats",
         "profile_orders_columns",
+        "cdc_merge_audit",
+        "fuzzy_source_names",
         # --- code changed this round: re-verify under the driver ---
         "funnel_view_click_purchase",
         "ann_lsh_topk",
@@ -107,7 +109,5 @@ REGISTRY.set_front(
         "q2_min_per_group",
         "q3_shipping_priority",
         "q5_local_supplier_volume",
-        "rollup_lineitem",
-        "scalar_functions",
     )
 )

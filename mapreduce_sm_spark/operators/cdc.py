@@ -83,3 +83,65 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("o_totalprice").alias("o_totalprice"),
         date_str(pick("o_orderdate")).alias("o_orderdate"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Merge audit: the counts every CDC job emits alongside the merged
+# snapshot — how many keys were updated / inserted / untouched, and the
+# money delta the updates introduced. Same deterministic change feed as
+# merge_upsert_orders; the audit is one aggregation over the same
+# full-outer join (exact decimal sums for the delta).
+# ---------------------------------------------------------------------------
+
+_MERGE_AUDIT_ORACLE = """
+WITH changes AS (
+  SELECT o_orderkey, o_totalprice + 100.0 AS new_price, o_totalprice AS old_price_hint
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, NULL
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT count(CASE WHEN b.o_orderkey IS NOT NULL AND c.o_orderkey IS NOT NULL
+                  THEN 1 END) AS n_updated,
+       count(CASE WHEN b.o_orderkey IS NULL THEN 1 END) AS n_inserted,
+       count(CASE WHEN c.o_orderkey IS NULL THEN 1 END) AS n_unchanged,
+       (CAST(sum(CASE WHEN b.o_orderkey IS NOT NULL AND c.o_orderkey IS NOT NULL
+                 THEN CAST(c.new_price - b.o_totalprice AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR))::DOUBLE
+           AS updated_price_delta
+FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+"""
+
+
+@REGISTRY.register(
+    "cdc_merge_audit",
+    oracle=_MERGE_AUDIT_ORACLE,
+    description="CDC merge audit: updated/inserted/unchanged counts + exact price delta",
+    tags=("cdc", "aggregate"),
+)
+def cdc_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    updates = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") + 100.0).alias("new_price")
+    )
+    inserts = base.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    changes = updates.unionAll(inserts)
+    j = base.alias("b").join(
+        changes.alias("c"),
+        F.col("b.o_orderkey") == F.col("c.o_orderkey"),
+        "full_outer",
+    )
+    in_both = F.col("b.o_orderkey").isNotNull() & F.col("c.o_orderkey").isNotNull()
+    delta = F.when(
+        in_both,
+        (F.col("c.new_price") - F.col("b.o_totalprice")).cast("decimal(18,2)"),
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return j.agg(
+        F.count(F.when(in_both, 1)).alias("n_updated"),
+        F.count(F.when(F.col("b.o_orderkey").isNull(), 1)).alias("n_inserted"),
+        F.count(F.when(F.col("c.o_orderkey").isNull(), 1)).alias("n_unchanged"),
+        F.sum(delta).cast("double").alias("updated_price_delta"),
+    )

@@ -149,3 +149,46 @@ def union_by_name_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.unionByName(supp, allowMissingColumns=True).orderBy(
         "kind", "key"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy matching surface: Levenshtein edit distance between the distinct
+# source names — the entity-resolution primitive for catalog/source
+# reconciliation (near-identical source labels are a classic corpus
+# bookkeeping bug). Both engines implement the standard edit distance,
+# so the integers agree exactly. The pair space is |sources|² on a
+# deduplicated, broadcast-sized dimension — never the corpus itself.
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 3
+
+_FUZZY_SOURCES_ORACLE = f"""
+WITH s AS (SELECT DISTINCT source FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       levenshtein(a.source, b.source) AS dist
+FROM s a JOIN s b ON a.source < b.source
+WHERE levenshtein(a.source, b.source) <= {_FUZZY_MAX_DIST}
+ORDER BY source_a, source_b
+"""
+
+
+@REGISTRY.register(
+    "fuzzy_source_names",
+    oracle=_FUZZY_SOURCES_ORACLE,
+    description="near-identical source labels by Levenshtein distance <= 3",
+    tags=("string", "fuzzy", "governance"),
+)
+def fuzzy_source_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "documents").select("source").distinct()
+    a = s.select(F.col("source").alias("source_a"))
+    b = s.select(F.col("source").alias("source_b"))
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.levenshtein("source_a", "source_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+        .orderBy("source_a", "source_b")
+    )
