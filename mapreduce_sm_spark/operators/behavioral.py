@@ -240,71 +240,95 @@ def retention_cohorts_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Z-score anomaly detection per event_type. Mean/stddev come from exact
-# decimal component sums (the stats_moments_lineitem pattern); the derived
-# per-row z is still a chain of float ops whose last ulps can differ
-# between engines, so every emitted float — and the z fed to the |z| > 2
-# cut — is rounded to 6 digits on BOTH sides (the round(...,6) discipline
-# the similarity queries use). r03 post-mortem: the unrounded version
-# agreed to 9 digits but failed the driver's exact hash.
+# Z-score anomaly detection per event_type, computed entirely in exact
+# integer arithmetic so no emitted value and no decision boundary depends
+# on double ulp agreement between engines (r03/r04 post-mortem: the
+# round(z, 6) > 2 cut and the round-6 double outputs failed the driver's
+# exact hash twice while passing the identical local gate — the boundary
+# itself has to leave the double domain).
+#
+# Derivation: with v4 = value scaled to 1e-4 units (an exact integer —
+# the fixture's value is a 2-decimal quantity, so value*1e4 sits ~4e-8
+# from the integer grid and both engines' round() agree), the sample
+# z-score condition |v - mean| / std > 2 is equivalent to
+#
+#   (n*v4 - sx4)^2 * (n - 1)  >  4 * n * (n*sxx8 - sx4^2)
+#
+# where sx4 = sum(v4), sxx8 = sum(v4^2): multiply through by n^2*(n-1)
+# and by 1e8 to clear both denominators. Every term is an integer;
+# Spark evaluates them in DECIMAL(38,0) (values stay < 1e33 even at
+# sf10), the oracle in HUGEINT. A zero-variance group makes the RHS 0
+# and the LHS 0 as well (all v equal), so no anomaly — matching the
+# z-undefined-at-std=0 convention of the double version.
+#
+# Emitted stats are exact integers too: floor-scaled mean (1e-4 units)
+# via integer division, plus min/max in the same units.
 # ---------------------------------------------------------------------------
 
 _ZSCORE_ORACLE = """
-WITH comp AS (
+WITH v AS (
   SELECT event_type,
-         count(*)::DOUBLE AS n,
-         (CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR))::DOUBLE AS sx,
-         (CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS VARCHAR))::DOUBLE AS sxx
-  FROM events GROUP BY event_type
+         CAST(round(value * 10000) AS HUGEINT) AS v4
+  FROM events
 ),
-stats AS (
-  SELECT event_type, n, sx / n AS mean,
-         sqrt((sxx - sx * sx / n) / (n - 1)) AS std
-  FROM comp
+comp AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(v4) AS HUGEINT) AS sx4,
+         CAST(sum(v4 * v4) AS HUGEINT) AS sxx8,
+         min(v4) AS min_q4,
+         max(v4) AS max_q4
+  FROM v GROUP BY event_type
 )
-SELECT e.event_type,
-       count(*) AS n_events,
-       sum(CASE WHEN round(abs((e.value - s.mean) / s.std), 6) > 2
-                THEN 1 ELSE 0 END) AS n_anomalies,
-       max(round(abs((e.value - s.mean) / s.std), 6)) AS max_abs_z,
-       round(min(s.mean), 6) AS mean_value,
-       round(min(s.std), 6) AS std_value
-FROM events e JOIN stats s ON e.event_type = s.event_type
-GROUP BY e.event_type
-ORDER BY e.event_type
+SELECT v.event_type,
+       CAST(min(c.n) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN (c.n * v.v4 - c.sx4) * (c.n * v.v4 - c.sx4)
+                          * (c.n - 1)
+                          > 4 * c.n * (c.n * c.sxx8 - c.sx4 * c.sx4)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       CAST(min(c.sx4 // c.n) AS BIGINT) AS mean_q4,
+       CAST(min(c.min_q4) AS BIGINT) AS min_q4,
+       CAST(min(c.max_q4) AS BIGINT) AS max_q4
+FROM v JOIN comp c ON v.event_type = c.event_type
+GROUP BY v.event_type
+ORDER BY v.event_type
 """
 
 
 @REGISTRY.register(
     "anomaly_zscore_events",
     oracle=_ZSCORE_ORACLE,
-    description="per-type z-score outlier counts from exact component sums",
+    description="per-type z-score outlier counts via exact integer cross-multiplied cut",
     tags=("aggregate", "statistics", "behavioral"),
 )
 def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    x = F.col("value").cast("decimal(18,4)")
-    comp = ev.groupBy("event_type").agg(
-        F.count("*").cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(x * x).cast("double").alias("sxx"),
+    # exact integer grid: value is a 2-decimal quantity; *1e4 is ~4e-8
+    # from an integer so HALF_UP (Spark) vs nearbyint (DuckDB) agree
+    v4 = F.round(F.col("value") * 10000, 0).cast("long")
+    v = ev.select("event_type", v4.alias("v4"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    comp = v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v4").alias("sx4"),
+        # v4^2 in decimal so the sum can't overflow long at high SF
+        F.sum(F.col("v4").cast("decimal(19,0)") * F.col("v4").cast("decimal(19,0)")).alias("sxx8"),
+        F.min("v4").alias("min_q4"),
+        F.max("v4").alias("max_q4"),
     )
-    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    stats = comp.select(
-        "event_type",
-        (sx / n).alias("mean"),
-        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))).alias("std"),
-    )
-    z = F.round(F.abs((F.col("value") - F.col("mean")) / F.col("std")), 6)
+    # z > 2  <=>  (n*v4 - sx4)^2 * (n-1) > 4n * (n*sxx8 - sx4^2), exact
+    lhs_root = dec("n") * dec("v4") - dec("sx4")
+    lhs = lhs_root * lhs_root * (dec("n") - F.lit(1))
+    rhs = F.lit(4) * dec("n") * (dec("n") * F.col("sxx8") - dec("sx4") * dec("sx4"))
     return (
-        ev.join(F.broadcast(stats), "event_type")
+        v.join(F.broadcast(comp), "event_type")
         .groupBy("event_type")
         .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.when(z > 2, 1).otherwise(0)).alias("n_anomalies"),
-            F.max(z).alias("max_abs_z"),
-            F.round(F.min("mean"), 6).alias("mean_value"),
-            F.round(F.min("std"), 6).alias("std_value"),
+            F.min("n").alias("n_events"),
+            F.sum(F.when(lhs > rhs, 1).otherwise(0)).alias("n_anomalies"),
+            F.min(F.expr("sx4 DIV n")).alias("mean_q4"),
+            F.min("min_q4").alias("min_q4"),
+            F.min("max_q4").alias("max_q4"),
         )
         .orderBy("event_type")
     )
@@ -319,20 +343,31 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a lag window over that key's events.
 # ---------------------------------------------------------------------------
 
+# The 5-minute boundary test runs on int64 epoch-MICROS, not on
+# timestamp/interval arithmetic: Spark timestamps are always micros, and
+# the oracle casts through TIMESTAMP (micros) first, so even a fixture
+# regenerated with nanosecond precision truncates identically on both
+# sides (session.table() floors nanos DIV 1000 the same way). r04
+# post-mortem: the `ts <= prev_ts + INTERVAL 5 MINUTE` form sat exactly
+# on the boundary under fixture/engine drift and failed the exact hash.
+
 _EVENT_DEDUP_ORACLE = """
 WITH seq AS (
-  SELECT event_type, ts,
-         lag(ts) OVER (PARTITION BY user_id, event_type, value
-                       ORDER BY ts, event_id) AS prev_ts
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+         lag(epoch_us(CAST(ts AS TIMESTAMP)))
+             OVER (PARTITION BY user_id, event_type, value
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+             AS prev_tsu
   FROM events
 )
 SELECT event_type,
        count(*) AS n_events,
-       sum(CASE WHEN prev_ts IS NOT NULL
-                     AND ts <= prev_ts + INTERVAL 5 MINUTE
+       sum(CASE WHEN prev_tsu IS NOT NULL
+                     AND tsu <= prev_tsu + 300000000
                 THEN 1 ELSE 0 END) AS n_dropped,
-       count(*) - sum(CASE WHEN prev_ts IS NOT NULL
-                                AND ts <= prev_ts + INTERVAL 5 MINUTE
+       count(*) - sum(CASE WHEN prev_tsu IS NOT NULL
+                                AND tsu <= prev_tsu + 300000000
                            THEN 1 ELSE 0 END) AS n_kept
 FROM seq
 GROUP BY event_type
@@ -347,14 +382,18 @@ ORDER BY event_type
     tags=("dedup", "window", "behavioral"),
 )
 def dedup_events_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type", "value").orderBy(
-        "ts", "event_id"
+    # session TZ is pinned UTC (session.py), so the NTZ->TZ cast is a
+    # wall-clock no-op and unix_micros matches DuckDB's epoch_us exactly
+    ev = table(spark, sf_dir, "events").withColumn(
+        "tsu", F.unix_micros(F.col("ts").cast("timestamp"))
     )
-    prev_ts = F.lag("ts").over(w)
+    w = Window.partitionBy("user_id", "event_type", "value").orderBy(
+        "tsu", "event_id"
+    )
+    prev_tsu = F.lag("tsu").over(w)
     dup = F.when(
-        prev_ts.isNotNull()
-        & (F.col("ts") <= prev_ts + F.expr("INTERVAL 5 MINUTES")),
+        prev_tsu.isNotNull()
+        & (F.col("tsu") <= prev_tsu + F.lit(300_000_000)),
         1,
     ).otherwise(0)
     return (

@@ -37,26 +37,34 @@ from mapreduce_sm_spark.session import table
 # (distinct whitespace tokens / total whitespace tokens — the cheap
 # repetition-penalizing score). Emits the per-source yield report a
 # pruning run produces, not the kept rows (those are a filter away).
+#
+# Engine-portable by construction (r04 post-mortem: the percent_rank <=
+# 0.5 cut over round-6 double ttr failed the driver's exact hash while
+# passing the identical local gate): the score is an exact integer —
+# ttr in floored parts-per-million, ttr_ppm = (distinct*1e6) div total —
+# and the keep-half cut is a row_number <= ceil(n/2) rank count. No
+# double appears anywhere in the ordering, the predicate, or the output.
 # ---------------------------------------------------------------------------
 
 _QUALITY_PRUNE_ORACLE = """
 WITH scored AS (
   SELECT source, doc_id,
-         round(len(list_distinct(string_split(text, ' ')))::DOUBLE
-               / len(string_split(text, ' '))::DOUBLE, 6) AS ttr
+         (len(list_distinct(string_split(text, ' '))) * 1000000)
+             // len(string_split(text, ' ')) AS ttr_ppm
   FROM documents
 ),
 ranked AS (
-  SELECT source, doc_id, ttr,
-         percent_rank() OVER (PARTITION BY source
-                              ORDER BY ttr DESC, doc_id) AS pr
+  SELECT source, doc_id, ttr_ppm,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY ttr_ppm DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
   FROM scored
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(CASE WHEN pr <= 0.5 THEN 1 ELSE 0 END) AS n_kept,
-       min(CASE WHEN pr <= 0.5 THEN ttr END) AS min_kept_ttr,
-       max(ttr) AS max_ttr
+       sum(CASE WHEN rn <= (n + 1) // 2 THEN 1 ELSE 0 END) AS n_kept,
+       min(CASE WHEN rn <= (n + 1) // 2 THEN ttr_ppm END) AS min_kept_ttr_ppm,
+       max(ttr_ppm) AS max_ttr_ppm
 FROM ranked
 GROUP BY source
 ORDER BY source
@@ -71,24 +79,26 @@ ORDER BY source
 )
 def quality_prune_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("source", "doc_id", "text")
-    toks = F.split("text", " ", -1)
-    ttr = F.round(
-        F.size(F.array_distinct(toks)).cast("double")
-        / F.size(toks).cast("double"),
-        6,
+    ttr_ppm = F.expr(
+        "CAST(size(array_distinct(split(text, ' ', -1))) AS BIGINT) * 1000000"
+        " DIV size(split(text, ' ', -1))"
     )
-    w = Window.partitionBy("source").orderBy(F.col("ttr").desc(), F.col("doc_id"))
-    ranked = docs.select("source", "doc_id", ttr.alias("ttr")).withColumn(
-        "pr", F.percent_rank().over(w)
+    w = Window.partitionBy("source").orderBy(
+        F.col("ttr_ppm").desc(), F.col("doc_id")
     )
-    keep = F.col("pr") <= 0.5
+    ranked = (
+        docs.select("source", "doc_id", ttr_ppm.alias("ttr_ppm"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("source")))
+    )
+    keep = F.col("rn") <= F.expr("(n + 1) DIV 2")
     return (
         ranked.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
-            F.min(F.when(keep, F.col("ttr"))).alias("min_kept_ttr"),
-            F.max("ttr").alias("max_ttr"),
+            F.min(F.when(keep, F.col("ttr_ppm"))).alias("min_kept_ttr_ppm"),
+            F.max("ttr_ppm").alias("max_ttr_ppm"),
         )
         .orderBy("source")
     )

@@ -166,20 +166,36 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # VARIANT semi-structured path (Spark 4): parse the JSON props column
-# into the binary VARIANT encoding once, then typed-extract fields with
+# into the binary VARIANT encoding once, then extract fields with
 # variant_get — the columnar-shredded fast path for schema-on-read data
-# (vs per-access string re-parsing with get_json_object). The DuckDB
-# oracle extracts the same values via its JSON type; the emitted columns
-# are plain longs so the comparison is encoding-independent.
+# (vs per-access string re-parsing with get_json_object).
+#
+# Cross-engine alignment (ADVICE r04): both sides extract $.k as its
+# STRING scalar text, keep it only when it is integral text
+# (^-?[0-9]+$ — engines disagree on fractional strings: DuckDB rounds
+# '2.7'::BIGINT, Spark does not), then try_cast to BIGINT. The counted
+# set is "rows whose k is present AND integral" under identical rules —
+# a fixture regenerated with k as a float, bool, or JSON null yields
+# the same NULL on both engines instead of a presence-vs-castable
+# divergence. The emitted columns are plain longs so the comparison is
+# encoding-independent.
 # ---------------------------------------------------------------------------
 
 _VARIANT_ORACLE = """
+WITH kx AS (
+  SELECT event_type,
+         TRY_CAST(CASE WHEN regexp_matches(
+                           json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS k
+  FROM events
+)
 SELECT event_type,
-       count(json_extract(props, '$.k')) AS n_with_k,
-       sum((json_extract(props, '$.k'))::BIGINT) AS sum_k,
-       min((json_extract(props, '$.k'))::BIGINT) AS min_k,
-       max((json_extract(props, '$.k'))::BIGINT) AS max_k
-FROM events
+       count(k) AS n_with_k,
+       sum(k) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM kx
 GROUP BY event_type
 ORDER BY event_type
 """
@@ -188,12 +204,16 @@ ORDER BY event_type
 @REGISTRY.register(
     "variant_props_stats",
     oracle=_VARIANT_ORACLE,
-    description="VARIANT parse_json + typed variant_get over the props column",
+    description="VARIANT parse_json + variant_get string extract, try_cast to long",
     tags=("json", "variant"),
 )
 def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    k_txt = "try_variant_get(try_parse_json(props), '$.k', 'string')"
+    k = F.expr(
+        f"try_cast(CASE WHEN {k_txt} RLIKE '^-?[0-9]+$'"
+        f" THEN {k_txt} END AS BIGINT)"
+    )
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

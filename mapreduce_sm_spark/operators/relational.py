@@ -9,7 +9,7 @@ runtime skew handling. Scale annotations are per query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_sm_spark.operators._parity import (
@@ -734,74 +734,91 @@ def approx_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Winsorized statistics: clip a metric at its per-group p01/p99 before
 # aggregating — the standard outlier-robust cleaning step before a metric
-# feeds sampling weights or quality scores. Percentile parity: Spark
-# `percentile` == DuckDB `quantile_cont` bit-for-bit (see
-# percentiles_order_price); the clipped values are rounded to 2 decimals
-# before the exact decimal sum so the mean is order-independent.
+# feeds sampling weights or quality scores.
 #
-# 100 TB shape: two aggregations over the same o_orderpriority hash
-# partitioning (percentile frame is |groups| rows, broadcast back); the
-# clip itself is codegen'd per-row math.
+# Engine-portable by construction (r04 post-mortem + ADVICE r04: the
+# interpolated quantile_cont cuts plus round(x,2) clipping landed on
+# .005 half-boundaries where Spark's HALF_UP and DuckDB's nearbyint
+# disagree, flipping both n_clipped and the hash): the metric is integer
+# CENTS (o_totalprice is a 2-decimal quantity; *100 sits ~4e-9 off the
+# integer grid, so both engines' round() agree), and the cuts are exact
+# ORDER STATISTICS — the cents value at rank ceil(0.01*n) / ceil(0.99*n)
+# — instead of interpolated quantiles. All emitted stats are integers;
+# means are floor-scaled via integer division (1e-4 dollar units).
+#
+# 100 TB shape: one window pass + one aggregation over the same
+# o_orderpriority hash partitioning (the cuts frame is |groups| rows,
+# broadcast back); the clip itself is codegen'd per-row integer math.
 # ---------------------------------------------------------------------------
 
 _WINSOR_ORACLE = """
-WITH cuts AS (
+WITH cents AS (
   SELECT o_orderpriority,
-         quantile_cont(o_totalprice, 0.01) AS p01,
-         quantile_cont(o_totalprice, 0.99) AS p99
-  FROM orders GROUP BY o_orderpriority
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
 ),
-clipped AS (
-  SELECT o.o_orderpriority,
-         o.o_totalprice,
-         round(least(greatest(o.o_totalprice, c.p01), c.p99), 2) AS w
-  FROM orders o JOIN cuts c ON o.o_orderpriority = c.o_orderpriority
+ranked AS (
+  SELECT o_orderpriority, c,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM cents
+),
+cuts AS (
+  SELECT o_orderpriority,
+         min(CASE WHEN rn = (n + 99) // 100 THEN c END) AS p01c,
+         min(CASE WHEN rn = (99 * n + 99) // 100 THEN c END) AS p99c
+  FROM ranked
+  GROUP BY o_orderpriority
 )
-SELECT o_orderpriority,
+SELECT r.o_orderpriority,
        count(*) AS n,
-       (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR))::DOUBLE
-           / count(*) AS mean_raw,
-       (CAST(sum(CAST(w AS DECIMAL(18,2))) AS VARCHAR))::DOUBLE
-           / count(*) AS mean_winsorized,
-       sum(CASE WHEN w <> o_totalprice THEN 1 ELSE 0 END) AS n_clipped
-FROM clipped
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
+       sum(r.c) AS sum_raw_cents,
+       sum(least(greatest(r.c, k.p01c), k.p99c)) AS sum_wins_cents,
+       (sum(r.c) * 100) // count(*) AS mean_raw_q4,
+       (sum(least(greatest(r.c, k.p01c), k.p99c)) * 100) // count(*)
+           AS mean_wins_q4,
+       sum(CASE WHEN r.c < k.p01c OR r.c > k.p99c THEN 1 ELSE 0 END)
+           AS n_clipped
+FROM ranked r JOIN cuts k ON r.o_orderpriority = k.o_orderpriority
+GROUP BY r.o_orderpriority
+ORDER BY r.o_orderpriority
 """
 
 
 @REGISTRY.register(
     "winsorized_price_stats",
     oracle=_WINSOR_ORACLE,
-    description="p01/p99-winsorized mean vs raw mean per order priority",
+    description="rank-based p01/p99-winsorized sums and floor-means per order priority, integer cents",
     tags=("aggregate", "percentile", "cleaning"),
 )
 def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    cuts = o.groupBy("o_orderpriority").agg(
-        F.percentile("o_totalprice", F.lit(0.01)).alias("p01"),
-        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
     )
-    w = F.round(
-        F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99")), 2
+    wspec = Window.partitionBy("o_orderpriority").orderBy("c")
+    ranked = o.withColumn("rn", F.row_number().over(wspec)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("o_orderpriority"))
     )
-    clipped = o.join(F.broadcast(cuts), "o_orderpriority").select(
-        "o_orderpriority", "o_totalprice", w.alias("w")
+    cuts = ranked.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("rn") == F.expr("(n + 99) DIV 100"), F.col("c"))).alias("p01c"),
+        F.min(F.when(F.col("rn") == F.expr("(99 * n + 99) DIV 100"), F.col("c"))).alias("p99c"),
     )
+    wc = "least(greatest(c, p01c), p99c)"
     return (
-        clipped.groupBy("o_orderpriority")
+        ranked.join(F.broadcast(cuts), "o_orderpriority")
+        .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            (
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
-                / F.count("*")
-            ).alias("mean_raw"),
-            (
-                F.sum(F.col("w").cast("decimal(18,2)")).cast("double")
-                / F.count("*")
-            ).alias("mean_winsorized"),
+            F.sum("c").alias("sum_raw_cents"),
+            F.expr(f"sum({wc})").alias("sum_wins_cents"),
+            F.expr("sum(c) * 100 DIV count(*)").alias("mean_raw_q4"),
+            F.expr(f"sum({wc}) * 100 DIV count(*)").alias("mean_wins_q4"),
             F.sum(
-                F.when(F.col("w") != F.col("o_totalprice"), 1).otherwise(0)
+                F.when(
+                    (F.col("c") < F.col("p01c")) | (F.col("c") > F.col("p99c")),
+                    1,
+                ).otherwise(0)
             ).alias("n_clipped"),
         )
         .orderBy("o_orderpriority")
