@@ -298,6 +298,7 @@ ORDER BY v.event_type
 @REGISTRY.register(
     "anomaly_zscore_events",
     oracle=_ZSCORE_ORACLE,
+    headline=True,
     description="per-type z-score outlier counts via exact integer cross-multiplied cut",
     tags=("aggregate", "statistics", "behavioral"),
 )
@@ -378,6 +379,7 @@ ORDER BY event_type
 @REGISTRY.register(
     "dedup_events_time_window",
     oracle=_EVENT_DEDUP_ORACLE,
+    headline=True,
     description="drop repeated (user,type,value) events within 5 min: per-type keep/drop counts",
     tags=("dedup", "window", "behavioral"),
 )

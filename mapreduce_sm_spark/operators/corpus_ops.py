@@ -74,6 +74,7 @@ ORDER BY source
 @REGISTRY.register(
     "quality_prune_per_source",
     oracle=_QUALITY_PRUNE_ORACLE,
+    headline=True,
     description="keep top-half docs per source by type-token ratio: per-source yield report",
     tags=("text", "quality", "window"),
 )

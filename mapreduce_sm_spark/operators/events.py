@@ -204,6 +204,7 @@ ORDER BY event_type
 @REGISTRY.register(
     "variant_props_stats",
     oracle=_VARIANT_ORACLE,
+    headline=True,
     description="VARIANT parse_json + variant_get string extract, try_cast to long",
     tags=("json", "variant"),
 )

@@ -788,6 +788,7 @@ ORDER BY r.o_orderpriority
 @REGISTRY.register(
     "winsorized_price_stats",
     oracle=_WINSOR_ORACLE,
+    headline=True,
     description="rank-based p01/p99-winsorized sums and floor-means per order priority, integer cents",
     tags=("aggregate", "percentile", "cleaning"),
 )

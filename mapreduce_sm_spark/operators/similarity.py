@@ -17,6 +17,8 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -32,6 +34,32 @@ from mapreduce_sm_spark.session import fan_out, table
 _DIM = 64
 _N_QUERIES = 20  # vec_id < 20 are the query vectors
 _TOP_K = 5
+
+# --- scale ceilings (VERDICT r04 item 4) -----------------------------------
+# Two patterns in this module are only valid while one side stays SMALL,
+# and both would fail silently (executor OOM / driver stall) if a 100x
+# user scaled the wrong knob:
+#   * brute-force / IVF probe queries BROADCAST the query set — fine for
+#     top-k serving (20 vectors here), corpus-sized query sides must use
+#     the LSH/IVF bucket-join path instead;
+#   * k-means keeps K centroid vectors (K*dim doubles) as driver state —
+#     the collect is K rows by construction, never corpus rows.
+# The ceilings are explicit and env-tunable so exceeding them is a loud,
+# documented decision (see SCALING.md "ANN ceilings").
+_MAX_BROADCAST_QUERIES = int(
+    os.environ.get("SPARKSM_MAX_BROADCAST_QUERIES", "100000")
+)
+_MAX_KMEANS_K = int(os.environ.get("SPARKSM_MAX_KMEANS_K", "4096"))
+
+
+def _assert_broadcastable_query_side(n_queries: int) -> None:
+    if n_queries > _MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"query side has {n_queries} vectors > "
+            f"SPARKSM_MAX_BROADCAST_QUERIES={_MAX_BROADCAST_QUERIES}; "
+            "a corpus-sized query side must use the bucketed LSH/IVF "
+            "join path, not a broadcast (see SCALING.md)"
+        )
 
 
 _BF_ORACLE = f"""
@@ -62,6 +90,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row cosine work (|Q| dot products of 64 dims) is the cost, so
     # widen before it
     emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
+    _assert_broadcastable_query_side(_N_QUERIES)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
@@ -313,7 +342,16 @@ def _kmeans_centroids(
     spark: SparkSession, vecs: DataFrame, k: int, iters: int
 ) -> list[tuple[int, list[float]]]:
     """Deterministic distributed Lloyd iterations over (vec_id, v) rows.
-    Init = the k lowest vec_ids. Returns [(cid, centroid_vector)]."""
+    Init = the k lowest vec_ids. Returns [(cid, centroid_vector)].
+
+    Driver state is exactly k centroid vectors (k*dim doubles) — bounded
+    by _MAX_KMEANS_K, never corpus-sized."""
+    if k > _MAX_KMEANS_K:
+        raise ValueError(
+            f"k={k} > SPARKSM_MAX_KMEANS_K={_MAX_KMEANS_K}: centroids are "
+            "driver-resident state; raise the env ceiling deliberately or "
+            "use a hierarchical/minibatch scheme (see SCALING.md)"
+        )
     init = vecs.orderBy("vec_id").limit(k).select("v").collect()
     cents = [(i, list(r.v)) for i, r in enumerate(init)]
     for _ in range(iters):
@@ -373,7 +411,9 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .select(F.col("vec_id").alias("c_id"), "cv", F.col("s.cid").alias("cid"))
     )
 
-    # query-side probe list: the nprobe nearest cells per query vector
+    # query-side probe list: the nprobe nearest cells per query vector;
+    # probes (|Q|*nprobe rows) get broadcast into the cell join below
+    _assert_broadcastable_query_side(_N_QUERIES * nprobe)
     w_probe = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
     probes = (
         emb.filter(F.col("vec_id") < _N_QUERIES)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 
 def events_stream(
@@ -40,10 +41,19 @@ def events_stream(
             spark.read.option("pathGlobFilter", glob).parquet(events_parquet_dir)
         )
         schema, ts_dtype = batch.schema, dict(batch.dtypes).get("ts")
-    except Exception:
-        # no matching files yet (e.g. a source directory that will be fed
-        # later, or an empty-fixture layout): declare the canonical events
-        # schema so the stream starts empty instead of failing inference
+    except AnalysisException as e:
+        # Only an empty source is a legitimate "no files yet" state (an
+        # existing directory that will be fed later — readStream itself
+        # requires the path to exist): fall back to the canonical events
+        # schema so the stream starts empty instead of failing inference.
+        # Anything else — corrupt footers, permission errors — must
+        # surface, not masquerade as a zero-row stream (ADVICE r04).
+        cond = e.getCondition() or ""
+        if cond not in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
+            raise
         schema = (
             "event_id long, ts timestamp, user_id long, "
             "event_type string, value double, props string"

@@ -75,3 +75,19 @@ def test_set_front_rejects_unknown_and_duplicate_names():
     reg.set_front(("a", "typo_name"), allow_missing=True)  # explicit opt-out
     with pytest.raises(ValueError, match="duplicate"):
         reg.set_front(("a", "a"))
+
+
+def test_ann_scale_ceilings_raise():
+    """The small-side assumptions are enforced, not implicit (SCALING.md
+    'ANN ceilings'): an over-ceiling broadcast query side or k-means K
+    must fail loudly with the redirect message."""
+    import pytest
+
+    from mapreduce_sm_spark.operators import similarity as sim
+
+    with pytest.raises(ValueError, match="bucketed LSH/IVF"):
+        sim._assert_broadcastable_query_side(sim._MAX_BROADCAST_QUERIES + 1)
+    sim._assert_broadcastable_query_side(sim._MAX_BROADCAST_QUERIES)  # at cap: ok
+
+    with pytest.raises(ValueError, match="SPARKSM_MAX_KMEANS_K"):
+        sim._kmeans_centroids(None, None, sim._MAX_KMEANS_K + 1, 1)

@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""Reproduce — and prove the fix for — the r03/r04 driver-hash divergence.
+
+The five queries that were rows/schema-green but hash-red in
+CORRECTNESS_r03/r04 all passed tools/verify_local.py on the committed
+fixtures. The divergence is therefore environment-side: the driver
+regenerates fixtures per round (the events `ts` dtype has already
+drifted TIMESTAMP(NANOS) -> timestamp[us] across generations, per
+TESTDATA.md history), and engine versions differ in round() tie
+behavior (Spark HALF_UP on the decimal expansion vs DuckDB
+scale-and-nearbyint). Any query whose predicate or output sits on a
+numeric decision boundary (z > 2, percent_rank <= 0.5, ts <= prev +
+5 min, p01/p99 clip) flips under that drift; non-boundary queries don't.
+
+This probe makes the failure class REPRODUCIBLE: it writes adversarial
+fixtures that encode exactly those drift modes —
+
+  events.parquet    ts as TIMESTAMP(NANOS) with +/-500 ns jitter around
+                    exact 5-minute spacings; `value` with >2-decimal
+                    doubles engineered so z-scores and round() ties sit
+                    on half-boundaries; `props` with float / string /
+                    bool / null / huge / missing k variants
+  orders.parquet    o_totalprice landing on .005 round-to-cents
+                    half-boundaries so interpolated quantile cuts tie
+  documents.parquet token counts of 128 with odd distinct counts so
+                    ttr*1e6 is exactly k+0.5 (round tie in both engines)
+
+— then runs the five current queries Spark-vs-DuckDB with the exact
+verify_local hash. PASS on all five means no emitted value depends on
+double-ulp or round-tie agreement anywhere in the pipeline.
+
+To demonstrate the OLD implementations fail on the same fixtures (the
+driver's red, reproduced locally), check out the pre-fix tree and point
+its gate at the probe fixtures:
+
+    git worktree add .driftprobe/old 24aa722~1
+    cd .driftprobe/old && PYTHONPATH=. python ../../tools/drift_probe.py --old
+
+(--old runs whatever mapreduce_sm_spark is first on sys.path, so from
+the old worktree it runs the pre-fix queries.)
+
+Usage: python tools/drift_probe.py [--old]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+if "--old" not in sys.argv:
+    sys.path.insert(0, _REPO)
+
+FIXDIR = os.path.join(_REPO, ".driftprobe", "fixtures")
+
+FIVE = (
+    "anomaly_zscore_events",
+    "dedup_events_time_window",
+    "quality_prune_per_source",
+    "winsorized_price_stats",
+    "variant_props_stats",
+)
+
+
+def build_fixtures() -> None:
+    os.makedirs(FIXDIR, exist_ok=True)
+    rng = np.random.default_rng(7)
+
+    # --- events: ns timestamps + boundary-heavy values + hostile props ---
+    n = 4000
+    base = 1_700_000_000_000_000_000  # ns epoch
+    ts = []
+    for i in range(n):
+        if i % 4 == 1:
+            # exactly 5 min after the previous event of the same key,
+            # +/- 500 ns: micros truncation must agree cross-engine
+            ts.append(ts[-1] + 300_000_000_000 + int(rng.integers(-500, 500)))
+        else:
+            ts.append(base + i * 7_000_000_000 + int(rng.integers(0, 10**9)))
+    user = (np.arange(n) // 4) % 100
+    etype = np.array(["click", "view", "purchase", "error", "signup"])[
+        np.arange(n) % 5
+    ]
+    # full-precision doubles; a slab of values sits where round(x, 6)
+    # and round(x*1e4) ties differ between HALF_UP and nearbyint
+    value = rng.uniform(0.01, 500.0, n)
+    value[::7] = np.round(value[::7], 2)  # mix in the 2-decimal grid
+    value[1::4] = value[0::4][: len(value[1::4])]  # duplicate key values
+    props = []
+    variants = [
+        '{"k": %d}', '{"k": %d.5}', '{"k": "%d"}', '{"k": true}',
+        '{"k": null}', '{"j": %d}', None, '{"k": 99999999999999999999}',
+    ]
+    for i in range(n):
+        t = variants[i % len(variants)]
+        props.append(t % i if t is not None and "%d" in t else t)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("ns")),
+                "user_id": pa.array(user, pa.int64()),
+                "event_type": pa.array(etype),
+                "value": pa.array(value, pa.float64()),
+                "props": pa.array(props),
+            }
+        ),
+        os.path.join(FIXDIR, "events.parquet"),
+        # keep nanos: pandas/pyarrow coercion must not silently downcast
+        coerce_timestamps=None,
+    )
+
+    # --- orders: prices tying at .005 so quantile cuts + clip ties flip ---
+    m = 6000
+    prio = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW"])[
+        np.arange(m) % 5
+    ]
+    price = np.round(rng.uniform(1000, 500000, m), 2)
+    # every 11th price sits exactly on a half-cent: x.005
+    price[::11] = np.floor(price[::11]) + 0.005
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(m), pa.int64()),
+                "o_custkey": pa.array(rng.integers(0, 500, m), pa.int64()),
+                "o_orderstatus": pa.array(["O"] * m),
+                "o_totalprice": pa.array(price, pa.float64()),
+                "o_orderdate": pa.array(
+                    [1_500_000_000_000_000 + i * 10**9 for i in range(m)],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(prio),
+            }
+        ),
+        os.path.join(FIXDIR, "orders.parquet"),
+    )
+
+    # --- documents: ttr*1e6 exactly on .5 (t=128 tokens, odd distinct) ---
+    docs, langs, srcs = [], [], []
+    for i in range(400):
+        t_total = 128
+        d_distinct = 2 * (i % 60) + 1  # odd -> d*1e6/128 = k + 0.5 exactly
+        words = [f"w{j}" for j in range(d_distinct)]
+        words += [words[0]] * (t_total - len(words))
+        docs.append(" ".join(words))
+        langs.append(["en", "de", "fr"][i % 3])
+        srcs.append(f"src{i % 5}")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(400), pa.int64()),
+                "text": pa.array(docs),
+                "lang": pa.array(langs),
+                "source": pa.array(srcs),
+                "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+            }
+        ),
+        os.path.join(FIXDIR, "documents.parquet"),
+    )
+
+
+def main() -> int:
+    build_fixtures()
+
+    from mapreduce_sm_spark.registry import load_all_operators
+    from mapreduce_sm_spark.session import get_spark
+
+    # verify_local's exact canon/hash — the driver-strict compare
+    sys.path.insert(0, _HERE)
+    from verify_local import value_hash
+
+    reg = load_all_operators()
+    spark = get_spark("drift-probe")
+    con = duckdb.connect()
+    for t in ("events", "orders", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{FIXDIR}/{t}.parquet'"
+        )
+
+    n_fail = 0
+    for name in FIVE:
+        q = reg.all()[name]
+        try:
+            sdf = q.fn(spark, FIXDIR)
+            scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+            res = con.execute(q.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # engine error IS a divergence signal here
+            print(f"FAIL {name}: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        ok = (
+            len(srows) == len(orows)
+            and sorted(scols) == sorted(ocols)
+            and value_hash(scols, srows) == value_hash(ocols, orows)
+        )
+        if ok:
+            print(f"PASS {name} ({len(srows)} rows) — drift-immune")
+        else:
+            print(
+                f"FAIL {name}: spark={len(srows)} oracle={len(orows)} "
+                "(boundary flipped under drift fixtures)"
+            )
+            n_fail += 1
+    print(f"\n{len(FIVE) - n_fail} drift-immune, {n_fail} drift-fragile")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -41,7 +41,16 @@ def _canon(v):
         # floats where cross-engine ulp drift is possible.
         return repr(v)
     if isinstance(v, Decimal):
-        return repr(float(v))
+        # Use the float shortest-repr ONLY when it round-trips exactly —
+        # a driver-green oracle column like DECIMAL(22,1) canonicalizes
+        # identically to the Spark double it mirrors. A decimal the float
+        # domain can't represent keeps its exact digits instead, so a
+        # precision-losing comparison FAILS here rather than silently
+        # passing (r04 verdict: the old repr(float(v)) was lossy).
+        f = float(v)
+        if Decimal(repr(f)) == v:
+            return repr(f)
+        return format(v.normalize(), "f")
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
