@@ -66,10 +66,34 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
+def print_env_stamp(sf_dir: str) -> None:
+    """Pin the oracle engine version and fixture schema fingerprints into
+    the gate log (VERDICT r04 item 5): environment drift — a different
+    DuckDB build or a regenerated fixture with a changed dtype — then
+    shows up as a one-line diff between rounds' VERIFY_LOCAL files
+    instead of as an unexplained red driver row."""
+    import pyarrow.parquet as pq
+    import pyspark
+
+    print(f"# env duckdb={duckdb.__version__} pyspark={pyspark.__version__}")
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        try:
+            schema = pq.read_schema(path)
+            sig = ",".join(
+                f"{f.name}:{f.type}" for f in schema  # noqa: B905
+            )
+            digest = hashlib.md5(sig.encode()).hexdigest()[:12]
+            print(f"# fixture {t} schema_md5={digest} [{sig}]")
+        except OSError as e:
+            print(f"# fixture {t} UNREADABLE: {e}")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    print_env_stamp(sf_dir)
     registry = load_all_operators()
     spark = get_spark("verify-local")
 
