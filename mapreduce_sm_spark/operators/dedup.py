@@ -115,19 +115,26 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lexicographic global order) inside BOTH docs' prefixes of length
 # n - ceil(t*n) + 1: elements before the smallest common shingle are by
 # definition unshared, and there are at most n - |A∩B| <= n - ceil(t*n) of
-# them. We index prefixes for a slightly lower bound (0.75 vs the 0.8
-# output threshold) so float noise and round(j,4) boundary cases can never
-# drop a true pair.
+# them. We index prefixes for a slightly lower bound (0.78 vs the 0.8
+# output threshold) so boundary cases can never drop a true pair.
+#
+# Jaccard is emitted and gated as an exact INTEGER — floor(j * 1e4),
+# "pm4" (per-myriad) units — computed with integer division in both
+# engines. The old round(j, 4) form ties exactly whenever the union size
+# carries enough powers of two (e.g. |A∪B| = 32 with odd intersection
+# makes j*1e4 exactly k+0.5), and engines/versions disagree on half-tie
+# direction — the same failure class that broke the five r04 hash-red
+# queries. floor(j*1e4) >= 8000 is exactly j >= 0.8 as a rational
+# comparison: no tie exists.
 # ---------------------------------------------------------------------------
 
 _JACCARD_K = 5
-_JACCARD_THRESHOLD = 0.8
-# The filter threshold needs only to be < the smallest true Jaccard the
-# output gate can admit: the gate tests round(j, 4) >= 0.8, i.e. true
-# j >= 0.79995, so 0.78 is recall-safe while keeping prefixes (and the
-# candidate join's fan-out, which scales ~quadratically with prefix
-# length on low-cardinality shingle corpora) ~12% shorter than the old
-# extra-conservative 0.75.
+_JACCARD_PM4 = 8000  # gate: floor(j * 1e4) >= 8000  <=>  j >= 0.8 exactly
+# The prefix filter threshold needs only to be < the smallest true
+# Jaccard the output gate can admit (now exactly 0.8), so 0.78 is
+# recall-safe while keeping prefixes (and the candidate join's fan-out,
+# which scales ~quadratically with prefix length on low-cardinality
+# shingle corpora) ~12% shorter than the old extra-conservative 0.75.
 _PREFIX_THRESHOLD = 0.78  # safety margin for the prefix filter
 
 _SH = char_shingles_sql("text", _JACCARD_K)
@@ -138,11 +145,11 @@ WITH sh AS (
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.s, b.s))::DOUBLE
-             / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 4) AS jaccard
+       (len(list_intersect(a.s, b.s)) * 10000)
+           // len(list_distinct(list_concat(a.s, b.s))) AS jaccard_pm4
 FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
-            / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 4) >= {_JACCARD_THRESHOLD}
+WHERE (len(list_intersect(a.s, b.s)) * 10000)
+          // len(list_distinct(list_concat(a.s, b.s))) >= {_JACCARD_PM4}
 ORDER BY doc_a, doc_b
 """
 
@@ -172,19 +179,31 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard(sa, sb):
-    inter = F.size(F.array_intersect(sa, sb))
-    union = F.size(F.array_distinct(F.concat(sa, sb)))
-    return F.round(inter.cast("double") / union.cast("double"), 4)
+def _idiv(num, den):
+    """Exact integer floor-division of two non-negative long Columns.
+
+    (num - num % den) is an exact multiple of den, and both operands stay
+    far below 2^53, so the double division below is EXACT — never the
+    off-by-one a plain floor(num/den) double division can produce. The
+    Column API has no `div` operator; this is its exact equivalent."""
+    return ((num - num % den) / den).cast("long")
 
 
-def _jaccard_sized(sa, sb, na, nb):
-    """Jaccard when both arrays are already distinct: |A∪B| = na+nb-|A∩B|.
+def _jaccard_pm4(sa, sb):
+    """floor(J(A,B) * 1e4) as an exact long (see module gate note)."""
+    inter = F.size(F.array_intersect(sa, sb)).cast("long")
+    union = F.size(F.array_distinct(F.concat(sa, sb))).cast("long")
+    return _idiv(inter * F.lit(10000), union)
 
-    Avoids materializing array_distinct(concat(...)) per pair — at verify
-    time that union array dominates the shuffle bytes."""
-    inter = F.size(F.array_intersect(sa, sb)).cast("double")
-    return F.round(inter / (na.cast("double") + nb.cast("double") - inter), 4)
+
+def _jaccard_sized_pm4(sa, sb, na, nb):
+    """floor-pm4 Jaccard when both arrays are already distinct:
+    |A∪B| = na+nb-|A∩B|. Avoids materializing array_distinct(concat(...))
+    per pair — at verify time that union array dominates the shuffle
+    bytes."""
+    inter = F.size(F.array_intersect(sa, sb)).cast("long")
+    union = na.cast("long") + nb.cast("long") - inter
+    return _idiv(inter * F.lit(10000), union)
 
 
 @REGISTRY.register(
@@ -322,11 +341,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             "doc_a",
             "doc_b",
-            _jaccard_sized(
+            _jaccard_sized_pm4(
                 F.col("sa"), F.col("sb"), F.col("na"), F.col("nb")
-            ).alias("jaccard"),
+            ).alias("jaccard_pm4"),
         )
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .filter(F.col("jaccard_pm4") >= _JACCARD_PM4)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -418,13 +437,13 @@ _MINHASH_CTES = f"""sh AS (
 )"""
 
 _MINHASH_PAIRS_SELECT = f"""SELECT doc_a, doc_b,
-       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-             / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 4) AS jaccard
+       (len(list_intersect(sa.sh, sb.sh)) * 10000)
+           // len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard_pm4
 FROM cand
 JOIN sh sa ON sa.doc_id = doc_a
 JOIN sh sb ON sb.doc_id = doc_b
-WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-            / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 4) >= {_JACCARD_THRESHOLD}"""
+WHERE (len(list_intersect(sa.sh, sb.sh)) * 10000)
+          // len(list_distinct(list_concat(sa.sh, sb.sh))) >= {_JACCARD_PM4}"""
 
 _MINHASH_ORACLE = f"""
 WITH {_MINHASH_CTES}
@@ -434,9 +453,9 @@ ORDER BY doc_a, doc_b
 
 
 def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, jaccard) — banded MinHash candidates verified with
-    exact Jaccard; the shared core of dedup_minhash and the end-to-end
-    corpus_near_dedup pipeline."""
+    """(doc_a, doc_b, jaccard_pm4) — banded MinHash candidates verified
+    with exact integer-pm4 Jaccard; the shared core of dedup_minhash and
+    the end-to-end corpus_near_dedup pipeline."""
     # hash shingles to 60-bit longs HERE, before the cache: md5 runs once
     # per shingle total; signatures and both verification join-backs all
     # work on the cached long array. Jaccard over 60-bit hashes equals
@@ -509,10 +528,10 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a",
         "doc_b",
-        _jaccard_sized(
+        _jaccard_sized_pm4(
             F.col("sa"), F.col("sb"), F.col("na"), F.col("nb")
-        ).alias("jaccard"),
-    ).filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        ).alias("jaccard_pm4"),
+    ).filter(F.col("jaccard_pm4") >= _JACCARD_PM4)
 
 
 @REGISTRY.register(

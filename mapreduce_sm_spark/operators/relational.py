@@ -557,7 +557,7 @@ SELECT
   year(o_orderdate) AS oyear,
   month(o_orderdate) AS omonth,
   datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since,
-  round(o_totalprice / 1000.0, 3) AS price_k,
+  (CAST(round(o_totalprice * 100) AS BIGINT) / 100000.0) AS price_k,
   CAST(floor(sqrt(o_totalprice)) AS BIGINT) AS sqrt_floor,
   abs(o_custkey - 100) AS custdist
 FROM orders
@@ -587,7 +587,15 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(
                 F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
             ).cast("long").alias("days_since"),
-            F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k"),
+            # price in k$ via exact integer cents / 1e5: a plain
+            # round(price/1000, 3) ties exactly on every .50-cent row,
+            # where engine round conventions can split (the r04 hash-red
+            # class); cents/1e5 is the identical IEEE division on both
+            # engines — no round, no tie
+            (
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                / F.lit(100000.0)
+            ).alias("price_k"),
             F.floor(F.sqrt("o_totalprice")).cast("long").alias("sqrt_floor"),
             F.abs(F.col("o_custkey") - 100).alias("custdist"),
         )

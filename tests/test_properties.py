@@ -84,7 +84,7 @@ def test_hash60_portable_and_in_range(spark, texts):
 # ---------------------------------------------------------------------------
 # AllPairs/PPJoin candidate-generation completeness: the prefix + length +
 # positional filters in operators/dedup.py::dedup_ngram_jaccard must never
-# drop a pair the output gate (round(J,4) >= 0.8) can admit. This mirrors
+# drop a pair the output gate (floor(J*1e4) >= 8000) can admit. This mirrors
 # the Spark candidate logic exactly in Python and checks it against brute
 # force on random set corpora — guarding the _PREFIX_THRESHOLD=0.78 margin
 # and the ceil(t/(1+t)(na+nb)) positional bound.
@@ -123,7 +123,7 @@ def _candidate_pairs_py(docs: list[list[int]], t: float) -> set[tuple[int, int]]
 )
 def test_prefix_filter_candidates_complete(doc_sets):
     from mapreduce_sm_spark.operators.dedup import (
-        _JACCARD_THRESHOLD,
+        _JACCARD_PM4,
         _PREFIX_THRESHOLD,
     )
 
@@ -133,8 +133,8 @@ def test_prefix_filter_candidates_complete(doc_sets):
     for a in range(len(docs)):
         for b in range(a + 1, len(docs)):
             sa, sb = set(docs[a]), set(docs[b])
-            j = round(len(sa & sb) / len(sa | sb), 4)
-            if j >= _JACCARD_THRESHOLD:
+            j = (len(sa & sb) * 10000) // len(sa | sb)
+            if j >= _JACCARD_PM4:
                 assert (a, b) in cands, (
                     f"true pair ({a},{b}) J={j} dropped by candidate filters"
                 )

@@ -65,6 +65,12 @@ FIVE = (
     "quality_prune_per_source",
     "winsorized_price_stats",
     "variant_props_stats",
+    # r05 preventive hardening: integer-pm4 jaccard gate, cents/1e5
+    # price_k — probed here so a regression back to round-tie forms fails
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "corpus_near_dedup",
+    "scalar_functions",
 )
 
 
