@@ -268,17 +268,21 @@ ORDER BY cluster_size
 # materializes pairs or collects rows.
 # ---------------------------------------------------------------------------
 
-_TTR_GATE = 0.5
+# Gate and mixture weights in exact integer units (floored ppm, integer
+# division in both engines): the old round-6 double ttr >= 0.5 gate and
+# the round-6 mixture ratio tie exactly on 2^k-heavy token counts /
+# sample totals — the r04 hash-red class (quality_prune_per_source).
+_TTR_GATE_PPM = 500_000
 
 _CURATION_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id, lang, text,
-         round(len(list_distinct(string_split(text, ' ')))::DOUBLE
-               / len(string_split(text, ' '))::DOUBLE, 6) AS ttr
+         (len(list_distinct(string_split(text, ' '))) * 1000000)
+             // len(string_split(text, ' ')) AS ttr_ppm
   FROM documents
 ),
 gated AS (
-  SELECT * FROM scored WHERE ttr >= {_TTR_GATE}
+  SELECT * FROM scored WHERE ttr_ppm >= {_TTR_GATE_PPM}
 ),
 uniq AS (
   SELECT min(doc_id) AS doc_id, min(lang) AS lang
@@ -307,7 +311,7 @@ raw AS (SELECT lang, count(*) AS n_raw FROM documents GROUP BY lang),
 gate AS (SELECT lang, count(*) AS n_gated FROM gated GROUP BY lang),
 tot AS (SELECT sum(n_sampled) AS total_sampled FROM sampled)
 SELECT r.lang, r.n_raw, g.n_gated, s.n_uniq, s.n_sampled,
-       round(s.n_sampled::DOUBLE / t.total_sampled::DOUBLE, 6) AS mixture_weight
+       (s.n_sampled * 1000000) // t.total_sampled AS mixture_weight_ppm
 FROM raw r
 JOIN gate g ON r.lang = g.lang
 JOIN sampled s ON r.lang = s.lang
@@ -325,14 +329,12 @@ ORDER BY r.lang
 )
 def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    toks = F.split("text", " ", -1)
-    ttr = F.round(
-        F.size(F.array_distinct(toks)).cast("double")
-        / F.size(toks).cast("double"),
-        6,
+    ttr_ppm = F.expr(
+        "CAST(size(array_distinct(split(text, ' ', -1))) AS BIGINT) * 1000000"
+        " DIV size(split(text, ' ', -1))"
     )
-    scored = docs.select("doc_id", "lang", "text", ttr.alias("ttr"))
-    gated = scored.filter(F.col("ttr") >= _TTR_GATE)
+    scored = docs.select("doc_id", "lang", "text", ttr_ppm.alias("ttr_ppm"))
+    gated = scored.filter(F.col("ttr_ppm") >= _TTR_GATE_PPM)
 
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
     uniq = (
@@ -373,11 +375,9 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_gated",
             "n_uniq",
             "n_sampled",
-            F.round(
-                F.col("n_sampled").cast("double")
-                / F.col("total_sampled").cast("double"),
-                6,
-            ).alias("mixture_weight"),
+            F.expr("n_sampled * 1000000 DIV total_sampled").alias(
+                "mixture_weight_ppm"
+            ),
         )
         .orderBy("lang")
     )

@@ -153,11 +153,18 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HIST_WIDTH = 25.0
 
+# lo/hi are RAW min/max doubles — both engines read the identical bits
+# from parquet, so no round is needed and none is wanted: round(x, 2)
+# would tie exactly on a .005-grid value where engine round conventions
+# split (the r04 hash-red class). bin_lo multiplies in the DOUBLE domain
+# on both sides (bin * 25.0 is exact; a decimal-typed product would pass
+# only via the gate's decimal->float canon).
+
 _HIST_ORACLE = f"""
-SELECT bin, bin * {_HIST_WIDTH} AS bin_lo,
+SELECT bin, bin * CAST({_HIST_WIDTH} AS DOUBLE) AS bin_lo,
        count(*) AS n,
-       round(min(value), 2) AS lo,
-       round(max(value), 2) AS hi
+       min(value) AS lo,
+       max(value) AS hi
 FROM (
   SELECT floor(value / {_HIST_WIDTH})::BIGINT AS bin, value FROM events
 )
@@ -179,8 +186,8 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(bin_col.alias("bin"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.min("value"), 2).alias("lo"),
-            F.round(F.max("value"), 2).alias("hi"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
         )
         .select(
             "bin",

@@ -17,15 +17,21 @@ from mapreduce_sm_spark.session import table
 # quality stats
 # ---------------------------------------------------------------------------
 
+# Ratios are emitted as exact PPM integers (floored parts-per-million,
+# integer division in both engines): round(small_int / small_int, 6)
+# ties exactly whenever the denominator carries enough powers of two
+# (e.g. n_chars = 128·odd), where engine round conventions can split —
+# the r04 hash-red class. Integer floor has no tie.
+
 _STATS_ORACLE = """
 SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+')) AS n_tokens,
        length(text) AS n_chars,
-       round(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
-             / length(text)::DOUBLE, 6) AS punct_ratio,
-       round(length(text)::DOUBLE
-             / nullif(len(regexp_extract_all(text, '[A-Za-z]+')), 0)::DOUBLE, 6)
-           AS chars_per_token
+       (len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1000000)
+           // length(text) AS punct_ppm,
+       (length(text) * 1000000)
+           // nullif(len(regexp_extract_all(text, '[A-Za-z]+')), 0)
+           AS chars_per_token_ppm
 FROM documents
 ORDER BY doc_id
 """
@@ -34,27 +40,26 @@ ORDER BY doc_id
 @REGISTRY.register(
     "text_quality_stats",
     oracle=_STATS_ORACLE,
-    description="per-doc quality stats: token count, punct ratio, chars/token",
+    description="per-doc quality stats: token count, punct ppm, chars/token ppm",
     tags=("text",),
 )
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0)))
-    n_chars = F.length("text")
-    punct = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", ""))
     return (
         docs.select(
             "doc_id",
-            n_tokens.cast("long").alias("n_tokens"),
-            n_chars.cast("long").alias("n_chars"),
-            F.round(punct.cast("double") / n_chars.cast("double"), 6).alias(
-                "punct_ratio"
-            ),
-            F.round(
-                n_chars.cast("double")
-                / F.nullif(n_tokens, F.lit(0)).cast("double"),
-                6,
-            ).alias("chars_per_token"),
+            F.expr(
+                "CAST(size(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT)"
+            ).alias("n_tokens"),
+            F.length("text").cast("long").alias("n_chars"),
+            F.expr(
+                "CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '')) AS BIGINT)"
+                " * 1000000 DIV length(text)"
+            ).alias("punct_ppm"),
+            F.expr(
+                "CAST(length(text) AS BIGINT) * 1000000"
+                " DIV nullif(size(regexp_extract_all(text, '[A-Za-z]+', 0)), 0)"
+            ).alias("chars_per_token_ppm"),
         )
         .orderBy("doc_id")
     )
@@ -251,12 +256,12 @@ df AS (
   SELECT term, count(*) AS df FROM tf GROUP BY term
 ),
 n AS (SELECT count(*) AS n_docs FROM documents)
-SELECT doc_id, term, score, rn AS rank
+SELECT doc_id, term, score_micro, rn AS rank
 FROM (
   SELECT tf.doc_id, tf.term,
-         round(tf.tf * (n.n_docs + 1)::DOUBLE / (df.df + 1)::DOUBLE, 6) AS score,
+         (tf.tf * (n.n_docs + 1) * 1000000) // (df.df + 1) AS score_micro,
          row_number() OVER (PARTITION BY tf.doc_id
-                            ORDER BY round(tf.tf * (n.n_docs + 1)::DOUBLE / (df.df + 1)::DOUBLE, 6) DESC,
+                            ORDER BY (tf.tf * (n.n_docs + 1) * 1000000) // (df.df + 1) DESC,
                                      tf.term ASC) AS rn
   FROM tf JOIN df USING (term) CROSS JOIN n
 )
@@ -268,7 +273,7 @@ ORDER BY doc_id, rank
 @REGISTRY.register(
     "tfidf_top_terms",
     oracle=_TFIDF_ORACLE,
-    description="TF-IDF (rational idf) top-3 terms per document",
+    description="TF-IDF (rational idf, exact micro-integer score) top-3 terms per document",
     tags=("text", "aggregate", "window"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,16 +293,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.count()  # scalar job; at scale a cheap metadata count
-    score = F.round(
-        F.col("tf") * F.lit(float(n_docs + 1)) / (F.col("df") + 1).cast("double"),
-        6,
+    # exact floored micro-score: round(tf*(N+1)/(df+1), 6) ties exactly
+    # when (df+1) is 2^k-heavy (the r04 hash-red class); integer floor
+    # division has no tie and both engines agree bit-for-bit. Headroom:
+    # tf<=doc len, (N+1)*1e6 <= 1e13 at sf10 -> product < 2^63.
+    score = F.expr(
+        f"tf * {n_docs + 1}L * 1000000L DIV (df + 1)"
     )
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("term").asc()
+        F.col("score_micro").desc(), F.col("term").asc()
     )
     return (
         tf.join(df, "term")
-        .select("doc_id", "term", score.alias("score"))
+        .select("doc_id", "term", score.alias("score_micro"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TFIDF_TOPN)
         .orderBy("doc_id", "rank")
@@ -665,8 +673,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partial-aggregable groupBys keyed by doc — no joins between documents.
 # ---------------------------------------------------------------------------
 
-_REP_TOP_BIGRAM_MAX = 0.20  # verdict thresholds (Gopher-style knobs)
-_REP_DUP_WORD_MAX = 0.80
+# Verdict thresholds (Gopher-style knobs) in exact pm4 units: fractions
+# are emitted as floor(frac * 1e4) longs and gated with integer
+# comparisons. The old round(frac, 4) form ties exactly when the word /
+# gram count is 2^k-heavy (the r04 hash-red class); integer floor
+# division has no tie and both engines compute it identically.
+_REP_TOP_BIGRAM_MAX_PM4 = 2000  # gate: pm4 > 2000 (~ frac > 0.20)
+_REP_DUP_WORD_MAX_PM4 = 8000  # gate: pm4 > 8000 (~ frac > 0.80)
 
 
 _REPETITION_ORACLE = f"""
@@ -688,16 +701,15 @@ per_doc AS (
 )
 SELECT t.doc_id,
        len(w) AS n_words,
-       round(CASE WHEN len(w) = 0 THEN 0.0
-             ELSE 1.0 - len(list_distinct(w))::DOUBLE / len(w)::DOUBLE
-             END, 4) AS dup_word_frac,
-       round(coalesce(top_cnt::DOUBLE / n_grams::DOUBLE, 0.0), 4)
-           AS top_bigram_frac,
-       (round(coalesce(top_cnt::DOUBLE / n_grams::DOUBLE, 0.0), 4)
-            > {_REP_TOP_BIGRAM_MAX}
-        OR round(CASE WHEN len(w) = 0 THEN 0.0
-                 ELSE 1.0 - len(list_distinct(w))::DOUBLE / len(w)::DOUBLE
-                 END, 4) > {_REP_DUP_WORD_MAX}) AS repetitive
+       CASE WHEN len(w) = 0 THEN 0
+            ELSE ((len(w) - len(list_distinct(w))) * 10000) // len(w)
+            END AS dup_word_pm4,
+       coalesce((top_cnt * 10000) // n_grams, 0) AS top_bigram_pm4,
+       (coalesce((top_cnt * 10000) // n_grams, 0)
+            > {_REP_TOP_BIGRAM_MAX_PM4}
+        OR CASE WHEN len(w) = 0 THEN 0
+                ELSE ((len(w) - len(list_distinct(w))) * 10000) // len(w)
+                END > {_REP_DUP_WORD_MAX_PM4}) AS repetitive
 FROM t LEFT JOIN per_doc ON t.doc_id = per_doc.doc_id
 ORDER BY t.doc_id
 """
@@ -716,14 +728,13 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokenize_words("text").alias("w")
     )
     n = F.size("w")
-    dup_word_frac = F.round(
-        F.when(n == 0, F.lit(0.0)).otherwise(
-            F.lit(1.0)
-            - F.size(F.array_distinct("w")).cast("double") / n.cast("double")
-        ),
-        4,
+    dup_word_pm4 = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        F.expr(
+            "CAST(size(w) - size(array_distinct(w)) AS BIGINT) * 10000"
+            " DIV size(w)"
+        )
     )
-    base = docs.select("doc_id", n.alias("n_words"), dup_word_frac.alias("dwf"))
+    base = docs.select("doc_id", n.alias("n_words"), dup_word_pm4.alias("dwf"))
     bigram_starts = F.when(n >= 2, F.sequence(F.lit(0), n - F.lit(2))).otherwise(
         F.array().cast("array<int>")
     )
@@ -744,23 +755,19 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_grams"))
     )
-    top_frac = F.round(
-        F.coalesce(
-            F.col("top_cnt").cast("double") / F.col("n_grams").cast("double"),
-            F.lit(0.0),
-        ),
-        4,
+    top_pm4 = F.coalesce(
+        F.expr("top_cnt * 10000 DIV n_grams"), F.lit(0).cast("long")
     )
     return (
         base.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_words",
-            F.col("dwf").alias("dup_word_frac"),
-            top_frac.alias("top_bigram_frac"),
+            F.col("dwf").alias("dup_word_pm4"),
+            top_pm4.alias("top_bigram_pm4"),
             (
-                (top_frac > _REP_TOP_BIGRAM_MAX)
-                | (F.col("dwf") > _REP_DUP_WORD_MAX)
+                (top_pm4 > _REP_TOP_BIGRAM_MAX_PM4)
+                | (F.col("dwf") > _REP_DUP_WORD_MAX_PM4)
             ).alias("repetitive"),
         )
         .orderBy("doc_id")
