@@ -47,14 +47,20 @@ from mapreduce_sm_spark.registry import REGISTRY
 # evidence first): (1) the five queries that have NEVER been driver-green,
 # all reworked this round onto exact integer boundaries (commit 24aa722 —
 # no emitted value or predicate depends on double-ulp agreement anymore);
-# (2) the nineteen queries whose newest driver evidence is r01 — three
-# rounds of code churn ago; (3) the seventeen whose newest evidence is r02
-# (the TPC-H tail and the batch window-family); (4) nine r03-era flagship
-# operators (wordcount/string_match §2.A parity, the headline dedup and
-# as-of surface). The 35 remaining r03 and 45 r04 rows stay out of the
-# window with fresher driver evidence, covered meanwhile by
-# tests/test_oracle_parity.py (sf0.001) and VERIFY_LOCAL_r05.txt (sf0.01,
-# exact hash, 130/130).
+# (2) every other query whose EMISSIONS changed in the r05 boundary sweep
+# (quarter-cent order-statistic quantiles, exact-rational PMI, raw
+# bit-identical doubles instead of scaled rounds, integer-cents frames and
+# thresholds — PLANS.md r05): their last driver green predates the new
+# output shape, so they now carry the weakest evidence after the five;
+# (3) the queries whose newest driver evidence is r01 — three rounds of
+# code churn ago; (4) the r02 TPC-H/json tail, oldest first, to fill 50.
+# Dropped vs the pre-sweep window to make room: unchanged r02 rows
+# (q4/q6/q7/q8/q9/q22, the streaming-window batch twins) and unchanged
+# r03 flagships (wordcount/string_match parity is binary-tested in
+# tests/test_reference_binary_parity.py; join_asof, merge_upsert,
+# dedup_connected_components are r03-green and untouched since). All
+# out-of-window rows remain covered by tests/test_oracle_parity.py
+# (sf0.001) and VERIFY_LOCAL_r05.txt (sf0.01, exact hash, 130/130).
 REGISTRY.set_front(
     (
         # --- never driver-green; boundary-reworked this round ---
@@ -63,11 +69,34 @@ REGISTRY.set_front(
         "quality_prune_per_source",
         "winsorized_price_stats",
         "variant_props_stats",
+        # --- emissions changed in the r05 sweep; driver evidence stale ---
+        "percentiles_order_price",
+        "embedding_norm_quantiles",
+        "pmi_collocations",
+        "promo_revenue_ratio",
+        "udaf_weighted_avg",
+        "array_functions_surface",
+        "embedding_similar_pairs",
+        "ann_ivf_recall_check",
+        "multimodal_resize_features",
+        "ann_lsh_topk",
+        "ann_bruteforce_topk",
+        "text_quality_stats",
+        "doc_repetition_stats",
+        "tfidf_top_terms",
+        "corpus_curation_report",
+        "histogram_event_values",
+        "window_lag_lead_events",
+        "window_moving_avg",
+        "q17_small_quantity_revenue",
+        "scalar_functions",
+        "dedup_minhash",
+        "dedup_ngram_jaccard",
+        "corpus_near_dedup",
         # --- newest driver evidence is r01 ---
         "calendar_spine_orders",
         "rollup_lineitem",
         "sample_documents_hashmod",
-        "scalar_functions",
         "scalar_subquery_part_avg",
         "setops_multiset",
         "setops_nations",
@@ -79,37 +108,14 @@ REGISTRY.set_front(
         "union_by_name_contacts",
         "unpivot_lineitem_measures",
         "window_distribution_funcs",
-        "window_lag_lead_events",
-        "window_moving_avg",
         "window_rank_top_orders",
         "window_running_total",
-        # --- newest driver evidence is r02 ---
+        # --- newest driver evidence is r02, oldest first ---
         "json_extract_events",
         "q12_late_shipment_priority",
         "q13_customer_distribution",
         "q16_part_supplier_variety",
-        "q17_small_quantity_revenue",
         "q20_volume_suppliers",
         "q21_waiting_suppliers",
-        "q22_dormant_customers",
-        "q4_order_priority",
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "session_window_events",
-        "sliding_window_events",
-        "tumbling_window_events",
-        "window_time_range_frame",
-        # --- r03-era flagships: reference parity + headline dedup ---
-        "wordcount",
-        "string_match",
-        "dedup_minhash",
-        "dedup_ngram_jaccard",
-        "dedup_connected_components",
-        "corpus_near_dedup",
-        "join_asof_events_orders",
-        "ann_bruteforce_topk",
-        "merge_upsert_orders",
     )
 )

@@ -97,11 +97,15 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# delta_value is the RAW IEEE difference — both engines subtract the same
+# two parquet doubles, so the bits agree without any rounding; a round(x, 6)
+# here would *introduce* the scaled-round tie divergence (PLANS.md r05) on
+# any future fixture whose values leave the 2-decimal grid.
 _LAG_ORACLE = """
 SELECT user_id, event_id,
        lag(event_type)  OVER w AS prev_type,
        lead(event_type) OVER w AS next_type,
-       round(value - coalesce(lag(value) OVER w, 0.0), 6) AS delta_value
+       value - coalesce(lag(value) OVER w, 0.0) AS delta_value
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, event_id
@@ -123,19 +127,34 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.lag("event_type").over(w).alias("prev_type"),
             F.lead("event_type").over(w).alias("next_type"),
-            F.round(
-                F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 6
+            (
+                F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0))
             ).alias("delta_value"),
         )
         .orderBy("user_id", "event_id")
     )
 
 
+# Engine-portable by construction: a double avg() over a sliding frame
+# depends on the engine's window-sum internals (DuckDB uses a segment
+# tree for sliding frames — a different accumulation ORDER than a
+# sequential fold), so the emitted double is only empirically identical.
+# Summing integer CENTS over the same frame is exact under any
+# accumulation order, and the mean is emitted as an exact integer floor
+# division in 1e-4-dollar units — the winsorize discipline, keeping the
+# ROWS BETWEEN frame this query exists to exercise.
 _MOVAVG_ORACLE = """
+WITH cents AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+)
 SELECT user_id, event_id,
-       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3
-FROM events
+       (sum(c) OVER w * 100)
+           // (count(*) OVER w) AS mov_avg3_q4
+FROM cents
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 ORDER BY user_id, event_id
 """
 
@@ -143,7 +162,7 @@ ORDER BY user_id, event_id
 @REGISTRY.register(
     "window_moving_avg",
     oracle=_MOVAVG_ORACLE,
-    description="3-row moving average frame per user",
+    description="3-row moving-average frame per user, exact 1e-4-dollar integers",
     tags=("window",),
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,10 +173,13 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         table(spark, sf_dir, "events")
+        .withColumn("c", F.round(F.col("value") * 100, 0).cast("long"))
+        .withColumn("sc", F.sum("c").over(w))
+        .withColumn("cn", F.count("*").over(w))
         .select(
             "user_id",
             "event_id",
-            F.round(F.avg("value").over(w), 6).alias("mov_avg3"),
+            F.expr("(sc * 100) div cn").alias("mov_avg3_q4"),
         )
         .orderBy("user_id", "event_id")
     )

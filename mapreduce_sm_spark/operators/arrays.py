@@ -15,18 +15,22 @@ from pyspark.sql import functions as F
 from mapreduce_sm_spark.registry import REGISTRY
 from mapreduce_sm_spark.session import table
 
+# Emissions are the RAW fold results: both engines cast-to-double then
+# fold left-to-right over the same parquet floats, so the bits agree; a
+# scaled round(x, 6) would *add* the HALF_UP-vs-nearbyint tie channel
+# (PLANS.md r05) on values that happen to scale onto a half-boundary.
 _ARRAY_ORACLE = """
 SELECT vec_id,
        len(embedding) AS dim,
-       round(list_reduce(list_prepend(0.0::DOUBLE,
-             list_transform(embedding, x -> x::DOUBLE)), (a, b) -> a + b), 6) AS vec_sum,
-       round(list_reduce(list_prepend(0.0::DOUBLE,
-             list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b), 6) AS vec_norm2,
-       round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) AS vec_max,
-       round(list_min(list_transform(embedding, x -> x::DOUBLE)), 6) AS vec_min,
-       round((list_transform(embedding, x -> x::DOUBLE))[1], 6) AS first_dim,
-       round(list_reduce(list_prepend(0.0::DOUBLE,
-             list_transform(embedding[1:8], x -> x::DOUBLE)), (a, b) -> a + b), 6) AS head_sum,
+       list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(embedding, x -> x::DOUBLE)), (a, b) -> a + b) AS vec_sum,
+       list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b) AS vec_norm2,
+       list_max(list_transform(embedding, x -> x::DOUBLE)) AS vec_max,
+       list_min(list_transform(embedding, x -> x::DOUBLE)) AS vec_min,
+       (list_transform(embedding, x -> x::DOUBLE))[1] AS first_dim,
+       list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(embedding[1:8], x -> x::DOUBLE)), (a, b) -> a + b) AS head_sum,
        len(list_filter(list_transform(embedding, x -> x::DOUBLE), x -> x > 0)) AS n_positive
 FROM embeddings
 ORDER BY vec_id
@@ -48,14 +52,14 @@ def array_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(fold(vec), 6).alias("vec_sum"),
-        F.round(
-            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x), 6
-        ).alias("vec_norm2"),
-        F.round(F.array_max(vec), 6).alias("vec_max"),
-        F.round(F.array_min(vec), 6).alias("vec_min"),
-        F.round(F.element_at(vec, 1), 6).alias("first_dim"),
-        F.round(fold(F.slice(vec, 1, 8)), 6).alias("head_sum"),
+        fold(vec).alias("vec_sum"),
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x).alias(
+            "vec_norm2"
+        ),
+        F.array_max(vec).alias("vec_max"),
+        F.array_min(vec).alias("vec_min"),
+        F.element_at(vec, 1).alias("first_dim"),
+        fold(F.slice(vec, 1, 8)).alias("head_sum"),
         F.size(F.filter(vec, lambda x: x > 0)).cast("long").alias("n_positive"),
     ).orderBy("vec_id")
 

@@ -152,11 +152,20 @@ def zipf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # PMI collocations: pointwise mutual information of adjacent word pairs —
-# log( p(w1,w2) / (p(w1) p(w2)) ). The standard collocation miner a
+# ln( p(w1,w2) / (p(w1) p(w2)) ). The standard collocation miner a
 # corpus pipeline runs to find multiword expressions worth preserving as
-# units during tokenization. All counts are exact integers; the only
-# float math is the final ratio + ln, rounded to 6 digits in both
-# engines (libm ln can differ in the last ulp across engines).
+# units during tokenization.
+#
+# Engine-portable by construction (r05 hardening): ln() comes from libm
+# and can differ in the last ulp across engines/versions, and the old
+# `ORDER BY pmi DESC ... LIMIT 100` made the top-100 CUT itself a
+# double-boundary. Since ln is monotone, ranking by the PMI *ratio*
+# r = (cnt_ab * N_uni^2) / (N_bi * cnt_a * cnt_b) is the same ranking —
+# and r is an exact rational of integer counts. Both engines emit
+# floor(1e6 * r) via exact integer arithmetic (Spark DECIMAL(38,0) `div`,
+# DuckDB HUGEINT `//` — both truncating division on positives), so the
+# ordering, the cut, and every emitted value are integer-exact. A reader
+# wanting nats applies ln(ppm/1e6) client-side.
 #
 # 100 TB shape: bigram and unigram counts are the same two shuffles as
 # bigram_lm_counts; the unigram side joins back on w1 then w2 (vocab-
@@ -177,19 +186,18 @@ bc AS (
 ),
 uc AS (SELECT w AS word, count(*) AS cnt FROM toks GROUP BY w),
 tot AS (
-  SELECT (SELECT sum(cnt) FROM uc)::DOUBLE AS n_uni,
-         (SELECT sum(cnt_ab) FROM bc)::DOUBLE AS n_bi
+  SELECT (SELECT sum(cnt) FROM uc)::HUGEINT AS n_uni,
+         (SELECT sum(cnt_ab) FROM bc)::HUGEINT AS n_bi
 )
 SELECT b.w1, b.w2, b.cnt_ab,
-       round(ln((b.cnt_ab::DOUBLE / t.n_bi)
-                / ((a.cnt::DOUBLE / t.n_uni) * (c.cnt::DOUBLE / t.n_uni))),
-             6) AS pmi
+       CAST((1000000::HUGEINT * b.cnt_ab * t.n_uni * t.n_uni)
+            // (t.n_bi * a.cnt * c.cnt) AS BIGINT) AS pmi_ratio_ppm
 FROM bc b
 JOIN uc a ON b.w1 = a.word
 JOIN uc c ON b.w2 = c.word
 CROSS JOIN tot t
 WHERE b.cnt_ab >= {_PMI_MIN_COUNT}
-ORDER BY pmi DESC, b.w1, b.w2
+ORDER BY pmi_ratio_ppm DESC, b.w1, b.w2
 LIMIT 100
 """
 
@@ -197,7 +205,7 @@ LIMIT 100
 @REGISTRY.register(
     "pmi_collocations",
     oracle=_PMI_ORACLE,
-    description="top-100 adjacent-pair collocations by pointwise mutual information",
+    description="top-100 adjacent-pair collocations by exact-integer PMI ratio (ppm)",
     tags=("text", "ngram", "statistics"),
 )
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,27 +232,26 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
-    tot = uc.agg(F.sum("cnt").cast("double").alias("n_uni")).crossJoin(
-        bc.agg(F.sum("cnt_ab").cast("double").alias("n_bi"))
+    tot = uc.agg(F.sum("cnt").alias("n_uni")).crossJoin(
+        bc.agg(F.sum("cnt_ab").alias("n_bi"))
     )
     a = uc.select(F.col("word").alias("w1"), F.col("cnt").alias("cnt_a"))
     c = uc.select(F.col("word").alias("w2"), F.col("cnt").alias("cnt_b"))
-    pmi = F.round(
-        F.log(
-            (F.col("cnt_ab").cast("double") / F.col("n_bi"))
-            / (
-                (F.col("cnt_a").cast("double") / F.col("n_uni"))
-                * (F.col("cnt_b").cast("double") / F.col("n_uni"))
-            )
-        ),
-        6,
+    # floor(1e6 * cnt_ab * n_uni^2 / (n_bi * cnt_a * cnt_b)) in exact
+    # DECIMAL(38,0) integer arithmetic (`div` truncates; all terms
+    # positive, so truncation == floor — same as the oracle's HUGEINT //).
+    # Magnitudes: n_uni^2 * cnt_ab * 1e6 stays far below 1e38 for any
+    # corpus whose token count fits in ~1e12.
+    ppm = F.expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * cnt_ab * n_uni * n_uni) "
+        "div (CAST(n_bi AS DECIMAL(38,0)) * cnt_a * cnt_b)"
     )
     return (
         bc.filter(F.col("cnt_ab") >= _PMI_MIN_COUNT)
         .join(a, "w1")
         .join(c, "w2")
         .crossJoin(F.broadcast(tot))
-        .select("w1", "w2", "cnt_ab", pmi.alias("pmi"))
-        .orderBy(F.desc("pmi"), "w1", "w2")
+        .select("w1", "w2", "cnt_ab", ppm.alias("pmi_ratio_ppm"))
+        .orderBy(F.desc("pmi_ratio_ppm"), "w1", "w2")
         .limit(100)
     )

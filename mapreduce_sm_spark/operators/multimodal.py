@@ -225,7 +225,10 @@ def _resize_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             else:
                 out_w, out_h = (w * _FIT) // m, (h * _FIT) // m
             hh = int(hashlib.md5(payload).hexdigest()[:15], 16)
-            feat = [round(((hh >> (8 * i)) & 255) / 255.0, 6) for i in range(4)]
+            # raw IEEE division of exact small ints — bit-identical to the
+            # oracle's (k % 256)/255.0; a round() here would add the
+            # Python-half-even vs DuckDB scaled-round tie channel
+            feat = [((hh >> (8 * i)) & 255) / 255.0 for i in range(4)]
             rows.append((int(doc_id), out_w, out_h, feat))
         yield pd.DataFrame(
             rows, columns=["doc_id", "out_w", "out_h", "feat"]
@@ -246,10 +249,10 @@ SELECT doc_id,
             ELSE (w * {_FIT}) // greatest(w, h) END AS out_w,
        CASE WHEN greatest(w, h) <= {_FIT} THEN h
             ELSE (h * {_FIT}) // greatest(w, h) END AS out_h,
-       round(((hh // 1) % 256) / 255.0, 6) AS f0,
-       round(((hh // 256) % 256) / 255.0, 6) AS f1,
-       round(((hh // 65536) % 256) / 255.0, 6) AS f2,
-       round(((hh // 16777216) % 256) / 255.0, 6) AS f3
+       ((hh // 1) % 256) / 255.0 AS f0,
+       ((hh // 256) % 256) / 255.0 AS f1,
+       ((hh // 65536) % 256) / 255.0 AS f2,
+       ((hh // 16777216) % 256) / 255.0 AS f3
 FROM meta
 ORDER BY doc_id
 """

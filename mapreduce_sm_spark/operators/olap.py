@@ -8,12 +8,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_sm_spark.operators._parity import (
-    DISC_PRICE_SQL,
-    decimal_sum,
-    decimal_sum_sql,
-    disc_price,
-)
 from mapreduce_sm_spark.registry import REGISTRY
 from mapreduce_sm_spark.session import table
 
@@ -102,11 +96,21 @@ def case_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dimension side when it fits, else shuffle-hash on partkey.
 # ---------------------------------------------------------------------------
 
-_PROMO_ORACLE = f"""
-SELECT round(
-  100.0 * {decimal_sum_sql(f"CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE_SQL} ELSE CAST(0 AS DECIMAL(19,6)) END")}
-        / {decimal_sum_sql(DISC_PRICE_SQL)}, 6) AS promo_revenue_pct
-FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+# Engine-portable by construction (r05): the share is emitted as an exact
+# integer — ppm of percent — via truncating division of the exact
+# 1e-6-dollar integer revenue sums, instead of round(double_ratio, 6)
+# whose scaled-round ties can split between engines (PLANS.md r05).
+_PROMO_ORACLE = """
+WITH t AS (
+  SELECT CAST(round(l_extendedprice * 100) AS HUGEINT)
+             * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) AS dp,
+         p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT CAST((100000000::HUGEINT
+             * sum(CASE WHEN p_type = 'PROMO' THEN dp ELSE 0 END))
+            // sum(dp) AS BIGINT) AS promo_revenue_pct_ppm
+FROM t
 """
 
 
@@ -119,7 +123,6 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_sm_spark.operators._parity import (
         disc_price_long,
-        two_phase_sums,
     )
 
     li = table(spark, sf_dir, "lineitem")
@@ -128,21 +131,22 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_type", "l_extendedprice", "l_discount"
     )
     lp = disc_price_long()
-    sums = two_phase_sums(
-        joined,
-        [],
-        {
-            "promo_rev": (
-                F.when(F.col("p_type") == "PROMO", lp).otherwise(F.lit(0)),
-                1000000,
-            ),
-            "total_rev": (lp, 1000000),
-        },
+    # two-phase int64 partials -> exact decimal(38,0) totals (same shape as
+    # two_phase_sums, but keeping the exact integers for the division)
+    partials = joined.groupBy(F.spark_partition_id().alias("_p_")).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", lp).otherwise(F.lit(0))).alias(
+            "_sp"
+        ),
+        F.sum(lp).alias("_st"),
+    )
+    sums = partials.agg(
+        F.sum(F.col("_sp").cast("decimal(38,0)")).alias("promo_rev"),
+        F.sum(F.col("_st").cast("decimal(38,0)")).alias("total_rev"),
     )
     return sums.select(
-        F.round(
-            F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6
-        ).alias("promo_revenue_pct")
+        F.expr(
+            "(CAST(100000000 AS DECIMAL(38,0)) * promo_rev) div total_rev"
+        ).alias("promo_revenue_pct_ppm")
     )
 
 

@@ -605,18 +605,53 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# exact percentiles (linear interpolation — Spark `percentile` and DuckDB
-# `quantile_cont` agree bit-for-bit; verified empirically at sf0.01)
+# Exact interpolated percentiles — engine-portable by construction.
+#
+# The previous shape emitted Spark `percentile` / DuckDB `quantile_cont`
+# raw doubles and relied on the two engines' interpolation formulas being
+# bit-identical ("verified empirically") — exactly the engine-version
+# drift class behind the r03/r04 red rows (PLANS.md r05 post-mortem).
+# Now the quantiles are computed from the same construction in BOTH
+# engines, entirely in integers: prices become cents (2-decimal grid, so
+# round(x*100) agrees everywhere), the lo/hi order statistics at 0-based
+# position (n-1)*q come from a row_number window, and the linear
+# interpolation lo + (hi-lo)*frac with frac in {0,.25,.5,.75} is emitted
+# in QUARTER-CENTS: 4*lo_cents + (hi_cents-lo_cents)*(r/25) where
+# r = ((n-1)*25q) mod 100 — an exact integer, no double anywhere.
+#
+# 100 TB shape: one window sort per group key (the same sort an exact
+# quantile needs) + one hash aggregation over the same partitioning.
 # ---------------------------------------------------------------------------
 
 _PCT_ORACLE = """
+WITH cents AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+ranked AS (
+  SELECT o_orderpriority, c,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM cents
+),
+picks AS (
+  SELECT o_orderpriority, n,
+         min(CASE WHEN rn = ((n-1)*25) // 100 + 1 THEN c END) AS lo25,
+         min(CASE WHEN rn = least(((n-1)*25) // 100 + 2, n) THEN c END) AS hi25,
+         min(CASE WHEN rn = ((n-1)*50) // 100 + 1 THEN c END) AS lo50,
+         min(CASE WHEN rn = least(((n-1)*50) // 100 + 2, n) THEN c END) AS hi50,
+         min(CASE WHEN rn = ((n-1)*75) // 100 + 1 THEN c END) AS lo75,
+         min(CASE WHEN rn = least(((n-1)*75) // 100 + 2, n) THEN c END) AS hi75
+  FROM ranked
+  GROUP BY o_orderpriority, n
+)
 SELECT o_orderpriority,
-       quantile_cont(o_totalprice, 0.25) AS p25,
-       quantile_cont(o_totalprice, 0.50) AS p50,
-       quantile_cont(o_totalprice, 0.75) AS p75,
-       count(*) AS n
-FROM orders
-GROUP BY o_orderpriority
+       4*lo25 + (hi25 - lo25) * ((((n-1)*25) % 100) // 25) AS p25_qc,
+       4*lo50 + (hi50 - lo50) * ((((n-1)*50) % 100) // 25) AS p50_qc,
+       4*lo75 + (hi75 - lo75) * ((((n-1)*75) % 100) // 25) AS p75_qc,
+       n
+FROM picks
 ORDER BY o_orderpriority
 """
 
@@ -624,21 +659,40 @@ ORDER BY o_orderpriority
 @REGISTRY.register(
     "percentiles_order_price",
     oracle=_PCT_ORACLE,
-    description="exact interpolated percentiles per order priority",
+    description="exact interpolated p25/p50/p75 per order priority, quarter-cent integers",
     tags=("aggregate", "percentile"),
 )
 def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
-            F.percentile("o_totalprice", F.lit(0.50)).alias("p50"),
-            F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
-            F.count("*").alias("n"),
-        )
-        .orderBy("o_orderpriority")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
     )
+    wrank = Window.partitionBy("o_orderpriority").orderBy("c")
+    wall = Window.partitionBy("o_orderpriority")
+    ranked = o.withColumn("rn", F.row_number().over(wrank)).withColumn(
+        "n", F.count("*").over(wall)
+    )
+
+    def pick(q: int):
+        lo_rn = F.expr(f"((n-1)*{q}) div 100 + 1")
+        hi_rn = F.least(F.expr(f"((n-1)*{q}) div 100 + 2"), F.col("n"))
+        lo = F.min(F.when(F.col("rn") == lo_rn, F.col("c")))
+        hi = F.min(F.when(F.col("rn") == hi_rn, F.col("c")))
+        return lo.alias(f"lo{q}"), hi.alias(f"hi{q}")
+
+    picks = ranked.groupBy("o_orderpriority", "n").agg(
+        *pick(25), *pick(50), *pick(75)
+    )
+
+    def qc(q: int):
+        r4 = F.expr(f"(((n-1)*{q}) % 100) div 25")
+        return (
+            4 * F.col(f"lo{q}") + (F.col(f"hi{q}") - F.col(f"lo{q}")) * r4
+        ).alias(f"p{q}_qc")
+
+    return picks.select(
+        "o_orderpriority", qc(25), qc(50), qc(75), "n"
+    ).orderBy("o_orderpriority")
 
 
 # ---------------------------------------------------------------------------

@@ -68,9 +68,9 @@ WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id <
 SELECT q_id, c_id, cos, rn AS rank
 FROM (
   SELECT q_id, c_id,
-         round({cosine_sql('qv', 'cv')}, 6) AS cos,
+         {cosine_sql('qv', 'cv')} AS cos,
          row_number() OVER (PARTITION BY q_id
-                            ORDER BY round({cosine_sql('qv', 'cv')}, 6) DESC, c_id ASC) AS rn
+                            ORDER BY {cosine_sql('qv', 'cv')} DESC, c_id ASC) AS rn
   FROM q JOIN c ON q_id <> c_id
 )
 WHERE rn <= {_TOP_K}
@@ -95,7 +95,10 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
     c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
-    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    # RAW cosine: the fold is bit-identical in both engines (functions/
+    # vectors.py), so ranking and emitting the unrounded double is exactly
+    # portable; a round(x, 6) would add the scaled-round tie channel.
+    sim = cosine_similarity(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
         c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
@@ -161,9 +164,9 @@ c AS (SELECT vec_id AS c_id, embedding AS cv, bucket FROM b)
 SELECT q_id, c_id, cos, rn AS rank
 FROM (
   SELECT q_id, c_id,
-         round({cosine_sql('qv', 'cv')}, 6) AS cos,
+         {cosine_sql('qv', 'cv')} AS cos,
          row_number() OVER (PARTITION BY q_id
-                            ORDER BY round({cosine_sql('qv', 'cv')}, 6) DESC, c_id ASC) AS rn
+                            ORDER BY {cosine_sql('qv', 'cv')} DESC, c_id ASC) AS rn
   FROM q JOIN c ON q.bucket = c.bucket AND q_id <> c_id
 )
 WHERE rn <= {_TOP_K}
@@ -196,7 +199,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cv"),
         F.col("bucket").alias("c_bucket"),
     )
-    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    # RAW cosine: the fold is bit-identical in both engines (functions/
+    # vectors.py), so ranking and emitting the unrounded double is exactly
+    # portable; a round(x, 6) would add the scaled-round tie channel.
+    sim = cosine_similarity(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
         c.join(
@@ -236,13 +242,13 @@ WITH e AS (
   FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-       round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos
+       {cosine_sql('a.embedding', 'b.embedding')} AS cos
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ({" OR ".join(
     f"{_band_val_sql('a.bucket', k)} = {_band_val_sql('b.bucket', k)}"
     for k in range(_N_BANDS)
 )})
-  AND round({cosine_sql('a.embedding', 'b.embedding')}, 6) >= {_PAIRS_THRESHOLD}
+  AND {cosine_sql('a.embedding', 'b.embedding')} >= {_PAIRS_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
 
@@ -292,7 +298,9 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band_id").alias("bid_b"),
         F.col("band_val").alias("bv_b"),
     )
-    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    # RAW cosine: bit-identical fold in both engines, so the >= threshold
+    # decision and the emitted double agree exactly without rounding
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
     return (
         a.join(
             b,
@@ -426,8 +434,9 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .select("q_id", "qv", "cid")
     )
 
-    # search only inside probed cells
-    sim = F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    # search only inside probed cells; RAW cosine to stay comparable with
+    # ann_bruteforce_topk's raw emission in the recall contract
+    sim = cosine_similarity(F.col("qv"), F.col("cv"))
     w_rank = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
         corpus.join(F.broadcast(probes), "cid")
@@ -524,28 +533,53 @@ def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding norm distribution per label: the vector-health diagnostic a
 # pipeline runs before indexing (un-normalized or degenerate shards show
 # up as displaced norm quantiles). Per-row norm is a codegen'd fold in
-# index order (bit-identical in both engines); the quantiles interpolate
-# over identical inputs (Spark `percentile` == DuckDB `quantile_cont`),
-# and everything emitted is rounded to 6 digits at the boundary.
+# index order (bit-identical in both engines: functions/vectors.py).
+#
+# Engine-portable by construction (r05 hardening): instead of the
+# engine-library quantile (Spark `percentile` vs DuckDB `quantile_cont`,
+# whose interpolation formulas are only *empirically* bit-identical and
+# can drift across engine versions), both sides run the SAME explicit
+# construction: lo/hi order statistics at 0-based position (n-1)*q from a
+# row_number window, then interp = lo + (hi-lo)*frac with frac in
+# {0, 0.25, 0.5, 0.75} (exact binary fractions; identical IEEE ops on
+# identical doubles give identical bits). Emissions are floor-ppm longs —
+# floor on bit-identical doubles cannot tie-split the way round() does
+# (Spark HALF_UP vs DuckDB nearbyint).
 #
 # 100 TB shape: one map-side fold per row + one shuffle on label; the
-# percentile state per group is that label's norms (a sort within the
-# group's partition — labels are the natural shard unit).
+# window sort per label is the same sort an exact quantile needs.
 # ---------------------------------------------------------------------------
 
 _NORM_ORACLE = f"""
-WITH n AS (
+WITH nrms AS (
   SELECT label, {norm_sql('embedding')} AS nrm FROM embeddings
+),
+ranked AS (
+  SELECT label, nrm,
+         row_number() OVER (PARTITION BY label ORDER BY nrm) AS rn,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM nrms
+),
+picks AS (
+  SELECT label, n,
+         min(CASE WHEN rn = ((n-1)*25) // 100 + 1 THEN nrm END) AS lo25,
+         min(CASE WHEN rn = least(((n-1)*25) // 100 + 2, n) THEN nrm END) AS hi25,
+         min(CASE WHEN rn = ((n-1)*50) // 100 + 1 THEN nrm END) AS lo50,
+         min(CASE WHEN rn = least(((n-1)*50) // 100 + 2, n) THEN nrm END) AS hi50,
+         min(CASE WHEN rn = ((n-1)*75) // 100 + 1 THEN nrm END) AS lo75,
+         min(CASE WHEN rn = least(((n-1)*75) // 100 + 2, n) THEN nrm END) AS hi75,
+         min(nrm) AS mn, max(nrm) AS mx
+  FROM ranked
+  GROUP BY label, n
 )
 SELECT label,
-       count(*) AS n_vecs,
-       round(quantile_cont(nrm, 0.25), 6) AS p25,
-       round(quantile_cont(nrm, 0.50), 6) AS p50,
-       round(quantile_cont(nrm, 0.75), 6) AS p75,
-       round(min(nrm), 6) AS min_norm,
-       round(max(nrm), 6) AS max_norm
-FROM n
-GROUP BY label
+       n AS n_vecs,
+       CAST(floor((lo25 + (hi25 - lo25) * ((((n-1)*25) % 100) / 100.0)) * 1000000) AS BIGINT) AS p25_ppm,
+       CAST(floor((lo50 + (hi50 - lo50) * ((((n-1)*50) % 100) / 100.0)) * 1000000) AS BIGINT) AS p50_ppm,
+       CAST(floor((lo75 + (hi75 - lo75) * ((((n-1)*75) % 100) / 100.0)) * 1000000) AS BIGINT) AS p75_ppm,
+       CAST(floor(mn * 1000000) AS BIGINT) AS min_norm_ppm,
+       CAST(floor(mx * 1000000) AS BIGINT) AS max_norm_ppm
+FROM picks
 ORDER BY label
 """
 
@@ -553,7 +587,7 @@ ORDER BY label
 @REGISTRY.register(
     "embedding_norm_quantiles",
     oracle=_NORM_ORACLE,
-    description="per-label L2-norm quartiles of the embedding corpus",
+    description="per-label L2-norm quartiles of the embedding corpus, floor-ppm integers",
     tags=("similarity", "statistics"),
 )
 def embedding_norm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,15 +596,41 @@ def embedding_norm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "label", l2_norm("embedding").alias("nrm")
     )
-    return (
-        emb.groupBy("label")
-        .agg(
-            F.count("*").alias("n_vecs"),
-            F.round(F.percentile("nrm", F.lit(0.25)), 6).alias("p25"),
-            F.round(F.percentile("nrm", F.lit(0.50)), 6).alias("p50"),
-            F.round(F.percentile("nrm", F.lit(0.75)), 6).alias("p75"),
-            F.round(F.min("nrm"), 6).alias("min_norm"),
-            F.round(F.max("nrm"), 6).alias("max_norm"),
-        )
-        .orderBy("label")
+    wrank = Window.partitionBy("label").orderBy("nrm")
+    wall = Window.partitionBy("label")
+    ranked = emb.withColumn("rn", F.row_number().over(wrank)).withColumn(
+        "n", F.count("*").over(wall)
     )
+
+    def pick(q: int):
+        lo_rn = F.expr(f"((n-1)*{q}) div 100 + 1")
+        hi_rn = F.least(F.expr(f"((n-1)*{q}) div 100 + 2"), F.col("n"))
+        lo = F.min(F.when(F.col("rn") == lo_rn, F.col("nrm")))
+        hi = F.min(F.when(F.col("rn") == hi_rn, F.col("nrm")))
+        return lo.alias(f"lo{q}"), hi.alias(f"hi{q}")
+
+    picks = ranked.groupBy("label", "n").agg(
+        *pick(25),
+        *pick(50),
+        *pick(75),
+        F.min("nrm").alias("mn"),
+        F.max("nrm").alias("mx"),
+    )
+
+    def ppm(q: int):
+        # frac = ((n-1)*q mod 100)/100.0 in {0,.25,.5,.75} — exact binary,
+        # so lo + (hi-lo)*frac is the identical IEEE expression run by the
+        # oracle; floor(x*1e6) then agrees bit-for-bit.
+        frac = F.expr(f"(((n-1)*{q}) % 100)").cast("double") / F.lit(100.0)
+        interp = F.col(f"lo{q}") + (F.col(f"hi{q}") - F.col(f"lo{q}")) * frac
+        return F.floor(interp * F.lit(1000000.0)).cast("long").alias(f"p{q}_ppm")
+
+    return picks.select(
+        "label",
+        F.col("n").alias("n_vecs"),
+        ppm(25),
+        ppm(50),
+        ppm(75),
+        F.floor(F.col("mn") * F.lit(1000000.0)).cast("long").alias("min_norm_ppm"),
+        F.floor(F.col("mx") * F.lit(1000000.0)).cast("long").alias("max_norm_ppm"),
+    ).orderBy("label")

@@ -521,20 +521,27 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q17 — small-quantity-order revenue: correlated average subquery.
 # 100 TB: the per-part average is computed ONCE on the brand-filtered
 # lineitem subset (semi-pruned via the broadcast part list), then joined
-# back — Catalyst's decorrelation shape, written explicitly. avg(l_quantity)
-# is exact (integer-valued doubles sum exactly), so the 0.2*avg threshold is
-# bit-identical across engines.
+# back — Catalyst's decorrelation shape, written explicitly. The
+# l_quantity < 0.2*avg(l_quantity) cut is evaluated as the exact integer
+# inequality 5*qty_cents*n < sum(qty_cents) (multiply through by 100n/20),
+# so the boundary cannot drift even if a future fixture makes quantities
+# fractional (the old form was exact only for integer-valued quantities).
 # ---------------------------------------------------------------------------
 
 _Q17_ORACLE = f"""
+WITH t AS (
+  SELECT l_partkey AS t_partkey, count(*) AS n,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sqc
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'
+  GROUP BY l_partkey
+)
 SELECT {money_sum_sql('l_extendedprice')} / 7.0 AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
+JOIN t ON t_partkey = l_partkey
 WHERE p_brand = 'Brand#23'
-  AND l_quantity < (
-    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
-    WHERE l2.l_partkey = p_partkey
-  )
+  AND 5 * CAST(round(l_quantity * 100) AS BIGINT) * n < sqc
 """
 
 
@@ -556,12 +563,15 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lif = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    thresh = lif.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.avg("l_quantity") * F.lit(0.2)).alias("qty_thresh")
+    lifc = lif.withColumn(
+        "qc", F.round(F.col("l_quantity") * 100, 0).cast("long")
+    )
+    thresh = lifc.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.count("*").alias("n"), F.sum("qc").alias("sqc")
     )
     return (
-        lif.join(thresh, lif.l_partkey == F.col("t_partkey"))
-        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        lifc.join(thresh, lifc.l_partkey == F.col("t_partkey"))
+        .filter(F.lit(5) * F.col("qc") * F.col("n") < F.col("sqc"))
         .agg((money_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
     )
 

@@ -54,6 +54,10 @@ def _make_wavg_price():
     return _wavg_price
 
 
+# RAW emission: the UDAF accumulates in (okey, lnum) order — the same
+# left-to-right fold as the oracle's ordered list_reduce — so the double
+# is bit-identical in both engines; a round(x, 6) would only add the
+# scaled-round tie channel (PLANS.md r05).
 _WAVG_ORACLE = """
 WITH g AS (
   SELECT l_returnflag,
@@ -63,8 +67,8 @@ WITH g AS (
   GROUP BY l_returnflag
 )
 SELECT l_returnflag,
-       round(list_reduce(pq, (a, b) -> a + b)
-             / list_reduce(q, (a, b) -> a + b), 6) AS wavg_price
+       list_reduce(pq, (a, b) -> a + b)
+           / list_reduce(q, (a, b) -> a + b) AS wavg_price
 FROM g
 ORDER BY l_returnflag
 """
@@ -82,14 +86,11 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(
-                _wavg_price(
-                    F.col("l_extendedprice"),
-                    F.col("l_quantity"),
-                    F.col("l_orderkey"),
-                    F.col("l_linenumber"),
-                ),
-                6,
+            _wavg_price(
+                F.col("l_extendedprice"),
+                F.col("l_quantity"),
+                F.col("l_orderkey"),
+                F.col("l_linenumber"),
             ).alias("wavg_price")
         )
         .orderBy("l_returnflag")

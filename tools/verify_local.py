@@ -37,8 +37,10 @@ def _canon(v):
         # FULL repr — no rounding. r03 post-mortem: rounding to 9 digits
         # here let anomaly_zscore_events pass locally while failing the
         # driver's exact hash; the local gate must be at least as strict
-        # as the driver. Queries are responsible for emitting pre-rounded
-        # floats where cross-engine ulp drift is possible.
+        # as the driver. Queries are responsible for emitting only values
+        # that are engine-portable by construction: exact integers, or
+        # raw doubles that are bit-identical in both engines (never
+        # scaled round(double, n) — see PLANS.md r05).
         return repr(v)
     if isinstance(v, Decimal):
         # Use the float shortest-repr ONLY when it round-trips exactly —
