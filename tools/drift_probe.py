@@ -71,6 +71,34 @@ FIVE = (
     "dedup_minhash",
     "corpus_near_dedup",
     "scalar_functions",
+    # r05 library-function sweep: quarter-cent order-statistic quantiles
+    # (vs engine quantile interpolation), manual-interp floor-ppm norm
+    # quartiles, and the exact-rational PMI ratio (vs libm ln)
+    "percentiles_order_price",
+    "embedding_norm_quantiles",
+    "pmi_collocations",
+    # r05 raw-emission sweep: queries whose doubles are bit-identical by
+    # construction and now emit UNROUNDED (round(x, n) was their only
+    # divergence channel) or integer-exact values — probed against the
+    # full-precision adversarial fixtures
+    "window_lag_lead_events",
+    "window_moving_avg",
+    "array_functions_surface",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "embedding_similar_pairs",
+    "multimodal_resize_features",
+    # r05 sweep, lineitem/part-backed: ordered-fold UDAF raw emission,
+    # exact-integer promo share, multiplied-through q17 threshold — probed
+    # on half-cent prices, fractional quantities, half-bp discounts
+    "udaf_weighted_avg",
+    "promo_revenue_ratio",
+    "q17_small_quantity_revenue",
+    # documents-backed ratio queries hardened to floored-ppm/pm4 integers
+    "text_quality_stats",
+    "doc_repetition_stats",
+    "tfidf_top_terms",
+    "corpus_curation_report",
 )
 
 
@@ -171,6 +199,90 @@ def build_fixtures() -> None:
     )
 
 
+    # --- lineitem + part: half-cent prices, FRACTIONAL quantities (the
+    # q17 threshold premise-breaker), half-basis-point discounts ---
+    nl = 5000
+    okey = np.arange(nl) // 3
+    pkey = rng.integers(0, 200, nl)
+    qty = np.round(rng.uniform(1, 50, nl), 2)
+    qty[::5] = np.floor(qty[::5]) + 0.005  # half-cent quantity boundary
+    eprice = np.round(rng.uniform(900, 105000, nl), 2)
+    eprice[::11] = np.floor(eprice[::11]) + 0.005
+    disc = np.round(rng.uniform(0.0, 0.1, nl), 4)
+    disc[::7] = np.round(disc[::7], 3) + 0.00005  # half-bp boundary
+    ship = [1_450_000_000_000_000 + int(i) * 10**9 for i in range(nl)]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(okey, pa.int64()),
+                "l_partkey": pa.array(pkey, pa.int64()),
+                "l_suppkey": pa.array(rng.integers(0, 100, nl), pa.int64()),
+                "l_linenumber": pa.array((np.arange(nl) % 3 + 1).astype("int32")),
+                "l_quantity": pa.array(qty, pa.float64()),
+                "l_extendedprice": pa.array(eprice, pa.float64()),
+                "l_discount": pa.array(disc, pa.float64()),
+                "l_tax": pa.array(np.round(rng.uniform(0, 0.08, nl), 4)),
+                "l_returnflag": pa.array(np.array(["A", "N", "R"])[np.arange(nl) % 3]),
+                "l_linestatus": pa.array(np.array(["O", "F"])[np.arange(nl) % 2]),
+                "l_shipdate": pa.array(ship, pa.timestamp("us")),
+            }
+        ),
+        os.path.join(FIXDIR, "lineitem.parquet"),
+    )
+    np_part = 200
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(np_part), pa.int64()),
+                "p_name": pa.array([f"part {i} small" for i in range(np_part)]),
+                "p_brand": pa.array(
+                    [f"Brand#{20 + i % 5}" for i in range(np_part)]
+                ),
+                "p_type": pa.array(
+                    ["PROMO" if i % 4 == 0 else "ECONOMY" for i in range(np_part)]
+                ),
+                "p_size": pa.array((np.arange(np_part) % 50 + 1).astype("int32")),
+                "p_retailprice": pa.array(
+                    np.round(rng.uniform(900, 2000, np_part), 2)
+                ),
+            }
+        ),
+        os.path.join(FIXDIR, "part.parquet"),
+    )
+
+    # --- embeddings: norms engineered onto floor-ppm integer boundaries ---
+    # power-of-two components make norm^2 (and often norm) exactly
+    # representable, so norm*1e6 can land exactly on an integer — the
+    # floor boundary; zero vectors and duplicate rows stress the
+    # degenerate paths. Immunity must come from both engines running the
+    # identical fold + interp expression, not from the data being nice.
+    vecs, labels = [], []
+    for i in range(500):
+        dim = 16
+        if i % 7 == 0:
+            v = [0.0] * dim  # zero vector: norm exactly 0
+        elif i % 7 == 1:
+            v = [0.25] * dim  # norm = 1.0 exactly -> ppm boundary 1000000
+        elif i % 7 == 2:
+            v = [float(2 ** ((j % 5) - 2)) for j in range(dim)]
+        else:
+            v = [float(x) for x in rng.normal(0, 1, dim).astype(np.float32)]
+        vecs.append(v)
+        labels.append(i % 10)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(500), pa.int64()),
+                "embedding": pa.array(
+                    vecs, pa.list_(pa.float32())
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        os.path.join(FIXDIR, "embeddings.parquet"),
+    )
+
+
 def main() -> int:
     build_fixtures()
 
@@ -184,7 +296,7 @@ def main() -> int:
     reg = load_all_operators()
     spark = get_spark("drift-probe")
     con = duckdb.connect()
-    for t in ("events", "orders", "documents"):
+    for t in ("events", "orders", "documents", "embeddings", "lineitem", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{FIXDIR}/{t}.parquet'"
         )
