@@ -1,0 +1,269 @@
+"""Training-data sharding, chunking, and length-packing reports (§2.C
+extensions — the reference engine, /root/reference/src/mapreduce.c, has no
+notion of documents; these compose the same registered primitives the rest
+of the corpus pipeline uses).
+
+What an LLM training pipeline does between "curated corpus" and "tensors":
+  - split long documents into fixed-token-budget chunks with overlap
+    (chunk_documents_plan),
+  - assign every document to a deterministic shard so any worker can
+    recompute the assignment without coordination (training_shard_manifest),
+  - bucket the corpus by length so batches pack without padding waste
+    (doc_length_deciles).
+
+100 TB posture, per query:
+  - chunking is embarrassingly parallel: per-row array math + explode, no
+    shuffle at all until the caller aggregates;
+  - shard assignment is a pure hash of the doc id (engine-portable md5 —
+    functions/hashing.py), so the manifest is one partial-aggregable
+    group-by on a 16-value key: map-side combine collapses each input
+    partition to <=16 rows before the (trivial) shuffle;
+  - the decile report NEVER globally sorts the corpus: it aggregates a
+    token-length histogram (bounded domain — one row per distinct length),
+    runs the cumulative window over that tiny frame, and splits each
+    length's rank span across decile rank intervals with exact integer
+    interval math. The doc-level row_number the oracle uses would be a
+    single-task global sort at corpus scale; the histogram plan is the
+    shape that survives it. All emitted values are integers (tie-free
+    under engine/fixture drift — PLANS.md r05).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_sm_spark.functions.hashing import hash60, hash60_sql
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+# chunk budget in whitespace tokens; stride < chunk gives the overlap a
+# retrieval/packing pipeline keeps for context continuity
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+N_SHARDS = 16
+
+# ---------------------------------------------------------------------------
+# Fixed-budget chunking with overlap: every document yields
+# 1 + ceil(max(0, n - CHUNK) / STRIDE) chunks; chunk i covers tokens
+# [i*STRIDE, i*STRIDE + len) with len = min(CHUNK, n - i*STRIDE). The
+# final token is always covered and no chunk is empty. Integer math only.
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, n_tokens,
+         1 + (greatest(n_tokens - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1})
+             // {CHUNK_STRIDE} AS n_chunks
+  FROM base
+),
+x AS (
+  SELECT doc_id, toks, n_tokens,
+         unnest(range(0, n_chunks)) AS chunk_id
+  FROM c
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(chunk_id * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(least({CHUNK_TOKENS}, n_tokens - chunk_id * {CHUNK_STRIDE})
+            AS BIGINT) AS chunk_len,
+       toks[CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT)] AS first_token
+FROM x
+ORDER BY doc_id, chunk_id
+"""
+
+
+@REGISTRY.register(
+    "chunk_documents_plan",
+    oracle=_CHUNK_ORACLE,
+    description=f"fixed {CHUNK_TOKENS}-token chunks, stride {CHUNK_STRIDE}: per-chunk spans",
+    tags=("text", "chunking", "explode"),
+)
+def chunk_documents_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        docs.select(
+            "doc_id", F.split(F.col("text"), " ", -1).alias("toks")
+        )
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+        .withColumn(
+            "n_chunks",
+            F.expr(
+                f"1 + (greatest(n_tokens - {CHUNK_TOKENS}, 0)"
+                f" + {CHUNK_STRIDE - 1}) DIV {CHUNK_STRIDE}"
+            ),
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            "toks",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)
+            ).alias("chunk_id"),
+        )
+        .withColumn("start_tok", F.col("chunk_id") * CHUNK_STRIDE)
+        .withColumn(
+            "chunk_len",
+            F.least(F.lit(CHUNK_TOKENS).cast("long"), F.col("n_tokens") - F.col("start_tok")),
+        )
+        .withColumn(
+            "first_token",
+            F.element_at("toks", (F.col("start_tok") + 1).cast("int")),
+        )
+        .select(
+            "doc_id", "chunk_id", "n_tokens", "start_tok", "chunk_len",
+            "first_token",
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard manifest: shard = md5-hash(doc_id) mod N_SHARDS.
+# Re-ingested, re-partitioned, or re-ordered input produces the identical
+# manifest — the property that lets any worker (or a resumed job) find a
+# document's shard without a lookup table.
+# ---------------------------------------------------------------------------
+
+_SHARD_ORACLE = f"""
+WITH s AS (
+  SELECT {hash60_sql("CAST(doc_id AS VARCHAR)", salt="shard")} % {N_SHARDS}
+             AS shard_id,
+         doc_id, lang,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents
+)
+SELECT shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id,
+       count(DISTINCT lang) AS n_langs
+FROM s
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+@REGISTRY.register(
+    "training_shard_manifest",
+    oracle=_SHARD_ORACLE,
+    description=f"deterministic md5 mod-{N_SHARDS} shard assignment: per-shard manifest",
+    tags=("sharding", "hash", "aggregate"),
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    shard = F.pmod(
+        hash60(F.col("doc_id").cast("string"), salt="shard"), F.lit(N_SHARDS)
+    )
+    return (
+        docs.select(
+            shard.alias("shard_id"),
+            "doc_id",
+            "lang",
+            F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_toks"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-decile packing report WITHOUT a global sort. Definition (what the
+# oracle computes directly): rank every doc by (n_tokens, doc_id), decile
+# of rank r out of n is ((r-1)*10) DIV n + 1; report per-decile doc and
+# token totals. The Spark plan gets the same answer from the token-length
+# HISTOGRAM alone: a length whose ranks span (s, e] contributes
+# |(s, e] ∩ [lo_d, hi_d]| docs to decile d, where
+#   lo_d = ((d-1)*n + 9) DIV 10 + 1,   hi_d = (d*n + 9) DIV 10
+# — exact integer interval intersection, no row-level rank ever
+# materialized. (Ties within a length split across a boundary by doc_id,
+# but every row in the span has the same length, so the per-decile
+# aggregates are independent of which ties land where.)
+# ---------------------------------------------------------------------------
+
+_DECILE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents
+),
+r AS (
+  SELECT n_toks,
+         row_number() OVER (ORDER BY n_toks, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM t
+)
+SELECT CAST(((rn - 1) * 10) // n + 1 AS BIGINT) AS decile,
+       count(*) AS n_docs,
+       CAST(min(n_toks) AS BIGINT) AS min_tokens,
+       CAST(max(n_toks) AS BIGINT) AS max_tokens,
+       CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+FROM r
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+@REGISTRY.register(
+    "doc_length_deciles",
+    oracle=_DECILE_ORACLE,
+    description="token-length decile packing report from the length histogram (no global sort)",
+    tags=("text", "histogram", "packing", "scale"),
+)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("len")
+    )
+    hist = docs.groupBy("len").agg(F.count("*").alias("cnt"))
+    # cumulative window over the histogram only: one row per distinct
+    # length (bounded by the max document length, not the corpus size)
+    wcum = Window.orderBy("len").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the corpus total n is the last cumulative value — a whole-frame max
+    # over the same tiny histogram, NOT a second aggregate over documents
+    # (a separate hist.agg(sum) subtree would re-scan the corpus: Spark
+    # does not share unreferenced subplans without an explicit cache)
+    whole = Window.partitionBy(F.lit(1))
+    h = (
+        hist.withColumn("cum_end", F.sum("cnt").over(wcum))
+        .withColumn("cum_start", F.col("cum_end") - F.col("cnt"))
+        .withColumn("n", F.max("cum_end").over(whole))
+    )
+    deciles = spark.range(1, 11).select(F.col("id").alias("decile"))
+    j = h.crossJoin(F.broadcast(deciles))
+    lo = F.expr("((decile - 1) * n + 9) DIV 10 + 1")
+    hi = F.expr("(decile * n + 9) DIV 10")
+    overlap = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum_end"), hi)
+        - F.greatest(F.col("cum_start") + 1, lo)
+        + 1,
+    )
+    return (
+        j.withColumn("overlap", overlap)
+        .filter(F.col("overlap") > 0)
+        .groupBy("decile")
+        .agg(
+            F.sum("overlap").alias("n_docs"),
+            F.min("len").alias("min_tokens"),
+            F.max("len").alias("max_tokens"),
+            F.sum(F.col("len") * F.col("overlap")).alias("sum_tokens"),
+        )
+        .orderBy("decile")
+    )

@@ -72,6 +72,68 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("click_id", "purchase_id")
 
 
+# Session boundary test in int64 epoch-MICROS on both engines (the r05
+# boundary discipline — behavioral.py's dedup_events_time_window comment
+# explains the dtype-drift rationale). Spark's session_window MERGES an
+# event landing exactly at prev + gap (verified empirically — see
+# streaming/windows.py::streaming_session_micros), so the oracle breaks
+# sessions strictly: tsu > prev_tsu + 1800000000.
+_SESSION_WINDOW_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   > lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)))
+                     + 1800000000
+                   OR lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)))
+                      IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sess AS (
+  SELECT user_id, tsu,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY tsu
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM seq
+)
+SELECT user_id,
+       min(tsu) AS session_start_us,
+       max(tsu) + 1800000000 AS session_end_us,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start_us
+"""
+
+
+@REGISTRY.register(
+    "stream_session_windows",
+    oracle=_SESSION_WINDOW_ORACLE,
+    description="session_window(30 min gap) per user, real streaming run, epoch-micros output",
+    tags=("streaming", "session", "window"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.streaming.windows import (
+        run_streaming_query,
+        streaming_session_micros,
+    )
+
+    qname = "ss_session_" + os.path.basename(sf_dir.rstrip("/")).replace(
+        ".", "_"
+    )
+    return run_streaming_query(
+        spark,
+        sf_dir,
+        streaming_session_micros,
+        qname,
+        glob="events.parquet",
+    ).orderBy("user_id", "session_start_us")
+
+
 _STREAM_DEDUP_ORACLE = """
 SELECT event_type,
        count(*) AS n_deduped,

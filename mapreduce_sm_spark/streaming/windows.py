@@ -148,15 +148,41 @@ def streaming_session_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_session_micros(stream: DataFrame) -> DataFrame:
+    """30-minute-gap session windows per user, emitted as int64
+    epoch-micros — the tie-free integer domain the r05 boundary sweep
+    mandates for anything the exact driver hash sees (PLANS.md r05).
+
+    Boundary semantics (verified empirically, Spark 4.1): an event at
+    exactly prev_ts + gap MERGES into the running session (windows merge
+    when they touch), and the emitted session end is last_ts + gap. The
+    batch oracle must therefore break sessions on tsu > prev_tsu + gap
+    (strict) and emit max(tsu) + gap as the end."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 def run_streaming_query(
     spark: SparkSession,
     events_parquet_dir: str,
     plan_fn,
     query_name: str,
+    glob: str = "*.parquet",
 ) -> DataFrame:
     """Run any closed-input streaming plan with availableNow + complete
     mode into a memory sink and return the result table."""
-    stream = events_stream(spark, events_parquet_dir, max_files_per_trigger=1)
+    stream = events_stream(
+        spark, events_parquet_dir, glob=glob, max_files_per_trigger=1
+    )
     q = (
         plan_fn(stream)
         .writeStream.format("memory")
