@@ -99,6 +99,17 @@ FIVE = (
     "doc_repetition_stats",
     "tfidf_top_terms",
     "corpus_curation_report",
+    # r05 additions, integer-domain by construction: chunk spans and
+    # decile interval math on a single-length corpus (one histogram row
+    # spanning all ten deciles), md5 shard manifest, count-of-counts skew
+    # fold, and the streaming session_window whose 30-min merge boundary
+    # the fixture hits exactly (every i%4==3 event lands gap +/- 500 ns
+    # from its predecessor — micros truncation must agree cross-engine)
+    "chunk_documents_plan",
+    "training_shard_manifest",
+    "doc_length_deciles",
+    "key_skew_diagnostics",
+    "stream_session_windows",
 )
 
 
@@ -115,6 +126,11 @@ def build_fixtures() -> None:
             # exactly 5 min after the previous event of the same key,
             # +/- 500 ns: micros truncation must agree cross-engine
             ts.append(ts[-1] + 300_000_000_000 + int(rng.integers(-500, 500)))
+        elif i % 4 == 3:
+            # exactly the 30-min session gap after the previous event of
+            # the same user, +/- 500 ns: whether the session merges or
+            # splits is decided by the truncated micros on BOTH engines
+            ts.append(ts[-1] + 1_800_000_000_000 + int(rng.integers(-500, 500)))
         else:
             ts.append(base + i * 7_000_000_000 + int(rng.integers(0, 10**9)))
     user = (np.arange(n) // 4) % 100
