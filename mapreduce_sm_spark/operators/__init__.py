@@ -54,8 +54,8 @@ from mapreduce_sm_spark.registry import REGISTRY
 # thresholds — PLANS.md r05): their last driver green predates the new
 # output shape, so they now carry the weakest evidence after the five;
 # (3) the queries whose newest driver evidence is r01 — three rounds of
-# code churn ago; (4) the five queries ADDED this round (never
-# driver-seen); (5) the r02 json tail, to fill 50.
+# code churn ago; (4) the six queries ADDED this round (never
+# driver-seen), filling the window to 50.
 # Dropped vs the pre-sweep window to make room: unchanged r02 rows
 # (q4/q6/q7/q8/q9/q22, the streaming-window batch twins) and unchanged
 # r03 flagships (wordcount/string_match parity is binary-tested in
@@ -113,19 +113,17 @@ REGISTRY.set_front(
         "window_rank_top_orders",
         "window_running_total",
         # --- NEW this round (never driver-seen): sharding/chunking/packing,
-        # skew diagnostics, real streaming session windows — integer-domain
-        # emissions by construction. They displace the unchanged r02 TPC-H
-        # tail (q12/q13/q16/q20/q21 — r02-green, untouched since; still
-        # covered by tests/test_oracle_parity.py at sf0.001 and the local
-        # exact gate at sf0.01).
+        # skew diagnostics, real streaming session windows, z-order layout
+        # stats — integer-domain emissions by construction. They displace
+        # the unchanged r02 tail (json_extract_events, q12/q13/q16/q20/q21
+        # — r02-green, untouched since; still covered by
+        # tests/test_oracle_parity.py at sf0.001 and the local exact gate
+        # at sf0.01).
         "chunk_documents_plan",
         "training_shard_manifest",
         "doc_length_deciles",
         "key_skew_diagnostics",
         "stream_session_windows",
-        # --- newest driver evidence is r02 (the events fixture is the one
-        # that drifts across regenerations, so its JSON-path query keeps
-        # the final slot over the TPC-H tail) ---
-        "json_extract_events",
+        "zorder_bucket_stats",
     )
 )

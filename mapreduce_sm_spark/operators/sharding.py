@@ -1,7 +1,7 @@
-"""Training-data sharding, chunking, and length-packing reports (§2.C
-extensions — the reference engine, /root/reference/src/mapreduce.c, has no
-notion of documents; these compose the same registered primitives the rest
-of the corpus pipeline uses).
+"""Training-data sharding, chunking, length-packing, and storage-layout
+reports (§2.C extensions — the reference engine,
+/root/reference/src/mapreduce.c, has no notion of documents; these compose
+the same registered primitives the rest of the corpus pipeline uses).
 
 What an LLM training pipeline does between "curated corpus" and "tensors":
   - split long documents into fixed-token-budget chunks with overlap
@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_sm_spark.functions.hashing import hash60, hash60_sql
+from mapreduce_sm_spark.functions.zorder import zvalue_sql
 from mapreduce_sm_spark.registry import REGISTRY
 from mapreduce_sm_spark.session import table
 
@@ -266,4 +267,66 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("len") * F.col("overlap")).alias("sum_tokens"),
         )
         .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout statistics: the curve math behind functions/zorder.py's
+# write-time layout, oracle-checked bit-for-bit. Buckets are the top bits
+# of the 32-bit Morton interleave of (customer key, order day); the
+# per-bucket customer/day ranges are what parquet min/max stats would
+# carry per file after a z-ordered write — narrow in BOTH dimensions,
+# which is the whole point (tests/test_zorder.py measures the actual
+# file-skipping effect; this query pins the arithmetic).
+# ---------------------------------------------------------------------------
+
+_Z_BUCKET_SHIFT = 4096  # keep the top 20 of 32 z-bits as the bucket id
+
+_ZORDER_ORACLE = f"""
+WITH z AS (
+  SELECT o_custkey,
+         epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+         {zvalue_sql(
+             "o_custkey",
+             "epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000",
+         )} AS zv
+  FROM orders
+)
+SELECT zv // {_Z_BUCKET_SHIFT} AS z_bucket,
+       count(*) AS n_orders,
+       min(o_custkey) AS min_custkey,
+       max(o_custkey) AS max_custkey,
+       CAST(min(day) AS BIGINT) AS min_day,
+       CAST(max(day) AS BIGINT) AS max_day
+FROM z
+GROUP BY z_bucket
+ORDER BY z_bucket
+"""
+
+
+@REGISTRY.register(
+    "zorder_bucket_stats",
+    oracle=_ZORDER_ORACLE,
+    description="Morton z-curve bucket ranges over (custkey, order day): layout-skipping report",
+    tags=("layout", "zorder", "scale"),
+)
+def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    day = "(unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000)"
+    z = F.expr(zvalue_sql("o_custkey", day))
+    return (
+        o.select(
+            "o_custkey",
+            F.expr(day).cast("long").alias("day"),
+            z.alias("zv"),
+        )
+        .groupBy(F.expr(f"zv DIV {_Z_BUCKET_SHIFT}").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+        .orderBy("z_bucket")
     )

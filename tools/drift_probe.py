@@ -110,6 +110,8 @@ FIVE = (
     "doc_length_deciles",
     "key_skew_diagnostics",
     "stream_session_windows",
+    # bit-for-bit Morton interleave over the probe's adversarial orders
+    "zorder_bucket_stats",
 )
 
 
