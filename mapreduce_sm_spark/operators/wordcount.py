@@ -64,3 +64,63 @@ def wordcount_pipeline(spark: SparkSession, sf_dir: str):
         .sort(SortSpec("cnt", ascending=False), SortSpec("word", ascending=True))
         .to_df()
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom-DataSource round trip: wordcount -> reference-format "%s\t%d"
+# text -> read back through the `refmr` Python DataSource
+# (sources/refmr_source.py, the engine's output_writer/file_reader
+# extension-point parity) with a comparison filter PUSHED INTO the
+# source's line scanner -> per-initial rollup. The oracle never sees the
+# text detour, so a parse bug, a lost row, or a wrong pushdown in the
+# custom source fails the exact hash.
+# ---------------------------------------------------------------------------
+
+_ROUNDTRIP_MIN_CNT = 100
+
+_ROUNDTRIP_ORACLE = f"""
+WITH wc AS (
+  SELECT word, count(*) AS cnt
+  FROM (
+    SELECT unnest(regexp_extract_all(upper(text), '{WORD_TOKEN_RE_SQL}')) AS word
+    FROM documents
+  )
+  GROUP BY word
+)
+SELECT substr(word, 1, 1) AS initial,
+       count(*) AS n_words,
+       CAST(sum(cnt) AS BIGINT) AS total_cnt
+FROM wc
+WHERE cnt >= {_ROUNDTRIP_MIN_CNT}
+GROUP BY initial
+ORDER BY initial
+"""
+
+
+@REGISTRY.register(
+    "custom_source_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    description="wordcount -> formatted text -> refmr Python DataSource (pushdown) -> rollup",
+    tags=("source", "datasource", "roundtrip"),
+)
+def custom_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from mapreduce_sm_spark.sources.refmr_source import read_formatted_text
+    from mapreduce_sm_spark.sources.sinks import write_formatted_text
+
+    wc = wordcount(spark, sf_dir)
+    # the text detour must outlive this (lazy) DataFrame: a session-lived
+    # tmpdir, not a context-managed one
+    d = tempfile.mkdtemp(prefix="refmr_roundtrip_")
+    write_formatted_text(wc, "%s\t%d", ["word", "cnt"], d)
+    back = read_formatted_text(spark, d, fmt="wordcount")
+    return (
+        back.filter(F.col("value") >= _ROUNDTRIP_MIN_CNT)
+        .groupBy(F.substring("key", 1, 1).alias("initial"))
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("value").alias("total_cnt"),
+        )
+        .orderBy("initial")
+    )

@@ -57,6 +57,10 @@ def get_spark(
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         # --- python <-> JVM transfer is always Arrow-batched ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (sources/refmr_source.py
+        # implements pushFilters; Spark refuses such readers unless this
+        # opt-in is set)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- deterministic timestamp semantics (matches DuckDB oracle) ---
         .config("spark.sql.session.timeZone", "UTC")
         # the events fixture stores TIMESTAMP(NANOS); read as long up front
