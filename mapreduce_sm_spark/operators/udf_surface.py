@@ -363,3 +363,60 @@ def cogrouped_asof_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: the lowest-overhead Python hook — RecordBatches in,
+# RecordBatches out, no pandas conversion at all. The right level for
+# byte-oriented work (codecs, tokenizers) where even the pandas object
+# layer costs. Here: per-document byte/char/token stats computed with
+# pyarrow.compute kernels (vectorized C++, zero Python-per-row work).
+# Deterministic integer outputs; the oracle computes the same stats in
+# SQL, so the Arrow path's row preservation and arithmetic are
+# hash-checked.
+# ---------------------------------------------------------------------------
+
+_ARROW_STATS_ORACLE = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def _arrow_doc_stats(batches):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        text = batch.column(batch.schema.get_field_index("text"))
+        n_bytes = pc.binary_length(pc.cast(text, pa.binary()))
+        n_chars = pc.utf8_length(text)
+        n_tokens = pc.list_value_length(
+            pc.split_pattern(text, pattern=" ")
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column(batch.schema.get_field_index("doc_id")),
+                pc.cast(n_bytes, pa.int64()),
+                pc.cast(n_chars, pa.int64()),
+                pc.cast(n_tokens, pa.int64()),
+            ],
+            names=["doc_id", "n_bytes", "n_chars", "n_tokens"],
+        )
+
+
+@REGISTRY.register(
+    "arrow_doc_stats",
+    oracle=_ARROW_STATS_ORACLE,
+    description="mapInArrow per-doc byte/char/token stats via pyarrow.compute kernels",
+    tags=("udf", "arrow", "text"),
+)
+def arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        _arrow_doc_stats,
+        "doc_id long, n_bytes long, n_chars long, n_tokens long",
+    ).orderBy("doc_id")
