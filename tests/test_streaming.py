@@ -346,3 +346,100 @@ def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
         .collect()
     )
     assert len(dup_histogram) == 1 and dup_histogram[0]["k"] == 2
+
+
+def test_session_window_state_survives_restart(spark, tmp_path):
+    """Stateful session windows across a checkpointed restart: a session
+    left OPEN by run 1 (watermark had not passed its end) must be
+    EXTENDED by run 2's events into one merged session. If the state
+    store were not restored, run 2 would emit a separate (or 1-event)
+    session; if the source checkpoint were ignored, run 1's finalized
+    session would duplicate."""
+    from mapreduce_sm_spark.streaming.windows import (
+        events_stream,
+        streaming_session_micros,
+    )
+
+    hour = 3_600_000_000
+    base = 1_700_000_000_000_000
+
+    def mk(rows, path):
+        # flat single-file parquet (the file stream source lists leaf
+        # files; a Spark-style directory-per-write would be invisible)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array(
+                        [t for t, _ in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([u for _, u in rows], pa.int64()),
+                    "event_type": pa.array(["click"] * len(rows)),
+                    "value": pa.array([1.0] * len(rows)),
+                    "props": pa.array([None] * len(rows), pa.string()),
+                }
+            ),
+            path,
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: user 1's session closes (watermark passes it); user 2's
+    # session at +3h50m stays OPEN (watermark reaches 4h00m)
+    mk(
+        [
+            (base, 1),
+            (base + 10 * 60_000_000, 1),
+            (base + 3 * hour + 50 * 60_000_000, 2),
+            (base + 5 * hour, 99),  # watermark pusher -> 4h
+        ],
+        str(src / "a.parquet"),
+    )
+
+    def run_once():
+        q = (
+            streaming_session_micros(events_stream(spark, str(src)))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, base, base + 10 * 60_000_000 + 30 * 60_000_000, 2) in first
+    assert not any(r[0] == 2 for r in first), "open session emitted early"
+
+    # run 2: user 2's new event lands 25 min after their open session's
+    # last event -> must MERGE with restored state; pusher closes it
+    mk(
+        [
+            (base + 4 * hour + 15 * 60_000_000, 2),
+            (base + 10 * hour, 99),
+        ],
+        str(src / "b.parquet"),
+    )
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    u2 = [r for r in rows if r.user_id == 2]
+    assert len(u2) == 1, f"expected one merged session, got {u2}"
+    got = (u2[0].session_start_us, u2[0].session_end_us, u2[0].n_events)
+    assert got == (
+        base + 3 * hour + 50 * 60_000_000,
+        base + 4 * hour + 15 * 60_000_000 + 30 * 60_000_000,
+        2,
+    ), got
+    # run 1's finalized session did not duplicate
+    assert len([r for r in rows if r.user_id == 1]) == 1
