@@ -54,8 +54,10 @@ from mapreduce_sm_spark.registry import REGISTRY
 # thresholds — PLANS.md r05): their last driver green predates the new
 # output shape, so they now carry the weakest evidence after the five;
 # (3) the queries whose newest driver evidence is r01 — three rounds of
-# code churn ago; (4) the six queries ADDED this round (never
-# driver-seen), filling the window to 50.
+# code churn ago; (4) the eight queries ADDED this round (never
+# driver-seen), filling the window to 50 (two r01 set-op rows —
+# setops_nations, union_by_name_contacts, the least drift-exposed
+# integer/string queries in the r01 group — yield their slots).
 # Dropped vs the pre-sweep window to make room: unchanged r02 rows
 # (q4/q6/q7/q8/q9/q22, the streaming-window batch twins) and unchanged
 # r03 flagships (wordcount/string_match parity is binary-tested in
@@ -101,13 +103,11 @@ REGISTRY.set_front(
         "sample_documents_hashmod",
         "scalar_subquery_part_avg",
         "setops_multiset",
-        "setops_nations",
         "skew_salted_agg",
         "stats_moments_lineitem",
         "string_functions_extended",
         "topk_orders",
         "train_val_test_split",
-        "union_by_name_contacts",
         "unpivot_lineitem_measures",
         "window_distribution_funcs",
         "window_rank_top_orders",
@@ -125,5 +125,7 @@ REGISTRY.set_front(
         "key_skew_diagnostics",
         "stream_session_windows",
         "zorder_bucket_stats",
+        "custom_source_roundtrip",
+        "arrow_doc_stats",
     )
 )
