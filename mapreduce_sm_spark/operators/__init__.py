@@ -54,10 +54,11 @@ from mapreduce_sm_spark.registry import REGISTRY
 # thresholds — PLANS.md r05): their last driver green predates the new
 # output shape, so they now carry the weakest evidence after the five;
 # (3) the queries whose newest driver evidence is r01 — three rounds of
-# code churn ago; (4) the eight queries ADDED this round (never
-# driver-seen), filling the window to 50 (two r01 set-op rows —
-# setops_nations, union_by_name_contacts, the least drift-exposed
-# integer/string queries in the r01 group — yield their slots).
+# code churn ago; (4) the nine queries ADDED this round (never
+# driver-seen), filling the window to 50 (three r01 rows —
+# setops_nations, union_by_name_contacts, sample_documents_hashmod,
+# the least drift-exposed integer/string queries in the r01 group —
+# yield their slots).
 # Dropped vs the pre-sweep window to make room: unchanged r02 rows
 # (q4/q6/q7/q8/q9/q22, the streaming-window batch twins) and unchanged
 # r03 flagships (wordcount/string_match parity is binary-tested in
@@ -100,7 +101,6 @@ REGISTRY.set_front(
         # --- newest driver evidence is r01 ---
         "calendar_spine_orders",
         "rollup_lineitem",
-        "sample_documents_hashmod",
         "scalar_subquery_part_avg",
         "setops_multiset",
         "skew_salted_agg",
@@ -127,5 +127,6 @@ REGISTRY.set_front(
         "zorder_bucket_stats",
         "custom_source_roundtrip",
         "arrow_doc_stats",
+        "pipe_syntax_rollup",
     )
 )

@@ -420,3 +420,45 @@ def arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _arrow_doc_stats,
         "doc_id long, n_bytes long, n_chars long, n_tokens long",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4): the |> operator chain — FROM ... |> WHERE
+# ... |> AGGREGATE — is the SQL-surface twin of the DataFrame method
+# chain and of the reference's fixed map -> reduce -> sort pipeline
+# (mapreduce.c:376-512 runs exactly one such chain per job). The oracle
+# states the same query in standard ANSI form, so the pipe parser's
+# semantics are hash-checked against a conventional formulation.
+# ---------------------------------------------------------------------------
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR))::DOUBLE
+           AS total_price
+FROM orders
+WHERE o_totalprice > 100000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@REGISTRY.register(
+    "pipe_syntax_rollup",
+    oracle=_PIPE_ORACLE,
+    description="SQL pipe-operator chain (FROM |> WHERE |> AGGREGATE |> ORDER BY)",
+    tags=("sql", "pipe-syntax", "aggregate"),
+)
+def pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("pipe_orders")
+    return spark.sql(
+        """
+        FROM pipe_orders
+        |> WHERE o_totalprice > 100000
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                         AS total_price
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
