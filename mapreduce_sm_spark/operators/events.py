@@ -226,3 +226,58 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# XML scalar surface (Spark 4 to_xml/from_xml): rows serialize to XML
+# strings and parse back through a typed schema before aggregating — the
+# same detour-invisible-to-the-oracle construction as the refmr text
+# round trip (wordcount.py::custom_source_roundtrip), so a serializer or
+# parser defect changes the aggregate and fails the exact hash. Emitted
+# money is integer cents (2-decimal doubles scale to within 4e-11 of an
+# integer, where HALF_UP and nearbyint agree — the anomaly_zscore grid
+# argument).
+# ---------------------------------------------------------------------------
+
+_XML_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@REGISTRY.register(
+    "xml_roundtrip_stats",
+    oracle=_XML_ORACLE,
+    description="to_xml -> from_xml typed round trip, aggregated in integer cents",
+    tags=("xml", "scalar", "roundtrip"),
+)
+def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    xml = o.select(
+        F.to_xml(
+            F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "x",
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE",
+        ).alias("s")
+    ).select("s.*")
+    return (
+        parsed.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
