@@ -111,3 +111,48 @@ def test_restart_resumes_from_committed_offset(spark, tmp_path):
 
 def test_register_is_session_scoped(spark):
     register(spark)  # idempotent double-registration must not raise
+
+
+def test_eventgen_feeds_stateful_session_windows(spark, tmp_path):
+    """Integration: the custom streaming source drives the stateful
+    session_window operator end-to-end. The generator emits one event
+    per synthetic second per offset, users cycle i % 50, so each user's
+    events are 50 s apart — far under the 30-min gap — and every user
+    ends with exactly ONE open session holding max_rows/50 events
+    (complete mode surfaces open sessions)."""
+    from mapreduce_sm_spark.streaming.windows import streaming_session_micros
+    from pyspark.sql import functions as F
+
+    register(spark)
+    max_rows = 500
+    stream = (
+        spark.readStream.format("eventgen")
+        .option("rowsPerBatch", 500)
+        .option("maxRows", max_rows)
+        .load()
+        .select(
+            "event_id",
+            F.timestamp_micros("ts_us").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    q = (
+        streaming_session_micros(stream)
+        .writeStream.format("memory")
+        .queryName("eventgen_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("eventgen_sessions").collect()
+    assert len(rows) == 50  # one session per user
+    assert all(r.n_events == max_rows // 50 for r in rows)
+    # session span: first event i=u, last i=u+450 -> 450 s + 30 min gap
+    for r in rows:
+        assert r.session_end_us - r.session_start_us == (
+            (max_rows - 50) * 1_000_000 + 30 * 60 * 1_000_000
+        )
