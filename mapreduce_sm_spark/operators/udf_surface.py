@@ -431,11 +431,15 @@ def arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantics are hash-checked against a conventional formulation.
 # ---------------------------------------------------------------------------
 
+# Emission in integer cents, not CAST(double AS DECIMAL(18,2)): the
+# drift probe's half-cent prices (x.005) quantize differently under
+# Spark's HALF_UP decimal cast vs DuckDB's nearbyint — round(x*100, 0)
+# sits within 4e-11 of an integer where both engines agree.
 _PIPE_ORACLE = """
 SELECT o_orderpriority,
        count(*) AS n_orders,
-       (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR))::DOUBLE
-           AS total_price
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents
 FROM orders
 WHERE o_totalprice > 100000
 GROUP BY o_orderpriority
@@ -456,8 +460,8 @@ def pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pipe_orders
         |> WHERE o_totalprice > 100000
         |> AGGREGATE count(*) AS n_orders,
-                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                         AS total_price
+                     sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                         AS total_cents
            GROUP BY o_orderpriority
         |> ORDER BY o_orderpriority
         """

@@ -112,6 +112,12 @@ FIVE = (
     "stream_session_windows",
     # bit-for-bit Morton interleave over the probe's adversarial orders
     "zorder_bucket_stats",
+    # round trips whose detours (formatted text, XML, Arrow batches,
+    # pipe syntax) must be value-transparent on hostile inputs too
+    "custom_source_roundtrip",
+    "arrow_doc_stats",
+    "pipe_syntax_rollup",
+    "xml_roundtrip_stats",
 )
 
 
