@@ -1,0 +1,308 @@
+"""Graph analytics over relational edge lists (§2.C extensions — the
+reference engine, /root/reference/src/mapreduce.c, is a two-phase
+map/reduce runtime with no notion of graphs; these compose the engine's
+registered join/aggregate primitives into the two classic distributed
+graph kernels an LLM-data pipeline actually runs: triangle counting on a
+co-occurrence graph (community density / dup-cluster diagnostics) and
+PageRank (importance weighting for corpus sampling).
+
+100 TB posture:
+  - the co-occurrence edge build self-joins lineitem on its order key:
+    fan-out per order is bounded by lines-per-order (~7 in TPC-H), so the
+    pair explosion is O(rows · lines_per_order), not O(rows²), and the
+    join is co-partitioned on the order key (one shuffle each side);
+  - triangle counting uses DEGREE ORIENTATION (each undirected edge is
+    directed from its (degree, id)-smaller endpoint): per-node out-degree
+    is bounded by O(sqrt(m)), so the wedge join's fan-out is
+    O(m · sqrt(m)) worst case instead of O(m · d_max) — the standard
+    scalable formulation (every triangle is counted exactly once, from
+    its (deg,id)-minimal vertex). Both joins are plain equi-joins Spark
+    executes as shuffle/sort-merge joins; no cartesian anywhere;
+  - PageRank is the edge-only formulation: per-iteration state is one
+    (node, rank) frame, contributions flow through an edges join +
+    groupBy(dst) (map-side partial sums), the dangling mass is a 1-row
+    aggregate broadcast back via crossJoin (never a driver collect), and
+    each iteration's frame is cached + count()-materialized so the
+    lineage stays one iteration deep (same discipline as
+    dedup_connected_components, dedup.py).
+
+Cross-engine exactness (PLANS.md r05 rules): every emitted value and
+every ordering key is exact int64 arithmetic — counts, floor-divided
+rank mass (Spark `div` ≡ DuckDB `//`) — so no double-ulp or round-tie
+agreement between engines is required anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+# PageRank fixed-point: total initial mass (integer "rank units"), damping
+# 85/100, teleport 15/100, 3 synchronous iterations.
+PR_MASS = 10**12
+PR_ITERATIONS = 3
+
+# ---------------------------------------------------------------------------
+# Part co-occurrence graph: two parts are adjacent iff some order contains
+# both. Canonical undirected edge (p1 < p2), deduplicated.
+# ---------------------------------------------------------------------------
+
+
+def cooccurrence_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct undirected co-occurrence edges (p1 < p2) from an order's
+    part set. Self-join co-partitioned on l_orderkey; fan-out bounded by
+    lines-per-order."""
+    a = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p1")
+    )
+    b = lineitem.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p2")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """1-row frame (n_nodes, n_edges, n_wedges, n_triangles), all int64.
+
+    Degree orientation: direct each edge from the (deg, id)-smaller
+    endpoint; triangles = oriented paths u->v->w closed by u->w.
+    """
+    deg = (
+        edges.select(F.col("p1").alias("node"))
+        .unionAll(edges.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    d1 = deg.select(F.col("node").alias("p1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("node").alias("p2"), F.col("deg").alias("deg2"))
+    first_is_src = (F.col("deg1") < F.col("deg2")) | (
+        (F.col("deg1") == F.col("deg2")) & (F.col("p1") < F.col("p2"))
+    )
+    oriented = (
+        edges.join(d1, "p1")
+        .join(d2, "p2")
+        .select(
+            F.when(first_is_src, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+            F.when(first_is_src, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+        )
+    )
+    # Three references below (e1/e2/e3) — materialize once so the edge
+    # build + orientation joins run a single time (PLANS.md r05: lazy
+    # caches + AQE's concurrent broadcast builds recompute in-flight
+    # partitions; the count() barrier prevents it).
+    oriented = oriented.cache()
+    oriented.count()
+
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    e3 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    tri = e1.join(e2, "v").join(e3, ["u", "w"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    summary = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.sum(
+            (F.col("deg") * (F.col("deg") - F.lit(1))).cast("long") / 2
+        ).cast("long").alias("n_wedges"),
+    )
+    return summary.crossJoin(tri).select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles"
+    )
+
+
+_TRIANGLE_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT p1 AS node FROM edges UNION ALL SELECT p2 AS node FROM edges)
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (d1.deg < d2.deg)
+                OR (d1.deg = d2.deg AND e.p1 < e.p2)
+              THEN e.p1 ELSE e.p2 END AS src,
+         CASE WHEN (d1.deg < d2.deg)
+                OR (d1.deg = d2.deg AND e.p1 < e.p2)
+              THEN e.p2 ELSE e.p1 END AS dst
+  FROM edges e
+  JOIN deg d1 ON d1.node = e.p1
+  JOIN deg d2 ON d2.node = e.p2
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM oriented e1
+  JOIN oriented e2 ON e2.src = e1.dst
+  JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT n_triangles FROM tri) AS n_triangles
+"""
+
+
+@REGISTRY.register(
+    "graph_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    description="degree-oriented triangle count on the part co-occurrence graph",
+    tags=("graph", "join", "scale"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return triangle_stats(cooccurrence_edges(li))
+
+
+# ---------------------------------------------------------------------------
+# PageRank on the part -> supplier supply graph (directed; suppliers have
+# no out-edges, so the dangling-mass redistribution path is genuinely
+# exercised). Integer fixed-point: rank mass is int64 "units"; every
+# division is a floor division evaluated identically by Spark's `div` and
+# DuckDB's `//`, so 3 iterations produce bit-identical int64 ranks in
+# both engines with no floating point anywhere.
+#
+#   r0(v)  = MASS div N
+#   r_k(v) = (15 * (MASS div N)) div 100
+#            + (85 * (in_sum(v) + dang div N)) div 100
+#   in_sum(v) = sum over edges u->v of (r_{k-1}(u) div outdeg(u))
+#   dang      = sum of r_{k-1}(u) over nodes with no out-edge
+# ---------------------------------------------------------------------------
+
+
+def pagerank_int(
+    edges: DataFrame, iterations: int = PR_ITERATIONS, mass: int = PR_MASS
+) -> DataFrame:
+    """(node, rank int64) after `iterations` synchronous integer steps.
+
+    edges: (src string, dst string). No driver collect: N and the
+    dangling sum travel as 1-row broadcast frames.
+    """
+    edges = edges.cache()
+    edges.count()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    nodes.count()
+    nn = nodes.agg(F.count("*").alias("n"))
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("od"))
+        .select(F.col("src").alias("od_node"), "od")
+    )
+
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"{mass} div n").alias("rank")
+    )
+    base = F.expr(f"(15 * ({mass} div n)) div 100")
+    for _ in range(iterations):
+        r = r.cache()
+        r.count()  # one-iteration-deep lineage (see module docstring)
+        contrib = (
+            r.join(outdeg, F.col("node") == F.col("od_node"))
+            .select(
+                F.col("od_node").alias("contrib_src"),
+                F.expr("rank div od").alias("c"),
+            )
+        )
+        in_sum = (
+            edges.join(contrib, F.col("src") == F.col("contrib_src"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+            .withColumnRenamed("dst", "node")
+        )
+        dang = (
+            r.join(outdeg, F.col("node") == F.col("od_node"), "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dang"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))
+            .join(in_sum, "node", "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        "(85 * (coalesce(in_sum, 0) + (dang div n))) div 100"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return r
+
+
+def _pagerank_oracle() -> str:
+    iters = []
+    prev = "r0"
+    for k in range(1, PR_ITERATIONS + 1):
+        iters.append(f"""
+c{k} AS (
+  SELECT e.dst AS node, sum(r.rank // o.od) AS in_sum
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN outdeg o ON o.node = e.src
+  GROUP BY e.dst
+),
+d{k} AS (
+  SELECT COALESCE(sum(r.rank), 0) AS dang
+  FROM {prev} r LEFT JOIN outdeg o ON o.node = r.node
+  WHERE o.node IS NULL
+),
+r{k} AS (
+  SELECT n2.node,
+         (SELECT (15 * ({PR_MASS} // n)) // 100 FROM nn)
+         + (85 * (COALESCE(c.in_sum, 0)
+                  + (SELECT dang FROM d{k}) // (SELECT n FROM nn))) // 100
+           AS rank
+  FROM nodes n2 LEFT JOIN c{k} c ON c.node = n2.node
+)""")
+        prev = f"r{k}"
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src AS node, count(*) AS od FROM edges GROUP BY src),
+r0 AS (
+  SELECT node, (SELECT {PR_MASS} // n FROM nn) AS rank FROM nodes
+),{",".join(iters)}
+SELECT node, rank FROM {prev}
+ORDER BY rank DESC, node ASC
+LIMIT 20
+"""
+
+
+@REGISTRY.register(
+    "pagerank_supply_graph",
+    oracle=_pagerank_oracle(),
+    description=f"{PR_ITERATIONS}-iteration integer PageRank on the part->supplier graph, top 20",
+    tags=("graph", "iterative", "scale"),
+)
+def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    edges = li.distinct().select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    r = pagerank_int(edges)
+    return r.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20)
