@@ -39,6 +39,7 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
     language_model,
     corpus_ops,
     graph,
+    sketches,
     sharding,
 )
 

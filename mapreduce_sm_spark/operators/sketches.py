@@ -1,0 +1,67 @@
+"""Mergeable cardinality sketches (§2.C scale extension — the reference
+engine, /root/reference/src/mapreduce.c, has no aggregation beyond the
+user reduce UDF; exact distinct counts are already covered by
+agg_distinct_segments and approx_count_distinct by approx_distinct_users).
+
+What this adds over approx_count_distinct: a FIRST-CLASS sketch value.
+hll_sketch_agg emits the Apache DataSketches HLL sketch as a binary
+column that can be stored, re-aggregated, and merged with hll_union_agg
+— the building block a 100 TB pipeline actually needs, because per-day /
+per-source partial sketches are computed once (map-side partial
+aggregation, a few KB per group) and then unioned across any dimension
+without rescanning the corpus. The final estimate is read out with
+hll_sketch_estimate.
+
+No DuckDB oracle: the estimate is defined by the DataSketches HLL_4
+implementation, which no other engine reproduces value-for-value — the
+driver records the weaker rows-only check, and tests/test_sketches.py
+bounds the estimates against exact distinct counts (the documented
+HLL_4 lgK=12 relative standard error is ~1.6%; the test allows 5%) and
+checks the union sketch against the exactly-computed global count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+# DataSketches lgConfigK: 2^12 registers per sketch (~2 KB) — the Spark
+# default, plenty below 1% error at fixture scale and still only KBs per
+# group at corpus scale.
+HLL_LGK = 12
+
+
+@REGISTRY.register(
+    "hll_user_reach",
+    oracle=None,  # estimates are sketch-implementation-defined; rows-only
+    description="per-event-type user reach via mergeable HLL sketches + global union",
+    tags=("sketch", "approximate", "scale"),
+)
+def hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimates and their sketch-union total.
+
+    The 'ALL' row is NOT re-scanned from events: it is the union of the
+    per-type sketches — the merge path that makes sketches useful.
+    """
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk")
+    )
+    # Two consumers (per-type readout + union) of one aggregate: cache
+    # with a count() barrier per the repo's materialization discipline.
+    per = per.cache()
+    per.count()
+    per_est = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    total = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+        )
+    )
+    return per_est.unionAll(total).orderBy("event_type")

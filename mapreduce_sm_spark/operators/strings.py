@@ -192,3 +192,70 @@ def fuzzy_source_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= _FUZZY_MAX_DIST)
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Collation-aware grouping (Spark 4 string collations): group word tokens
+# under the UTF8_LCASE collation, so "Data", "DATA", and "data" land in one
+# group without rewriting the data through lower(). At scale this is the
+# idiomatic case-insensitive aggregation — the collation participates in
+# hash partitioning and codegen'd comparisons directly, instead of paying
+# a materialized lowercase copy of a 100 TB string column.
+#
+# Cross-engine exactness: tokens are restricted to printable ASCII (for
+# which UTF8_LCASE equality == lower() equality by definition; full
+# Unicode case folding is where collation implementations may diverge
+# from an engine's lower()); the emitted group key is min(token) — the
+# binary-minimum original-cased member, deterministic in both engines —
+# plus an int64 count and the distinct cased-variant count. Limit ties
+# are impossible: the (cnt DESC, variants DESC, min_token ASC) ordering
+# ends on a key that is unique per group.
+# ---------------------------------------------------------------------------
+
+_COLLATION_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+ascii_toks AS (
+  SELECT w FROM toks
+  WHERE w <> '' AND regexp_matches(w, '^[\\x21-\\x7e]+$')
+)
+SELECT min(w) AS min_token,
+       count(*) AS cnt,
+       count(DISTINCT w) AS n_case_variants
+FROM ascii_toks
+GROUP BY lower(w)
+ORDER BY cnt DESC, n_case_variants DESC, min_token ASC
+LIMIT 50
+"""
+
+
+@REGISTRY.register(
+    "collation_token_counts",
+    oracle=_COLLATION_ORACLE,
+    description="case-insensitive token counts via the UTF8_LCASE collation, top 50",
+    tags=("string", "collation", "aggregate"),
+)
+def collation_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ", -1)).alias("w"))
+        .filter((F.col("w") != "") & F.col("w").rlike(r"^[\x21-\x7e]+$"))
+    )
+    return (
+        toks.groupBy(F.collate(F.col("w"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.min(F.col("w").cast("string")).alias("min_token"),
+            F.count("*").alias("cnt"),
+            F.count_distinct(F.col("w").cast("string")).alias(
+                "n_case_variants"
+            ),
+        )
+        .select("min_token", "cnt", "n_case_variants")
+        .orderBy(
+            F.col("cnt").desc(),
+            F.col("n_case_variants").desc(),
+            F.col("min_token").asc(),
+        )
+        .limit(50)
+    )
