@@ -177,3 +177,58 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
 
+
+_STREAM_STATIC_ORACLE = """
+SELECT c.c_mktsegment,
+       count(*) AS n_events,
+       (CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR))::DOUBLE AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@REGISTRY.register(
+    "stream_static_enrich",
+    oracle=_STREAM_STATIC_ORACLE,
+    description="stream-static broadcast join: events stream enriched by the customer dim (real streaming run)",
+    tags=("streaming", "join", "broadcast"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enrichment shape every event pipeline runs: an unbounded fact
+    stream joined to a bounded dimension. The dimension is broadcast, so
+    each micro-batch joins map-side with NO shuffle of the stream — the
+    only plan that holds up when the stream side is the 100 TB one. The
+    aggregate after the join keeps streaming state bounded at one row per
+    segment. Emission: decimal-exact sum cast to double via the engine's
+    parity rule (operators/_parity.py)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.session import table
+    from mapreduce_sm_spark.streaming.windows import run_streaming_query
+
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+
+    def plan(stream: DataFrame) -> DataFrame:
+        return (
+            stream.join(
+                F.broadcast(cust),
+                stream["user_id"] == cust["c_custkey"],
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+
+    qname = "stream_static_" + os.path.basename(sf_dir.rstrip("/")).replace(
+        ".", "_"
+    )
+    return run_streaming_query(
+        spark, sf_dir, plan, qname, glob="events.parquet"
+    ).orderBy("c_mktsegment")

@@ -1,0 +1,73 @@
+"""Graph kernels on hand-built graphs with known closed-form answers —
+independent of the fixture oracle (a shared misreading of the fixture
+cannot hide here; the triangle/wedge counts and integer PageRank values
+below are computed by hand in the comments)."""
+
+from __future__ import annotations
+
+from mapreduce_sm_spark.operators.graph import pagerank_int, triangle_stats
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "p1 long, p2 long")
+
+
+def test_triangle_k4(spark):
+    # K4: 4 nodes, 6 edges, C(4,3)=4 triangles, 4 * C(3,2)=12 wedges
+    k4 = _edges(
+        spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    )
+    row = triangle_stats(k4).collect()[0]
+    assert tuple(row) == (4, 6, 12, 4)
+
+
+def test_triangle_path_has_none(spark):
+    # path 1-2-3: one wedge at node 2, no triangle
+    row = triangle_stats(_edges(spark, [(1, 2), (2, 3)])).collect()[0]
+    assert tuple(row) == (3, 2, 1, 0)
+
+
+def test_triangle_star_plus_closing_edge(spark):
+    # star 0-{1,2,3} plus edge 1-2: degrees 3,2,2,1 ->
+    # wedges C(3,2)+C(2,2 choose)=3+1+1+0=5, one triangle (0,1,2)
+    g = _edges(spark, [(0, 1), (0, 2), (0, 3), (1, 2)])
+    row = triangle_stats(g).collect()[0]
+    assert tuple(row) == (4, 4, 5, 1)
+
+
+def _str_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_pagerank_cycle_is_uniform_fixed_point(spark):
+    # 3-cycle, mass 300: r0 = 100 each; every iteration
+    # r' = (15*100)//100 + (85*(100+0))//100 = 15 + 85 = 100 — a fixed point
+    e = _str_edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    got = {r["node"]: r["rank"] for r in pagerank_int(e, 3, 300).collect()}
+    assert got == {"a": 100, "b": 100, "c": 100}
+
+
+def test_pagerank_dangling_two_iterations_exact(spark):
+    # a -> b, mass 200: r0 = 100 each; b is dangling.
+    # iter1: in_sum(b)=100//1=100, dang=100, share=100//2=50,
+    #   base=(15*100)//100=15
+    #   r1(a)=15+(85*50)//100=15+42=57; r1(b)=15+(85*150)//100=15+127=142
+    # iter2: in_sum(b)=57, dang=142, share=71
+    #   r2(a)=15+(85*71)//100=15+60=75; r2(b)=15+(85*128)//100=15+108=123
+    e = _str_edges(spark, [("a", "b")])
+    got = {r["node"]: r["rank"] for r in pagerank_int(e, 2, 200).collect()}
+    assert got == {"a": 75, "b": 123}
+
+
+def test_pagerank_supply_graph_shape(spark):
+    from mapreduce_sm_spark.operators.graph import pagerank_supply_graph
+
+    from tests.conftest import SF_DIR
+
+    df = pagerank_supply_graph(spark, SF_DIR)
+    rows = df.collect()
+    assert df.columns == ["node", "rank"]
+    assert len(rows) == 20
+    assert all(r["node"][:2] in ("p:", "s:") for r in rows)
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
