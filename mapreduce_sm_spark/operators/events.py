@@ -281,3 +281,59 @@ def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV scalar surface (to_csv/from_csv): the same detour-invisible-to-the-
+# oracle construction as the XML round trip above — rows serialize to CSV
+# strings and parse back through a typed schema before aggregating, so a
+# quoting/escaping/parsing defect changes the aggregate and fails the
+# exact hash. c_name carries embedded separators at fixture scale
+# ("Customer#000000001"-style is safe, but the schema does not assume
+# it), so the struct round trip exercises real quoting. Integer-cents
+# emission per the r05 boundary rules.
+# ---------------------------------------------------------------------------
+
+_CSV_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@REGISTRY.register(
+    "csv_roundtrip_stats",
+    oracle=_CSV_ORACLE,
+    description="to_csv -> from_csv typed round trip, aggregated in integer cents",
+    tags=("csv", "scalar", "roundtrip"),
+)
+def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    csv = c.select(
+        F.to_csv(
+            F.struct("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        ).alias("line")
+    )
+    parsed = csv.select(
+        F.from_csv(
+            "line",
+            "c_custkey BIGINT, c_name STRING, c_mktsegment STRING, "
+            "c_acctbal DOUBLE",
+        ).alias("s")
+    ).select("s.*")
+    return (
+        parsed.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(
+                F.round(F.col("c_acctbal") * 100, 0).cast("long")
+            ).alias("acctbal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -466,3 +466,67 @@ def pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# applyInArrow: the GROUPED Arrow hook (Spark 4) — each group arrives as
+# one pyarrow.Table, no pandas layer. Completes the Arrow UDF surface
+# next to mapInArrow above: mapInArrow is the per-partition stream,
+# applyInArrow is the shuffled per-key variant (reduce-UDF slot,
+# /root/reference/include/mapreduce.h:117, at the Arrow level). Here:
+# per event type, event count, integer-cents value total, and the id
+# span — all via pyarrow.compute kernels (vectorized C++), all integer
+# outputs, oracle-checked in SQL.
+# ---------------------------------------------------------------------------
+
+_ARROW_GROUPED_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _arrow_grouped_stats(table):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    etype = table.column("event_type")[0].as_py()
+    cents = pc.cast(
+        pc.round(pc.multiply(table.column("value"), 100.0)), pa.int64()
+    )
+    ids = table.column("event_id")
+    return pa.table(
+        {
+            "event_type": pa.array([etype], pa.string()),
+            "n_events": pa.array([table.num_rows], pa.int64()),
+            "value_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+            "min_event_id": pa.array([pc.min(ids).as_py()], pa.int64()),
+            "max_event_id": pa.array([pc.max(ids).as_py()], pa.int64()),
+        }
+    )
+
+
+@REGISTRY.register(
+    "arrow_grouped_event_stats",
+    oracle=_ARROW_GROUPED_ORACLE,
+    description="applyInArrow grouped stats: per-type counts/cents/id-span, no pandas layer",
+    tags=("udf", "arrow", "grouped"),
+)
+def arrow_grouped_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    out = ev.groupBy("event_type").applyInArrow(
+        _arrow_grouped_stats,
+        schema=(
+            "event_type string, n_events long, value_cents long, "
+            "min_event_id long, max_event_id long"
+        ),
+    )
+    return out.orderBy("event_type")
