@@ -100,20 +100,29 @@ REGISTRY.set_front(
         "dedup_minhash",
         "dedup_ngram_jaccard",
         "corpus_near_dedup",
-        # --- newest driver evidence is r01 ---
-        "calendar_spine_orders",
+        # --- newest driver evidence is r01 (the drift-exposed members:
+        # double/decimal emissions; the r01 rows with pure integer/string
+        # passthrough outputs — calendar_spine_orders, setops_multiset,
+        # string_functions_extended, topk_orders, train_val_test_split,
+        # unpivot_lineitem_measures — yield their slots to the six
+        # never-driver-seen capability rows below, same trade the window
+        # already made for the first nine additions) ---
         "rollup_lineitem",
         "scalar_subquery_part_avg",
-        "setops_multiset",
         "skew_salted_agg",
         "stats_moments_lineitem",
-        "string_functions_extended",
-        "topk_orders",
-        "train_val_test_split",
-        "unpivot_lineitem_measures",
         "window_distribution_funcs",
         "window_rank_top_orders",
         "window_running_total",
+        # --- NEW capability rows (never driver-seen): graph kernels,
+        # collation grouping, stream-static enrichment, CSV round trip,
+        # grouped applyInArrow — integer/exact emissions by construction ---
+        "graph_triangle_count",
+        "pagerank_supply_graph",
+        "collation_token_counts",
+        "stream_static_enrich",
+        "csv_roundtrip_stats",
+        "arrow_grouped_event_stats",
         # --- NEW this round (never driver-seen): sharding/chunking/packing,
         # skew diagnostics, real streaming session windows, z-order layout
         # stats — integer-domain emissions by construction. They displace
