@@ -497,8 +497,15 @@ def _arrow_grouped_stats(table):
     import pyarrow.compute as pc
 
     etype = table.column("event_type")[0].as_py()
+    # half_towards_infinity == round-half-away-from-zero, the tie rule
+    # Spark's scale-0 round() and DuckDB's round() share; Arrow's default
+    # (half_to_even) would split from the oracle on an exact .5 tie
     cents = pc.cast(
-        pc.round(pc.multiply(table.column("value"), 100.0)), pa.int64()
+        pc.round(
+            pc.multiply(table.column("value"), 100.0),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
     )
     ids = table.column("event_id")
     return pa.table(

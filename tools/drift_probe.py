@@ -118,6 +118,17 @@ FIVE = (
     "arrow_doc_stats",
     "pipe_syntax_rollup",
     "xml_roundtrip_stats",
+    # r05 late additions: CSV round trip + grouped Arrow reduce on
+    # half-cent boundaries and hostile quoting (customer fixture below);
+    # integer graph kernels and the collation group-by (regression
+    # guards — immune by construction, the probe keeps them honest);
+    # stream-static join through the ns-timestamp streaming read path
+    "csv_roundtrip_stats",
+    "arrow_grouped_event_stats",
+    "graph_triangle_count",
+    "pagerank_supply_graph",
+    "collation_token_counts",
+    "stream_static_enrich",
 )
 
 
@@ -274,6 +285,33 @@ def build_fixtures() -> None:
         os.path.join(FIXDIR, "part.parquet"),
     )
 
+    # --- customer: half-cent acctbal boundaries + names that stress CSV
+    # quoting (commas, quotes, unicode) and user_ids joinable to events ---
+    nc = 300
+    bal = np.round(rng.uniform(-999, 9999, nc), 2)
+    bal[::9] = np.floor(bal[::9]) + 0.005  # .005 round-to-cents tie
+    hostile_names = [
+        'Cust, "quoted" #%d' % i if i % 3 == 0
+        else ("Cüst—%d\ttab" % i if i % 3 == 1 else "Customer#%09d" % i)
+        for i in range(nc)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(nc), pa.int64()),
+                "c_name": pa.array(hostile_names),
+                "c_nationkey": pa.array(
+                    (np.arange(nc) % 25).astype("int32")
+                ),
+                "c_acctbal": pa.array(bal, pa.float64()),
+                "c_mktsegment": pa.array(
+                    [f"SEG{i % 5}" for i in range(nc)]
+                ),
+            }
+        ),
+        os.path.join(FIXDIR, "customer.parquet"),
+    )
+
     # --- embeddings: norms engineered onto floor-ppm integer boundaries ---
     # power-of-two components make norm^2 (and often norm) exactly
     # representable, so norm*1e6 can land exactly on an integer — the
@@ -320,7 +358,15 @@ def main() -> int:
     reg = load_all_operators()
     spark = get_spark("drift-probe")
     con = duckdb.connect()
-    for t in ("events", "orders", "documents", "embeddings", "lineitem", "part"):
+    for t in (
+        "events",
+        "orders",
+        "documents",
+        "embeddings",
+        "lineitem",
+        "part",
+        "customer",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{FIXDIR}/{t}.parquet'"
         )
