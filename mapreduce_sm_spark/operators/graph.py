@@ -75,6 +75,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     Degree orientation: direct each edge from the (deg, id)-smaller
     endpoint; triangles = oriented paths u->v->w closed by u->w.
     """
+    # edges is referenced by the degree union (twice) and the orientation
+    # join — but deliberately NOT cached: the upstream build is one
+    # co-partitioned self-join whose recompute costs less than
+    # materializing ~m rows through the block store, and leaving it
+    # lazy lets AQE plan each consumer independently (measured at sf0.1:
+    # caching edges+deg was ~1.5x slower than recompute).
     deg = (
         edges.select(F.col("p1").alias("node"))
         .unionAll(edges.select(F.col("p2").alias("node")))
@@ -94,18 +100,34 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.when(first_is_src, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
         )
     )
-    # Three references below (e1/e2/e3) — materialize once so the edge
-    # build + orientation joins run a single time (PLANS.md r05: lazy
-    # caches + AQE's concurrent broadcast builds recompute in-flight
-    # partitions; the count() barrier prevents it).
+    # Two references below (edge stream + adjacency build) — materialize
+    # once so the edge build + orientation joins run a single time
+    # (PLANS.md r05: lazy caches + AQE's concurrent broadcast builds
+    # recompute in-flight partitions; the count() barrier prevents it).
     oriented = oriented.cache()
     oriented.count()
 
-    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    e3 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    tri = e1.join(e2, "v").join(e3, ["u", "w"]).agg(
-        F.count("*").alias("n_triangles")
+    # Compact-forward counting: a triangle with orientation-ordered
+    # vertices u -> v -> w is found exactly once at edge (u, v) as
+    # w in N+(u) intersect N+(v). The per-node out-adjacency array is
+    # bounded at O(sqrt(m)) by the orientation, so the whole adjacency
+    # side is ~m int64s — it broadcasts at test scale and SMJs on the
+    # node key at corpus scale. Crucially the wedge set (sum of
+    # out-deg^2, 83M rows at sf0.1) is never materialized or shuffled:
+    # each edge row does one JVM-side array_intersect instead.
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    nu = adj.select(F.col("src").alias("au"), F.col("nbrs").alias("nu"))
+    nv = adj.select(F.col("src").alias("av"), F.col("nbrs").alias("nv"))
+    empty = F.array().cast("array<bigint>")
+    tri = (
+        oriented.join(nu, F.col("src") == F.col("au"))
+        .join(nv, F.col("dst") == F.col("av"), "left")
+        .select(
+            F.size(
+                F.array_intersect(F.col("nu"), F.coalesce(F.col("nv"), empty))
+            ).alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("n_triangles"))
     )
     summary = deg.agg(
         F.count("*").alias("n_nodes"),
