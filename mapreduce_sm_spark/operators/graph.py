@@ -181,6 +181,7 @@ SELECT (SELECT count(*) FROM deg) AS n_nodes,
     "graph_triangle_count",
     oracle=_TRIANGLE_ORACLE,
     description="degree-oriented triangle count on the part co-occurrence graph",
+    headline=True,
     tags=("graph", "join", "scale"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,6 +319,7 @@ LIMIT 20
     "pagerank_supply_graph",
     oracle=_pagerank_oracle(),
     description=f"{PR_ITERATIONS}-iteration integer PageRank on the part->supplier graph, top 20",
+    headline=True,
     tags=("graph", "iterative", "scale"),
 )
 def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
