@@ -38,6 +38,7 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
     cdc,
     language_model,
     corpus_ops,
+    formats,
     graph,
     sketches,
     sharding,
