@@ -199,3 +199,37 @@ def test_lateral_topk_is_decorrelated(spark):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_count_prunes_lineitem_scan(spark):
+    from mapreduce_sm_spark.operators.graph import graph_triangle_count
+
+    plan = _formatted(graph_triangle_count(spark, SF_DIR))
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas, "no parquet scan found"
+    for line in read_schemas:
+        # only the order key and part key may reach the scan — none of the
+        # eight other lineitem columns
+        assert "l_orderkey" in line and "l_partkey" in line
+        assert "l_extendedprice" not in line and "l_quantity" not in line
+
+
+def test_triangle_count_no_cartesian(spark):
+    from mapreduce_sm_spark.operators.graph import graph_triangle_count
+
+    plan = _plan(graph_triangle_count(spark, SF_DIR))
+    # the 1-row summary x 1-row tri crossJoin is the only nested-loop
+    # allowed; it must be broadcast with a 1-row build, never a
+    # CartesianProduct over data
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_prunes_lineitem_scan(spark):
+    from mapreduce_sm_spark.operators.graph import pagerank_supply_graph
+
+    plan = _formatted(pagerank_supply_graph(spark, SF_DIR))
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas, "no parquet scan found"
+    for line in read_schemas:
+        assert "l_partkey" in line and "l_suppkey" in line
+        assert "l_extendedprice" not in line and "l_orderkey" not in line
