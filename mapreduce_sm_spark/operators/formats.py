@@ -84,3 +84,58 @@ def schema_evolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Formatted-number scalar surface (to_char / try_to_number): money renders
+# through a '999,999,999.99' template into the space-padded, comma-grouped
+# string a report or a legacy feed would carry, then parses back with
+# try_to_number before aggregating — the parse-don't-trust path for
+# numeric text columns. The detour is invisible to the oracle: a
+# formatting or parsing defect (lost cents, swallowed grouping comma,
+# silent NULL from try_) changes the counts or the cents total and fails
+# the exact hash. Decimal in, decimal out: no double enters the detour.
+# ---------------------------------------------------------------------------
+
+_NUMBER_FORMAT = "999,999,999.99"
+
+_NUMBER_ROUNDTRIP_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_parsed,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@REGISTRY.register(
+    "number_format_roundtrip",
+    oracle=_NUMBER_ROUNDTRIP_ORACLE,
+    description="to_char -> try_to_number formatted-money round trip, integer-cents totals",
+    tags=("scalar", "format", "roundtrip"),
+)
+def number_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    rendered = o.select(
+        "o_orderstatus",
+        F.to_char(
+            F.col("o_totalprice").cast("decimal(12,2)"),
+            F.lit(_NUMBER_FORMAT),
+        ).alias("s"),
+    )
+    parsed = rendered.select(
+        "o_orderstatus",
+        F.try_to_number("s", F.lit(_NUMBER_FORMAT)).alias("v"),
+    )
+    return (
+        parsed.groupBy("o_orderstatus")
+        .agg(
+            F.count("v").alias("n_parsed"),
+            F.sum((F.col("v") * 100).cast("long")).alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
