@@ -537,3 +537,104 @@ def arrow_grouped_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic UDTF (Spark 4): no static returnType — a compile-time
+# analyze() derives the output schema FROM THE CALL ARGUMENTS (one long
+# column per requested JSON key, including keys that do not exist in the
+# data, which surface as all-NULL). This is the remaining UDTF capability
+# next to the fixed-schema sentence splitter above: schema-on-call table
+# functions. Row-at-a-time by design (UDTFs are not a hot path — the
+# columnar twin is variant_props_stats); value typing follows the
+# variant query's integral-text rule so the oracle is exactly equivalent
+# under hostile props.
+# ---------------------------------------------------------------------------
+
+_DYN_UDTF_ORACLE = """
+WITH kx AS (
+  SELECT TRY_CAST(CASE WHEN regexp_matches(
+                           json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS k_k
+  FROM events
+)
+SELECT count(*) AS n_rows,
+       count(k_k) AS n_k,
+       sum(k_k) AS sum_k,
+       CAST(0 AS BIGINT) AS n_missing
+FROM kx
+"""
+
+
+def _make_dynamic_kv_udtf():
+    import json
+    import re
+
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    _INT_RE = re.compile(r"^-?[0-9]+$")
+
+    @udtf
+    class KVExtract:
+        @staticmethod
+        def analyze(
+            keys: AnalyzeArgument, props: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if not isinstance(keys.value, str):
+                raise ValueError(
+                    "kv_extract_dyn: the key list must be a constant string"
+                )
+            fields = [
+                StructField(f"k_{k}", LongType())
+                for k in keys.value.split(",")
+            ]
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, keys: str, props: str):
+            try:
+                d = json.loads(props) if props else {}
+            except ValueError:
+                d = {}
+            if not isinstance(d, dict):
+                d = {}
+            out = []
+            for k in keys.split(","):
+                v = d.get(k)
+                if isinstance(v, bool):
+                    out.append(None)
+                elif isinstance(v, int):
+                    out.append(v)
+                elif isinstance(v, str) and _INT_RE.match(v):
+                    out.append(int(v))
+                else:
+                    out.append(None)
+            yield tuple(out)
+
+    return KVExtract
+
+
+@REGISTRY.register(
+    "udtf_dynamic_kv",
+    oracle=_DYN_UDTF_ORACLE,
+    description="polymorphic UDTF: analyze()-time schema from the requested JSON keys",
+    tags=("udf", "udtf", "dynamic-schema"),
+)
+def udtf_dynamic_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("kv_extract_dyn", _make_dynamic_kv_udtf())
+    table(spark, sf_dir, "events").select("props").createOrReplaceTempView(
+        "events_dynudtf_v"
+    )
+    # 'missing' is deliberately absent from every row: the analyze()-derived
+    # k_missing column must exist and be all-NULL
+    return spark.sql(
+        """
+        SELECT count(*) AS n_rows,
+               count(t.k_k) AS n_k,
+               sum(t.k_k) AS sum_k,
+               count(t.k_missing) AS n_missing
+        FROM events_dynudtf_v e,
+             LATERAL kv_extract_dyn('k,missing', e.props) t
+        """
+    )
