@@ -638,3 +638,49 @@ def udtf_dynamic_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL kv_extract_dyn('k,missing', e.props) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (Spark 4): named parameter markers bind VALUES
+# server-side (no string interpolation — the injection-safe path any
+# multi-tenant query service needs) and the IDENTIFIER() clause binds the
+# TABLE NAME from a parameter, which plain markers cannot do. The oracle
+# is the equivalent literal SQL; a binding defect (wrong table, wrong
+# threshold, silent string substitution) changes the aggregate and fails
+# the exact hash. The 50000.00 threshold sits on the fixture's 2-decimal
+# grid: exactly representable, so the >= comparison is engine-portable.
+# ---------------------------------------------------------------------------
+
+_PARAM_SQL_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_totalprice >= 50000
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@REGISTRY.register(
+    "parameterized_sql_revenue",
+    oracle=_PARAM_SQL_ORACLE,
+    description="named-parameter SQL + IDENTIFIER() table binding",
+    tags=("sql", "parameters"),
+)
+def parameterized_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_param_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"tbl": "orders_param_v", "floor": 50000},
+    )
