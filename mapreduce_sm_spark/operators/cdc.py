@@ -145,3 +145,88 @@ def cdc_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("c.o_orderkey").isNull(), 1)).alias("n_unchanged"),
         F.sum(delta).cast("double").alias("updated_price_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (the materialized-view pattern): a
+# kept aggregate STATE is advanced by merging the DELTA batch's partial
+# aggregate — count/sum/min/max are mergeable, the mean derives at read
+# time — instead of rescanning the base data. At 100 TB this is the
+# difference between touching one day's partition and touching the lake:
+# the merge is a full-outer join of two group-key-sized frames (KBs),
+# never a fact scan. The oracle aggregates the WHOLE table directly, so
+# the hash proves merged-partials == full-recompute exactly: integer
+# cents and a floor-divided mean keep every emitted value engine-exact.
+# ---------------------------------------------------------------------------
+
+_INCR_AGG_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           // count(*) AS avg_cents_floor
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def _partial_order_agg(df: DataFrame) -> DataFrame:
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("cents"),
+        F.min("o_orderkey").alias("mn"),
+        F.max("o_orderkey").alias("mx"),
+    )
+
+
+@REGISTRY.register(
+    "incremental_agg_maintenance",
+    oracle=_INCR_AGG_ORACLE,
+    description="mergeable partial aggregates: state + delta merge == full recompute",
+    tags=("cdc", "aggregate", "incremental", "scale"),
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
+    # the kept state (80% of keys) and the arriving delta batch (20%)
+    state = _partial_order_agg(o.filter(F.col("o_orderkey") % 5 != 0))
+    delta = _partial_order_agg(o.filter(F.col("o_orderkey") % 5 == 0))
+    s = state.select(
+        F.col("o_orderstatus"),
+        F.col("n").alias("sn"),
+        F.col("cents").alias("sc"),
+        F.col("mn").alias("smn"),
+        F.col("mx").alias("smx"),
+    )
+    d = delta.select(
+        F.col("o_orderstatus"),
+        F.col("n").alias("dn"),
+        F.col("cents").alias("dc"),
+        F.col("mn").alias("dmn"),
+        F.col("mx").alias("dmx"),
+    )
+    merged = s.join(d, "o_orderstatus", "full_outer").select(
+        "o_orderstatus",
+        (F.coalesce("sn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+            "n_orders"
+        ),
+        (F.coalesce("sc", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias(
+            "total_cents"
+        ),
+        F.least("smn", "dmn").alias("min_key"),  # least/greatest skip NULLs
+        F.greatest("smx", "dmx").alias("max_key"),
+    )
+    return merged.select(
+        "o_orderstatus",
+        "n_orders",
+        "total_cents",
+        "min_key",
+        "max_key",
+        F.expr("total_cents div n_orders").alias("avg_cents_floor"),
+    ).orderBy("o_orderstatus")
