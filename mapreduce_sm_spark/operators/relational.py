@@ -886,3 +886,58 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe arithmetic surface: Spark 4 runs with ANSI semantics, where
+# dividing by zero is an ERROR — try_divide is the per-row safety valve
+# that degrades to NULL instead of failing the job (the behavior every
+# large pipeline wants for dirty denominators). The divisor
+# (l_linenumber - 1) is zero on every order's first line BY CONSTRUCTION,
+# so the NULL path is exercised on every fixture generation, not by data
+# luck. Emissions are engine-exact: the per-row floor of an
+# exact-int64-over-exact-int64 IEEE division is the same double in both
+# engines, and the summed floors are int64.
+# ---------------------------------------------------------------------------
+
+_TRY_ARITH_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       sum(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS n_null_safe,
+       CAST(sum(CASE WHEN l_linenumber > 1
+                     THEN CAST(floor(CAST(round(l_extendedprice * 100, 0)
+                                          AS BIGINT)
+                                     / (l_linenumber - 1)) AS BIGINT)
+                END) AS BIGINT) AS sum_floor_ratio
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@REGISTRY.register(
+    "try_arithmetic_surface",
+    oracle=_TRY_ARITH_ORACLE,
+    description="try_divide under ANSI mode: zero divisors degrade to NULL, not job failure",
+    tags=("scalar", "ansi", "error-handling"),
+)
+def try_arithmetic_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linenumber", "l_extendedprice"
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    ratio = F.expr(
+        "try_divide("
+        "cast(round(l_extendedprice * 100, 0) as bigint), l_linenumber - 1)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("l_linenumber") == 1, 1).otherwise(0)
+            ).alias("n_null_safe"),
+            F.sum(F.floor(ratio).cast("long")).alias("sum_floor_ratio"),
+        )
+        .orderBy("l_returnflag")
+    )
