@@ -925,7 +925,6 @@ def try_arithmetic_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linenumber", "l_extendedprice"
     )
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     ratio = F.expr(
         "try_divide("
         "cast(round(l_extendedprice * 100, 0) as bigint), l_linenumber - 1)"
