@@ -684,3 +684,55 @@ def parameterized_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders_param_v", "floor": 50000},
     )
+
+
+# ---------------------------------------------------------------------------
+# pandas API on Spark (pyspark.pandas): the engine's fourth user-facing
+# API next to SQL, DataFrame, and the Arrow/pandas UDF hooks — pandas
+# syntax compiled to the same Catalyst plans (NOT pandas execution: no
+# data leaves the JVM here, no toPandas). The oracle checks the result;
+# the point of the query is that a pandas-fluent user gets distributed
+# execution with grouped integer-cents math unchanged.
+# ---------------------------------------------------------------------------
+
+_PANDAS_API_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       max(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@REGISTRY.register(
+    "pandas_api_rollup",
+    oracle=_PANDAS_API_ORACLE,
+    description="pyspark.pandas groupby/agg compiled to Catalyst (no JVM exit)",
+    tags=("pandas-api", "aggregate"),
+)
+def pandas_api_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.pandas as ps
+
+    pdf = ps.DataFrame(
+        table(spark, sf_dir, "orders").select(
+            "o_orderstatus", "o_orderkey", "o_totalprice"
+        )
+    )
+    pdf["cents"] = (pdf["o_totalprice"] * 100).round(0).astype("int64")
+    g = (
+        pdf.groupby("o_orderstatus")
+        .agg(
+            n_orders=("o_orderkey", "count"),
+            total_cents=("cents", "sum"),
+            max_key=("o_orderkey", "max"),
+        )
+        .sort_index()
+    )
+    return (
+        g.to_spark(index_col="o_orderstatus")
+        .select("o_orderstatus", "n_orders", "total_cents", "max_key")
+        .orderBy("o_orderstatus")
+    )
