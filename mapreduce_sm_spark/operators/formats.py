@@ -120,12 +120,16 @@ def number_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_totalprice"
     )
+    # The decimal fed to to_char is built FROM the integer cents — the
+    # same round(x*100, 0) the oracle uses — never by casting the double
+    # straight to DECIMAL(12,2): on a half-cent double the exact-expansion
+    # HALF_UP cast and the scale-0 round of the product can disagree by
+    # one cent (caught by tools/drift_probe.py's .005-tie orders fixture).
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    dec = (cents.cast("decimal(14,0)") / F.lit(100)).cast("decimal(12,2)")
     rendered = o.select(
         "o_orderstatus",
-        F.to_char(
-            F.col("o_totalprice").cast("decimal(12,2)"),
-            F.lit(_NUMBER_FORMAT),
-        ).alias("s"),
+        F.to_char(dec, F.lit(_NUMBER_FORMAT)).alias("s"),
     )
     parsed = rendered.select(
         "o_orderstatus",

@@ -129,6 +129,17 @@ FIVE = (
     "pagerank_supply_graph",
     "collation_token_counts",
     "stream_static_enrich",
+    # r05 final sweep: every remaining new query — cents-grid rounds
+    # (safe scale-0 form), integral-text UDTF typing, floor divisions,
+    # and the pandas-API/parameterized/mergeSchema detours — probed so a
+    # regression into a tie-fragile form fails here first
+    "schema_evolution_stats",
+    "number_format_roundtrip",
+    "udtf_dynamic_kv",
+    "parameterized_sql_revenue",
+    "incremental_agg_maintenance",
+    "try_arithmetic_surface",
+    "pandas_api_rollup",
 )
 
 
