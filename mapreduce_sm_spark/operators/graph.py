@@ -127,14 +127,25 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
                 F.array_intersect(F.col("nu"), F.coalesce(F.col("nv"), empty))
             ).alias("t")
         )
-        .agg(F.sum("t").cast("long").alias("n_triangles"))
+        .agg(
+            # coalesce: an empty edge set must emit 0 like the oracle's
+            # count(*), not a NULL sum
+            F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles")
+        )
     )
+    # exact int64 arithmetic throughout (module contract): deg*(deg-1) is
+    # even, so `div 2` is exact; a double `/ 2` sum would lose low bits
+    # past 2^53 while the oracle sums exactly
     summary = deg.agg(
         F.count("*").alias("n_nodes"),
-        (F.sum("deg") / 2).cast("long").alias("n_edges"),
-        F.sum(
-            (F.col("deg") * (F.col("deg") - F.lit(1))).cast("long") / 2
-        ).cast("long").alias("n_wedges"),
+        F.coalesce(F.expr("sum(deg) div 2"), F.lit(0))
+        .cast("long")
+        .alias("n_edges"),
+        F.coalesce(
+            F.expr("sum(deg * (deg - 1) div 2)"), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_wedges"),
     )
     return summary.crossJoin(tri).select(
         "n_nodes", "n_edges", "n_wedges", "n_triangles"
@@ -172,7 +183,8 @@ tri AS (
 )
 SELECT (SELECT count(*) FROM deg) AS n_nodes,
        (SELECT count(*) FROM edges) AS n_edges,
-       (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT COALESCE(CAST(sum(deg * (deg - 1) // 2) AS BIGINT), 0)
+        FROM deg) AS n_wedges,
        (SELECT n_triangles FROM tri) AS n_triangles
 """
 

@@ -12,6 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mapreduce_sm_spark.registry import REGISTRY
 
+
+def _sink_name(prefix: str, sf_dir: str) -> str:
+    """Unique memory-sink table name per (query, sf_dir): repeated runs
+    against different scale dirs must not collide on one sink."""
+    return prefix + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+
 _STATEFUL_ORACLE = """
 SELECT user_id,
        count(*) AS n_events,
@@ -32,9 +38,7 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_sm_spark.streaming.stateful import run_stateful_user_totals
 
     # unique sink name per sf_dir: repeated runs must not collide
-    qname = "stateful_totals_" + os.path.basename(sf_dir.rstrip("/")).replace(
-        ".", "_"
-    )
+    qname = _sink_name("stateful_totals_", sf_dir)
     return run_stateful_user_totals(
         spark, os.path.join(sf_dir, "events.parquet"), query_name=qname
     ).orderBy("user_id")
@@ -66,7 +70,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_streaming_click_purchase_join,
     )
 
-    qname = "ss_join_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    qname = _sink_name("ss_join_", sf_dir)
     return run_streaming_click_purchase_join(
         spark, sf_dir, qname, glob="events.parquet"
     ).orderBy("click_id", "purchase_id")
@@ -122,9 +126,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_session_micros,
     )
 
-    qname = "ss_session_" + os.path.basename(sf_dir.rstrip("/")).replace(
-        ".", "_"
-    )
+    qname = _sink_name("ss_session_", sf_dir)
     return run_streaming_query(
         spark,
         sf_dir,
@@ -160,9 +162,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapreduce_sm_spark.streaming.windows import run_streaming_dedup_counts
 
-    qname = "stream_dedup_" + os.path.basename(sf_dir.rstrip("/")).replace(
-        ".", "_"
-    )
+    qname = _sink_name("stream_dedup_", sf_dir)
     deduped = run_streaming_dedup_counts(
         spark, sf_dir, qname, glob="events.parquet"
     )
@@ -226,9 +226,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    qname = "stream_static_" + os.path.basename(sf_dir.rstrip("/")).replace(
-        ".", "_"
-    )
+    qname = _sink_name("stream_static_", sf_dir)
     return run_streaming_query(
         spark, sf_dir, plan, qname, glob="events.parquet"
     ).orderBy("c_mktsegment")

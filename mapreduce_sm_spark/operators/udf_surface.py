@@ -602,12 +602,19 @@ def _make_dynamic_kv_udtf():
             out = []
             for k in keys.split(","):
                 v = d.get(k)
-                if isinstance(v, bool):
-                    out.append(None)
-                elif isinstance(v, int):
+                if isinstance(v, str) and _INT_RE.match(v):
+                    v = int(v)
+                # the full TRY_CAST-to-BIGINT rule needs the int64 RANGE
+                # check too: an out-of-range Python int must become NULL
+                # here (like DuckDB's TRY_CAST), not leak to the
+                # serializer — the legacy pickle path nulls it silently
+                # but the Arrow UDTF path would raise on overflow
+                if (
+                    isinstance(v, int)
+                    and not isinstance(v, bool)
+                    and -(2**63) <= v < 2**63
+                ):
                     out.append(v)
-                elif isinstance(v, str) and _INT_RE.match(v):
-                    out.append(int(v))
                 else:
                     out.append(None)
             yield tuple(out)

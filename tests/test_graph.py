@@ -71,3 +71,11 @@ def test_pagerank_supply_graph_shape(spark):
     assert all(r["node"][:2] in ("p:", "s:") for r in rows)
     ranks = [r["rank"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_triangle_empty_edge_set_emits_zeros(spark):
+    # sparse-but-valid input: all aggregates must be 0, never NULL
+    # (cross-engine: the oracle's count(*) forms emit 0 on empty too)
+    empty = spark.createDataFrame([], "p1 long, p2 long")
+    row = triangle_stats(empty).collect()[0]
+    assert tuple(row) == (0, 0, 0, 0)
