@@ -743,3 +743,142 @@ def pandas_api_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderstatus", "n_orders", "total_cents", "max_key")
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# UDTF with a TABLE argument (Spark 4): the table function consumes
+# TABLE(events) PARTITION BY event_type — each partition's rows stream
+# through eval() and terminate() emits the partition's reduction. This is
+# the reference's reduce-UDF contract (/root/reference/include/
+# mapreduce.h:117 — grouped values in, arbitrary rows out) surfaced as a
+# SQL table-valued function, with the engine handling the shuffle that
+# PARTITION BY implies. Row-at-a-time by design (UDTF path); the
+# columnar twin of this aggregate is arrow_grouped_event_stats above.
+# ---------------------------------------------------------------------------
+
+_TABLE_ARG_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _make_partition_reduce_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "event_type string, n_events bigint, value_cents bigint, "
+            "min_event_id bigint, max_event_id bigint"
+        )
+    )
+    class PartitionReduce:
+        def __init__(self):
+            self.key = None
+            self.n = 0
+            self.cents = 0
+            self.mn = None
+            self.mx = None
+
+        def eval(self, row):
+            import math
+
+            self.key = row["event_type"]
+            self.n += 1
+            # exact round-half-away-from-zero on the double product —
+            # NOT int(v + 0.5), whose addition can carry v across the
+            # next integer when v is one ulp below a .5 tie (the exact
+            # adversarial values tools/drift_probe.py generates)
+            v = row["value"] * 100.0
+            f = math.floor(v)
+            frac = v - f
+            self.cents += f + 1 if (
+                frac > 0.5 or (frac == 0.5 and v > 0)
+            ) else f
+            eid = row["event_id"]
+            self.mn = eid if self.mn is None else min(self.mn, eid)
+            self.mx = eid if self.mx is None else max(self.mx, eid)
+
+        def terminate(self):
+            if self.n:
+                yield (self.key, self.n, self.cents, self.mn, self.mx)
+
+    return PartitionReduce
+
+
+@REGISTRY.register(
+    "udtf_table_arg_reduce",
+    oracle=_TABLE_ARG_ORACLE,
+    description="UDTF over TABLE(...) PARTITION BY: the reference reduce hook as a SQL TVF",
+    tags=("udf", "udtf", "table-argument"),
+)
+def udtf_table_arg_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("partition_reduce", _make_partition_reduce_udtf())
+    table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    ).createOrReplaceTempView("events_tblarg_v")
+    return spark.sql(
+        """
+        SELECT *
+        FROM partition_reduce(TABLE(events_tblarg_v)
+                              PARTITION BY event_type)
+        ORDER BY event_type
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (Spark 4): a BEGIN..END block with DECLAREd variables —
+# a scalar subquery binds the corpus-wide max into a variable, and the
+# final statement filters against it. Control flow and session variables
+# belong to the engine surface a SQL-first user migrates with; the
+# oracle is the equivalent single statement with a CTE.
+# ---------------------------------------------------------------------------
+
+_SCRIPTING_ORACLE = """
+WITH hi AS (
+  SELECT CAST(round(max(o_totalprice) * 100, 0) AS BIGINT) AS max_cents
+  FROM orders
+)
+SELECT o_orderstatus,
+       count(*) AS n_above_half,
+       (SELECT max_cents FROM hi) AS max_cents
+FROM orders
+WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) * 2
+      >= (SELECT max_cents FROM hi)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@REGISTRY.register(
+    "sql_scripting_rollup",
+    oracle=_SCRIPTING_ORACLE,
+    description="SQL scripting block: DECLARE/SET variable bound from a scalar subquery",
+    tags=("sql", "scripting"),
+)
+def sql_scripting_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_script_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE hi BIGINT;
+          SET hi = (SELECT CAST(round(max(o_totalprice) * 100, 0) AS BIGINT)
+                    FROM orders_script_v);
+          SELECT o_orderstatus,
+                 count(*) AS n_above_half,
+                 hi AS max_cents
+          FROM orders_script_v
+          WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) * 2 >= hi
+          GROUP BY o_orderstatus
+          ORDER BY o_orderstatus;
+        END
+        """
+    )

@@ -140,6 +140,10 @@ FIVE = (
     "incremental_agg_maintenance",
     "try_arithmetic_surface",
     "pandas_api_rollup",
+    # TABLE-argument UDTF (Python-side half-away rounding must match the
+    # engines on the tie fixtures) and the SQL scripting block
+    "udtf_table_arg_reduce",
+    "sql_scripting_rollup",
 )
 
 
