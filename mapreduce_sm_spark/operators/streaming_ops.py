@@ -230,3 +230,68 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_query(
         spark, sf_dir, plan, qname, glob="events.parquet"
     ).orderBy("c_mktsegment")
+
+
+_SINK_ROUNDTRIP_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@REGISTRY.register(
+    "stream_sink_roundtrip",
+    oracle=_SINK_ROUNDTRIP_ORACLE,
+    description="custom Python streaming SINK: exactly-once jsonlog commit protocol round trip",
+    tags=("streaming", "datasource", "sink", "roundtrip"),
+)
+def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth custom-connector quadrant (stream WRITE — refmr covers
+    batch read/write, eventgen covers stream read): the events stream
+    exits through the jsonlog DataSourceStreamWriter's temp-file ->
+    rename -> marker-last commit protocol, and the aggregate is computed
+    from the MARKER-GATED read-back — so a lost batch, an uncommitted
+    temp leaking into the read side, or a double-published replay all
+    change the counts and fail the exact hash."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.sources.jsonlog_sink import (
+        JsonLogDataSource,
+        committed_files,
+    )
+    from mapreduce_sm_spark.streaming.windows import events_stream
+
+    spark.dataSource.register(JsonLogDataSource)
+    out_dir = tempfile.mkdtemp(prefix="jsonlog_sink_")
+    ckpt = tempfile.mkdtemp(prefix="jsonlog_ckpt_")
+    stream = events_stream(
+        spark, sf_dir, glob="events.parquet", max_files_per_trigger=1
+    ).select("event_id", "event_type", "value")
+    q = (
+        stream.writeStream.format("jsonlog")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.schema("event_id long, event_type string, value double").json(
+        committed_files(out_dir)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+            ).alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

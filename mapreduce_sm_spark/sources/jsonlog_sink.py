@@ -1,0 +1,112 @@
+"""Custom Python DataSource STREAMING SINK (Spark 4 DataSourceStreamWriter)
+— completes the engine's custom-connector matrix: batch read/write
+(refmr_source.py), stream read (eventgen_stream.py), and now stream
+write. Reference anchor: the C runtime's single formatted output file
+(/root/reference/src/mapreduce.c:457-489) generalized to an append-only,
+exactly-once commit log.
+
+Exactly-once protocol (the part a real sink must get right):
+  - each task's write() streams its rows to a TEMP file (uuid name) and
+    returns the path in its commit message — data never rides through
+    the driver;
+  - commit(messages, batchId) renames the temps to deterministic
+    `batch-<id>-<k>.jsonl` names and then atomically writes the
+    `_COMMITTED-<id>` marker LAST. Readers only trust files whose
+    batch marker exists, so a crash between renames publishes nothing;
+  - a REPLAYED batch (restart after a crash before the checkpoint
+    advanced) sees its marker already present, discards the new temps,
+    and commits nothing — idempotent, no duplicates;
+  - abort(messages, batchId) deletes the temps.
+
+Scale posture: per-task streaming file writes, driver handles only
+renames of per-task paths (O(tasks), not O(rows)); the marker-gated
+read side is how every file-based exactly-once sink works (same shape
+as Spark's own _spark_metadata commit log).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+
+
+class _TempFile(WriterCommitMessage):
+    def __init__(self, path: str, rows: int) -> None:
+        self.path = path
+        self.rows = rows
+
+
+class JsonLogStreamWriter(DataSourceStreamWriter):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), sort_keys=True, default=str))
+                fh.write("\n")
+                n += 1
+        return _TempFile(tmp, n)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"_COMMITTED-{batch_id}")
+
+    def commit(self, messages, batchId) -> None:
+        marker = self._marker(batchId)
+        if os.path.exists(marker):
+            # replayed batch: the previous attempt already published —
+            # discard the new temps, publish nothing (exactly-once)
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+            return
+        total = 0
+        for k, m in enumerate(m for m in messages if m is not None):
+            final = os.path.join(self.path, f"batch-{batchId}-{k}.jsonl")
+            os.replace(m.path, final)
+            total += m.rows
+        # marker LAST: readers only trust marker-gated batches
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w", encoding="utf-8") as fh:
+            fh.write(json.dumps({"batch": int(batchId), "rows": total}))
+        os.replace(tmp_marker, marker)
+
+    def abort(self, messages, batchId) -> None:  # noqa: ARG002
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonLogDataSource(DataSource):
+    """`df.writeStream.format("jsonlog").option("path", dir)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlog"
+
+    def streamWriter(self, schema, overwrite) -> JsonLogStreamWriter:  # noqa: ARG002
+        return JsonLogStreamWriter(self.options["path"])
+
+
+def committed_files(path: str) -> list[str]:
+    """The marker-gated read side: only files of committed batches."""
+    out = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith("_COMMITTED-"):
+            bid = name.split("-", 1)[1]
+            out.extend(
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.startswith(f"batch-{bid}-")
+            )
+    return sorted(set(out))
