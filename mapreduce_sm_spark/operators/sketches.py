@@ -65,3 +65,58 @@ def hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_est.unionAll(total).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# EXACT distinct counting via mergeable bitmaps (the deterministic
+# complement to the HLL estimate above): user ids hash into 32768-bit
+# bucket bitmaps (bitmap_bucket_number / bitmap_bit_position), each
+# (key, bucket) group ORs its bits map-side (bitmap_construct_agg), and
+# the per-key exact distinct count is the sum of bucket popcounts. The
+# 'ALL' row merges the per-type bucket bitmaps with bitmap_or_agg — the
+# same rescan-free union as the HLL sketch, but exact, so this query
+# carries a full value-hash oracle. At corpus scale the state per key is
+# one bitmap per occupied bucket (dense id spaces compress to
+# n_ids/8 bytes total), and every stage is a partial-aggregable groupBy.
+# ---------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS exact_users
+FROM events
+ORDER BY event_type
+"""
+
+
+@REGISTRY.register(
+    "bitmap_distinct_users",
+    oracle=_BITMAP_ORACLE,
+    description="exact distinct users via mergeable bucket bitmaps + OR-merged total",
+    tags=("sketch", "bitmap", "exact", "scale"),
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    b = ev.select(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    )
+    per_bucket = b.groupBy("event_type", "bucket").agg(
+        F.bitmap_construct_agg("pos").alias("bm")
+    )
+    # two consumers (per-type counts + OR-merged ALL row): materialize once
+    per_bucket = per_bucket.cache()
+    per_bucket.count()
+    per_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("exact_users")
+    )
+    merged = (
+        per_bucket.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("exact_users"))
+        .select(F.lit("ALL").alias("event_type"), "exact_users")
+    )
+    return per_type.unionAll(merged).orderBy("event_type")

@@ -259,3 +259,101 @@ def collation_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (Spark 4 listagg / WITHIN GROUP): the
+# report-shaped "concatenate the group's members in order" — DuckDB's
+# string_agg twin makes the oracle exact because both sides pin the same
+# ORDER BY inside the aggregate (an unordered listagg would be
+# nondeterministic across partitions and could never hash-match).
+# ---------------------------------------------------------------------------
+
+_LISTAGG_ORACLE = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+           AS statuses_csv,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@REGISTRY.register(
+    "listagg_order_statuses",
+    oracle=_LISTAGG_ORACLE,
+    description="listagg(DISTINCT ...) WITHIN GROUP ordered string aggregation",
+    tags=("string", "aggregate", "listagg"),
+)
+def listagg_order_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_listagg_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses_csv,
+               count(*) AS n_orders
+        FROM orders_listagg_v
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data masking (Spark mask()): the built-in PII-shaped redaction — upper
+# letters to 'X', lower to 'x', digits to 'n'. mask() classifies by
+# UNICODE character category while the oracle's regexes are ASCII
+# classes, so non-ASCII characters are folded to '?' on BOTH sides first
+# — the same neutralization the collation query uses, making the
+# comparison exact under hostile fixture names too. Emissions are the
+# distinct masked shapes and their row counts: the masked strings
+# themselves cross the hash, proving the transform character-for-
+# character.
+# ---------------------------------------------------------------------------
+
+_MASK_ORACLE = """
+WITH m AS (
+  SELECT c_mktsegment,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(c_name, '[^\\x00-\\x7f]', '?', 'g'),
+               '[A-Z]', 'X', 'g'),
+             '[a-z]', 'x', 'g'),
+           '[0-9]', 'n', 'g') AS masked
+  FROM customer
+)
+SELECT c_mktsegment,
+       count(DISTINCT masked) AS n_shapes,
+       min(masked) AS sample_shape,
+       count(*) AS n_rows
+FROM m
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@REGISTRY.register(
+    "mask_pii_shapes",
+    oracle=_MASK_ORACLE,
+    description="mask() redaction shapes per segment (ASCII-neutralized, exact strings)",
+    tags=("string", "masking", "governance"),
+)
+def mask_pii_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_mktsegment", "c_name")
+    ascii_name = F.regexp_replace(
+        F.col("c_name"), r"[^\x00-\x7f]", "?"
+    )
+    masked = F.mask(ascii_name)  # defaults: upper->X, lower->x, digit->n
+    return (
+        c.select("c_mktsegment", masked.alias("masked"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct("masked").alias("n_shapes"),
+            F.min("masked").alias("sample_shape"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -144,6 +144,12 @@ FIVE = (
     # engines on the tie fixtures) and the SQL scripting block
     "udtf_table_arg_reduce",
     "sql_scripting_rollup",
+    # exact-bitmap distinct (pure integers), ordered listagg (strings),
+    # mask() over the hostile unicode customer names (the ASCII
+    # neutralization must agree with the oracle's regex fold)
+    "bitmap_distinct_users",
+    "listagg_order_statuses",
+    "mask_pii_shapes",
 )
 
 
