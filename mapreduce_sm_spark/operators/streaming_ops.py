@@ -257,6 +257,7 @@ def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the MARKER-GATED read-back — so a lost batch, an uncommitted
     temp leaking into the read side, or a double-published replay all
     change the counts and fail the exact hash."""
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -268,8 +269,13 @@ def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_sm_spark.streaming.windows import events_stream
 
     spark.dataSource.register(JsonLogDataSource)
-    out_dir = tempfile.mkdtemp(prefix="jsonlog_sink_")
-    ckpt = tempfile.mkdtemp(prefix="jsonlog_ckpt_")
+    # fixed per-sf_dir paths, wiped on entry: repeated gate/probe runs
+    # reuse (not leak) the full-corpus JSON copy and the checkpoint
+    base = os.path.join(
+        tempfile.gettempdir(), "jsonlog_" + _sink_name("rt_", sf_dir)
+    )
+    out_dir, ckpt = os.path.join(base, "log"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
     stream = events_stream(
         spark, sf_dir, glob="events.parquet", max_files_per_trigger=1
     ).select("event_id", "event_type", "value")
@@ -281,7 +287,7 @@ def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    q.awaitTermination(120)  # bounded like run_streaming_query
     back = spark.read.schema("event_id long, event_type string, value double").json(
         committed_files(out_dir)
     )

@@ -70,6 +70,14 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
                 if m is not None and os.path.exists(m.path):
                     os.remove(m.path)
             return
+        # a previous attempt may have crashed AFTER some renames but
+        # BEFORE the marker: those batch-<id>-* files are unpublished
+        # (marker absent) and must be removed, or a replay with fewer
+        # tasks would publish them alongside its own files (duplicates)
+        prefix = f"batch-{batchId}-"
+        for stale in os.listdir(self.path):
+            if stale.startswith(prefix):
+                os.remove(os.path.join(self.path, stale))
         total = 0
         for k, m in enumerate(m for m in messages if m is not None):
             final = os.path.join(self.path, f"batch-{batchId}-{k}.jsonl")
@@ -82,6 +90,11 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
         os.replace(tmp_marker, marker)
 
     def abort(self, messages, batchId) -> None:  # noqa: ARG002
+        # Known caveat: a task that dies before returning its commit
+        # message leaves an orphan temp neither commit() nor abort()
+        # knows about. Orphans are never published (marker-gated reads)
+        # so correctness holds; a production janitor would sweep
+        # .tmp-* files older than the newest marker.
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
@@ -99,14 +112,17 @@ class JsonLogDataSource(DataSource):
 
 
 def committed_files(path: str) -> list[str]:
-    """The marker-gated read side: only files of committed batches."""
-    out = []
-    for name in sorted(os.listdir(path)):
-        if name.startswith("_COMMITTED-"):
-            bid = name.split("-", 1)[1]
-            out.extend(
-                os.path.join(path, f)
-                for f in sorted(os.listdir(path))
-                if f.startswith(f"batch-{bid}-")
-            )
-    return sorted(set(out))
+    """The marker-gated read side: only files of committed batches.
+
+    Single directory listing, grouped by parsed batch id — not one
+    re-list per marker."""
+    names = os.listdir(path)
+    committed = {
+        n.split("-", 1)[1] for n in names if n.startswith("_COMMITTED-")
+    }
+    out = [
+        os.path.join(path, n)
+        for n in names
+        if n.startswith("batch-") and n.split("-")[1] in committed
+    ]
+    return sorted(out)

@@ -67,3 +67,23 @@ def test_uncommitted_batch_invisible_to_readers(tmp_path):
     files = committed_files(d)
     rows = [json.loads(line) for f in files for line in open(f)]
     assert [r["a"] for r in rows] == [1]
+
+
+def test_crashed_partial_publish_then_replay_with_fewer_tasks(tmp_path):
+    # attempt 1 renamed its files but died BEFORE the marker; the replay
+    # runs with fewer tasks — the stale unpublished files must not ride
+    # along under the replay's marker (the review-caught duplication)
+    d = str(tmp_path / "log")
+    w = JsonLogStreamWriter(d)
+    m1 = _write_batch(w, [{"a": 1}])
+    m2 = _write_batch(w, [{"a": 2}])
+    os.replace(m1.path, os.path.join(d, "batch-5-0.jsonl"))
+    os.replace(m2.path, os.path.join(d, "batch-5-1.jsonl"))
+    # replay: one task carries both rows
+    w.commit([_write_batch(w, [{"a": 1}, {"a": 2}])], 5)
+    rows = [
+        json.loads(line)
+        for f in committed_files(d)
+        for line in open(f)
+    ]
+    assert sorted(r["a"] for r in rows) == [1, 2]

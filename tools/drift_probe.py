@@ -150,6 +150,9 @@ FIVE = (
     "bitmap_distinct_users",
     "listagg_order_statuses",
     "mask_pii_shapes",
+    # the streaming sink round trip carries the same cents emission as
+    # the other round trips — probed through the full write/commit path
+    "stream_sink_roundtrip",
 )
 
 
