@@ -288,8 +288,14 @@ def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(120)  # bounded like run_streaming_query
-    back = spark.read.schema("event_id long, event_type string, value double").json(
-        committed_files(out_dir)
+    schema = "event_id long, event_type string, value double"
+    files = committed_files(out_dir)
+    # an empty source commits no batch: read an empty frame of the same
+    # schema instead of handing json() an empty path list
+    back = (
+        spark.read.schema(schema).json(files)
+        if files
+        else spark.createDataFrame([], schema)
     )
     return (
         back.groupBy("event_type")

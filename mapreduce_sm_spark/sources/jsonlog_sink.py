@@ -115,7 +115,10 @@ def committed_files(path: str) -> list[str]:
     """The marker-gated read side: only files of committed batches.
 
     Single directory listing, grouped by parsed batch id — not one
-    re-list per marker."""
+    re-list per marker. A missing directory means no batch was ever
+    committed (an empty source never triggers write()): no files."""
+    if not os.path.isdir(path):
+        return []
     names = os.listdir(path)
     committed = {
         n.split("-", 1)[1] for n in names if n.startswith("_COMMITTED-")
