@@ -150,3 +150,74 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("band", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join (the slowly-changing-dimension lookup every
+# warehouse runs): the dimension's validity windows are DERIVED from the
+# order history (status valid from its order date until the customer's
+# next order — lead() with an o_orderkey tiebreak so same-date orders
+# produce deterministic zero-length windows that can never match), and
+# each event joins to the status active at its timestamp. Current rows
+# (valid_to IS NULL) match open-endedly.
+#
+# 100 TB shape: the join is an equi-join on the customer key with the
+# validity predicates as post-join filters — Spark plans SMJ/shuffle on
+# the key, and the per-key fan-out is bounded by that customer's history
+# length, never a corpus-wide range join. Timestamps compare as exact
+# micros integers: no float anywhere.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH hist AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+             AS valid_to
+  FROM orders
+)
+SELECT h.o_orderstatus AS status,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e
+JOIN hist h
+  ON h.o_custkey = e.user_id
+ AND e.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+GROUP BY status
+ORDER BY status
+"""
+
+
+@REGISTRY.register(
+    "scd2_point_in_time_join",
+    oracle=_SCD2_ORACLE,
+    description="SCD2 lookup: events joined to the order status valid at their timestamp",
+    tags=("join", "scd2", "temporal"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    j = ev.join(
+        hist,
+        (F.col("o_custkey") == F.col("user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("status")
+    )

@@ -153,6 +153,9 @@ FIVE = (
     # the streaming sink round trip carries the same cents emission as
     # the other round trips — probed through the full write/commit path
     "stream_sink_roundtrip",
+    # SCD2 validity windows over the ns-jittered adversarial timestamps:
+    # the micros-truncation boundary must agree cross-engine
+    "scd2_point_in_time_join",
 )
 
 
