@@ -11,6 +11,9 @@ Modules map to SURVEY.md §2 rows:
   similarity                — brute-force + LSH ANN over embeddings (§2.C)
   text_analysis             — lang-id, quality, token counts, fingerprints (§2.C)
   multimodal                — binary-column decode plumbing (§2.C)
+  graph                     — triangle counting, integer PageRank (§2.C r05)
+  sketches                  — HLL estimates + exact mergeable bitmaps (§2.C r05)
+  formats                   — schema evolution, formatted-number round trip (§2.B r05)
 """
 
 from mapreduce_sm_spark.operators import (  # noqa: F401
