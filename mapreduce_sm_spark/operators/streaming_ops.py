@@ -257,6 +257,7 @@ def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the MARKER-GATED read-back — so a lost batch, an uncommitted
     temp leaking into the read side, or a double-published replay all
     change the counts and fail the exact hash."""
+    import atexit
     import shutil
     import tempfile
 
@@ -269,13 +270,13 @@ def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_sm_spark.streaming.windows import events_stream
 
     spark.dataSource.register(JsonLogDataSource)
-    # fixed per-sf_dir paths, wiped on entry: repeated gate/probe runs
-    # reuse (not leak) the full-corpus JSON copy and the checkpoint
-    base = os.path.join(
-        tempfile.gettempdir(), "jsonlog_" + _sink_name("rt_", sf_dir)
-    )
+    # mkdtemp: collision-free under concurrent runs (a fixed per-sf_dir
+    # path + rmtree-on-entry would let one run destroy another's
+    # in-flight sink/checkpoint); atexit reclaims the corpus-sized JSON
+    # copy at process exit instead of leaking one per invocation
+    base = tempfile.mkdtemp(prefix="jsonlog_" + _sink_name("rt_", sf_dir))
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     out_dir, ckpt = os.path.join(base, "log"), os.path.join(base, "ckpt")
-    shutil.rmtree(base, ignore_errors=True)
     stream = events_stream(
         spark, sf_dir, glob="events.parquet", max_files_per_trigger=1
     ).select("event_id", "event_type", "value")
@@ -287,7 +288,14 @@ def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)  # bounded like run_streaming_query
+    # bounded like run_streaming_query — but a timeout must be LOUD: a
+    # False return means the log holds only a prefix of the batches, and
+    # reading it would surface as a confusing hash mismatch downstream
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError(
+            "stream_sink_roundtrip: streaming write did not finish in 120s"
+        )
     schema = "event_id long, event_type string, value double"
     files = committed_files(out_dir)
     # an empty source commits no batch: read an empty frame of the same

@@ -73,18 +73,27 @@ class JsonLogStreamWriter(DataSourceStreamWriter):
         # a previous attempt may have crashed AFTER some renames but
         # BEFORE the marker: those batch-<id>-* files are unpublished
         # (marker absent) and must be removed, or a replay with fewer
-        # tasks would publish them alongside its own files (duplicates)
+        # tasks would publish them alongside its own files (duplicates).
+        # Fast path first — stale files can only exist on a replay after
+        # a partial publish, and task 0's file always exists in that
+        # case, so the common first-attempt commit pays one stat, not a
+        # full directory listing per batch (O(batches^2) overall)
         prefix = f"batch-{batchId}-"
-        for stale in os.listdir(self.path):
-            if stale.startswith(prefix):
-                os.remove(os.path.join(self.path, stale))
+        if os.path.exists(os.path.join(self.path, prefix + "0.jsonl")):
+            for stale in os.listdir(self.path):
+                if stale.startswith(prefix):
+                    os.remove(os.path.join(self.path, stale))
         total = 0
         for k, m in enumerate(m for m in messages if m is not None):
             final = os.path.join(self.path, f"batch-{batchId}-{k}.jsonl")
             os.replace(m.path, final)
             total += m.rows
-        # marker LAST: readers only trust marker-gated batches
-        tmp_marker = marker + ".tmp"
+        # marker LAST: readers only trust marker-gated batches. The temp
+        # marker uses the same `.tmp-` prefix as data temps so one
+        # janitor pattern covers every crash-leftover class
+        tmp_marker = os.path.join(
+            self.path, f".tmp-marker-{batchId}-{uuid.uuid4().hex}"
+        )
         with open(tmp_marker, "w", encoding="utf-8") as fh:
             fh.write(json.dumps({"batch": int(batchId), "rows": total}))
         os.replace(tmp_marker, marker)

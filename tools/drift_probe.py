@@ -212,7 +212,11 @@ def build_fixtures() -> None:
         coerce_timestamps=None,
     )
 
-    # --- orders: prices tying at .005 so quantile cuts + clip ties flip ---
+    # --- orders: prices tying at .005 so quantile cuts + clip ties flip;
+    # order dates interleaved with the EVENT timestamps above so SCD2
+    # validity-window boundaries are actually hit (an event exactly at a
+    # window's valid_from is simultaneously at the previous window's
+    # valid_to — both the >= and < comparisons decide on equality) ---
     m = 6000
     prio = np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT", "5-LOW"])[
         np.arange(m) % 5
@@ -220,17 +224,30 @@ def build_fixtures() -> None:
     price = np.round(rng.uniform(1000, 500000, m), 2)
     # every 11th price sits exactly on a half-cent: x.005
     price[::11] = np.floor(price[::11]) + 0.005
+    odate = []
+    for i in range(m):
+        if i % 3 == 0:
+            # exactly an event's micros-truncated timestamp: boundary hit
+            odate.append(ts[(i * 13) % n] // 1000)
+        elif i % 3 == 1:
+            # one microsecond past an event: the other side of the cut
+            odate.append(ts[(i * 7) % n] // 1000 + 1)
+        else:
+            # long before any event: keeps open-ended current rows too
+            odate.append(1_500_000_000_000_000 + i * 10**9)
     pq.write_table(
         pa.table(
             {
                 "o_orderkey": pa.array(range(m), pa.int64()),
-                "o_custkey": pa.array(rng.integers(0, 500, m), pa.int64()),
-                "o_orderstatus": pa.array(["O"] * m),
-                "o_totalprice": pa.array(price, pa.float64()),
-                "o_orderdate": pa.array(
-                    [1_500_000_000_000_000 + i * 10**9 for i in range(m)],
-                    pa.timestamp("us"),
+                # dense overlap with events.user_id (0..99)
+                "o_custkey": pa.array(
+                    (np.arange(m) % 120).astype("int64"), pa.int64()
                 ),
+                "o_orderstatus": pa.array(
+                    np.array(["O", "F", "P"])[np.arange(m) % 3]
+                ),
+                "o_totalprice": pa.array(price, pa.float64()),
+                "o_orderdate": pa.array(odate, pa.timestamp("us")),
                 "o_orderpriority": pa.array(prio),
             }
         ),
