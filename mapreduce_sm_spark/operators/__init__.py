@@ -71,7 +71,7 @@ from mapreduce_sm_spark.registry import REGISTRY
 # tests/test_reference_binary_parity.py; join_asof, merge_upsert,
 # dedup_connected_components are r03-green and untouched since). All
 # out-of-window rows remain covered by tests/test_oracle_parity.py
-# (sf0.001) and VERIFY_LOCAL_r05.txt (sf0.01, exact hash, 130/130).
+# (sf0.001) and VERIFY_LOCAL_r05.txt (sf0.01, exact hash, full registry).
 REGISTRY.set_front(
     (
         # --- never driver-green; boundary-reworked this round ---
