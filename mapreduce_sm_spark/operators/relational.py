@@ -940,3 +940,39 @@ def try_arithmetic_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate FILTER clause + GROUP BY ALL / ORDER BY ALL: the modern ANSI
+# / analyst-SQL conveniences both engines implement — conditional
+# aggregates without CASE scaffolding, and grouping keys inferred from
+# the select list. Run as literal SQL on BOTH sides so the PARSER
+# surface (not a DataFrame rewrite of it) is what the hash certifies.
+# Emissions are counts and integer cents only.
+# ---------------------------------------------------------------------------
+
+_FILTER_CLAUSE_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+       count(*) FILTER (WHERE l_discount = 0) AS n_undiscounted,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+            FILTER (WHERE l_quantity >= 25) AS BIGINT) AS bulk_cents
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@REGISTRY.register(
+    "filter_clause_group_by_all",
+    oracle=_FILTER_CLAUSE_SQL,
+    description="aggregate FILTER clause with GROUP BY ALL / ORDER BY ALL (same SQL, both engines)",
+    tags=("sql", "aggregate", "filter-clause"),
+)
+def filter_clause_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_filter_v"
+    )
+    return spark.sql(_FILTER_CLAUSE_SQL.replace("lineitem", "lineitem_filter_v"))

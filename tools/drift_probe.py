@@ -156,6 +156,8 @@ FIVE = (
     # SCD2 validity windows over the ns-jittered adversarial timestamps:
     # the micros-truncation boundary must agree cross-engine
     "scd2_point_in_time_join",
+    # FILTER clause over half-cent prices and fractional quantities
+    "filter_clause_group_by_all",
 )
 
 
