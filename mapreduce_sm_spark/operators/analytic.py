@@ -150,8 +150,8 @@ WITH cents AS (
   FROM events
 )
 SELECT user_id, event_id,
-       (sum(c) OVER w * 100)
-           // (count(*) OVER w) AS mov_avg3_q4
+       CAST((sum(c) OVER w * 100)
+           // (count(*) OVER w) AS BIGINT) AS mov_avg3_q4
 FROM cents
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)

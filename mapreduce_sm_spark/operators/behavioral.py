@@ -364,12 +364,12 @@ WITH seq AS (
 )
 SELECT event_type,
        count(*) AS n_events,
-       sum(CASE WHEN prev_tsu IS NOT NULL
-                     AND tsu <= prev_tsu + 300000000
-                THEN 1 ELSE 0 END) AS n_dropped,
-       count(*) - sum(CASE WHEN prev_tsu IS NOT NULL
-                                AND tsu <= prev_tsu + 300000000
-                           THEN 1 ELSE 0 END) AS n_kept
+       CAST(sum(CASE WHEN prev_tsu IS NOT NULL
+                          AND tsu <= prev_tsu + 300000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(count(*) - sum(CASE WHEN prev_tsu IS NOT NULL
+                                     AND tsu <= prev_tsu + 300000000
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM seq
 GROUP BY event_type
 ORDER BY event_type

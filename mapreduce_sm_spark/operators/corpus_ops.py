@@ -62,7 +62,8 @@ ranked AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(CASE WHEN rn <= (n + 1) // 2 THEN 1 ELSE 0 END) AS n_kept,
+       CAST(sum(CASE WHEN rn <= (n + 1) // 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
        min(CASE WHEN rn <= (n + 1) // 2 THEN ttr_ppm END) AS min_kept_ttr_ppm,
        max(ttr_ppm) AS max_ttr_ppm
 FROM ranked
@@ -311,7 +312,8 @@ raw AS (SELECT lang, count(*) AS n_raw FROM documents GROUP BY lang),
 gate AS (SELECT lang, count(*) AS n_gated FROM gated GROUP BY lang),
 tot AS (SELECT sum(n_sampled) AS total_sampled FROM sampled)
 SELECT r.lang, r.n_raw, g.n_gated, s.n_uniq, s.n_sampled,
-       (s.n_sampled * 1000000) // t.total_sampled AS mixture_weight_ppm
+       CAST((s.n_sampled * 1000000) // t.total_sampled AS BIGINT)
+           AS mixture_weight_ppm
 FROM raw r
 JOIN gate g ON r.lang = g.lang
 JOIN sampled s ON r.lang = s.lang

@@ -41,7 +41,12 @@ from mapreduce_sm_spark.functions.hashing import (
 )
 from mapreduce_sm_spark.functions.text import char_shingles, char_shingles_sql
 from mapreduce_sm_spark.registry import REGISTRY
-from mapreduce_sm_spark.session import checkpoint_df, fan_out, table
+from mapreduce_sm_spark.session import (
+    checkpoint_df,
+    fan_out,
+    rotate_caches,
+    table,
+)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -270,6 +275,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     idx.count()
+    # one-generation cache discipline (session.py): reclaim the previous
+    # invocation's sh/idx blocks now that this run's are materialized
+    rotate_caches("dedup.ngram_jaccard", sh, idx)
     a, b = idx.alias("a"), idx.alias("b")
     # PPJoin positional filter (Xiao et al., WWW'08): J >= t requires
     # overlap >= ceil(t/(1+t) * (na+nb)). For the smallest common shingle
@@ -480,6 +488,7 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast builds are cheap and overlap productively — adding the
     # barrier measured ~2x slower by serializing them.)
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    rotate_caches("dedup.minhash_docs", docs)
     sig = _minhash_sigs(docs)
     banded = sig.select("doc_id", *_band_cols_spark())
     band_structs = F.array(

@@ -192,7 +192,7 @@ WITH kx AS (
 )
 SELECT event_type,
        count(k) AS n_with_k,
-       sum(k) AS sum_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
        min(k) AS min_k,
        max(k) AS max_k
 FROM kx

@@ -50,14 +50,15 @@ ORDER BY priority
 )
 def schema_evolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
+
+    from mapreduce_sm_spark.session import session_tmpdir
 
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
-    # session-lived tmpdir: the detour must outlive this lazy DataFrame
-    # (same rationale as custom_source_roundtrip, wordcount.py)
-    d = tempfile.mkdtemp(prefix="schema_evo_")
+    # session-lived tmpdir (atexit-reclaimed): the detour must outlive
+    # this lazy DataFrame (same rationale as custom_source_roundtrip)
+    d = session_tmpdir("schema_evo_")
     old_gen = os.path.join(d, "gen1")
     new_gen = os.path.join(d, "gen2")
     orders.filter(F.col("o_orderkey") % 2 == 0).select(

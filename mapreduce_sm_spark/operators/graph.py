@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_sm_spark.registry import REGISTRY
-from mapreduce_sm_spark.session import table
+from mapreduce_sm_spark.session import rotate_caches, table
 
 # PageRank fixed-point: total initial mass (integer "rank units"), damping
 # 85/100, teleport 15/100, 3 synchronous iterations.
@@ -106,6 +106,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     # recompute in-flight partitions; the count() barrier prevents it).
     oriented = oriented.cache()
     oriented.count()
+    rotate_caches("graph.triangles", oriented)
 
     # Compact-forward counting: a triangle with orientation-ordered
     # vertices u -> v -> w is found exactly once at edge (u, v) as
@@ -245,9 +246,17 @@ def pagerank_int(
         "node", F.expr(f"{mass} div n").alias("rank")
     )
     base = F.expr(f"(15 * ({mass} div n)) div 100")
+    prev_r: DataFrame | None = None
     for _ in range(iterations):
         r = r.cache()
         r.count()  # one-iteration-deep lineage (see module docstring)
+        # r_k is materialized; r_{k-1}'s blocks are dead weight from here
+        # (cache() is MEMORY_AND_DISK, so the freed frame can't silently
+        # recompute — eviction spills, it doesn't drop). Without this the
+        # loop leaks `iterations` cached frames per invocation.
+        if prev_r is not None:
+            prev_r.unpersist()
+        prev_r = r
         contrib = (
             r.join(outdeg, F.col("node") == F.col("od_node"))
             .select(
@@ -279,6 +288,10 @@ def pagerank_int(
                 ).alias("rank"),
             )
         )
+    # the LAST iteration's cached frame plus edges/nodes stay live for the
+    # caller's collect over the returned lazy plan; the next invocation
+    # reclaims them (one-generation cache discipline, session.py)
+    rotate_caches("graph.pagerank", edges, nodes, prev_r)
     return r
 
 
@@ -321,7 +334,7 @@ outdeg AS (SELECT src AS node, count(*) AS od FROM edges GROUP BY src),
 r0 AS (
   SELECT node, (SELECT {PR_MASS} // n FROM nn) AS rank FROM nodes
 ),{",".join(iters)}
-SELECT node, rank FROM {prev}
+SELECT node, CAST(rank AS BIGINT) AS rank FROM {prev}
 ORDER BY rank DESC, node ASC
 LIMIT 20
 """

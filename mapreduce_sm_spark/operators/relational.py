@@ -834,13 +834,14 @@ cuts AS (
 )
 SELECT r.o_orderpriority,
        count(*) AS n,
-       sum(r.c) AS sum_raw_cents,
-       sum(least(greatest(r.c, k.p01c), k.p99c)) AS sum_wins_cents,
-       (sum(r.c) * 100) // count(*) AS mean_raw_q4,
-       (sum(least(greatest(r.c, k.p01c), k.p99c)) * 100) // count(*)
-           AS mean_wins_q4,
-       sum(CASE WHEN r.c < k.p01c OR r.c > k.p99c THEN 1 ELSE 0 END)
-           AS n_clipped
+       CAST(sum(r.c) AS BIGINT) AS sum_raw_cents,
+       CAST(sum(least(greatest(r.c, k.p01c), k.p99c)) AS BIGINT)
+           AS sum_wins_cents,
+       CAST((sum(r.c) * 100) // count(*) AS BIGINT) AS mean_raw_q4,
+       CAST((sum(least(greatest(r.c, k.p01c), k.p99c)) * 100) // count(*)
+           AS BIGINT) AS mean_wins_q4,
+       CAST(sum(CASE WHEN r.c < k.p01c OR r.c > k.p99c THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_clipped
 FROM ranked r JOIN cuts k ON r.o_orderpriority = k.o_orderpriority
 GROUP BY r.o_orderpriority
 ORDER BY r.o_orderpriority
@@ -903,7 +904,8 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRY_ARITH_ORACLE = """
 SELECT l_returnflag,
        count(*) AS n_rows,
-       sum(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS n_null_safe,
+       CAST(sum(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_safe,
        CAST(sum(CASE WHEN l_linenumber > 1
                      THEN CAST(floor(CAST(round(l_extendedprice * 100, 0)
                                           AS BIGINT)

@@ -139,7 +139,8 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_DEDUP_ORACLE = """
 SELECT event_type,
        count(*) AS n_deduped,
-       (CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR))::DOUBLE AS total_value
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS value_cents
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -166,13 +167,18 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = run_streaming_dedup_counts(
         spark, sf_dir, qname, glob="events.parquet"
     )
+    # integer-cents emission (drift discipline, PLANS.md r05): value is a
+    # 2-decimal fixture quantity, so scale-0 round(x*100) is tie-free and
+    # the summed int64 is bit-identical in both engines — unlike a
+    # double->DECIMAL(18,2) cast, whose exact-expansion HALF_UP rounding
+    # is an engine-specific channel (ADVICE r05).
     return (
         deduped.groupBy("event_type")
         .agg(
             F.count("*").alias("n_deduped"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_value"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_cents"
+            ),
         )
         .orderBy("event_type")
     )
@@ -181,7 +187,8 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_STATIC_ORACLE = """
 SELECT c.c_mktsegment,
        count(*) AS n_events,
-       (CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR))::DOUBLE AS total_value
+       CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS value_cents
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
@@ -200,8 +207,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     each micro-batch joins map-side with NO shuffle of the stream — the
     only plan that holds up when the stream side is the 100 TB one. The
     aggregate after the join keeps streaming state bounded at one row per
-    segment. Emission: decimal-exact sum cast to double via the engine's
-    parity rule (operators/_parity.py)."""
+    segment. Emission: tie-free integer cents (drift discipline,
+    PLANS.md r05 — the former decimal(18,2) cast was an engine-specific
+    HALF_UP channel, ADVICE r05)."""
     from pyspark.sql import functions as F
 
     from mapreduce_sm_spark.session import table
@@ -220,9 +228,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_mktsegment")
             .agg(
                 F.count("*").alias("n_events"),
-                F.sum(F.col("value").cast("decimal(18,2)"))
-                .cast("double")
-                .alias("total_value"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                    "value_cents"
+                ),
             )
         )
 

@@ -704,7 +704,8 @@ SELECT t.doc_id,
        CASE WHEN len(w) = 0 THEN 0
             ELSE ((len(w) - len(list_distinct(w))) * 10000) // len(w)
             END AS dup_word_pm4,
-       coalesce((top_cnt * 10000) // n_grams, 0) AS top_bigram_pm4,
+       CAST(coalesce((top_cnt * 10000) // n_grams, 0) AS BIGINT)
+           AS top_bigram_pm4,
        (coalesce((top_cnt * 10000) // n_grams, 0)
             > {_REP_TOP_BIGRAM_MAX_PM4}
         OR CASE WHEN len(w) = 0 THEN 0

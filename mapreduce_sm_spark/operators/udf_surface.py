@@ -561,7 +561,7 @@ WITH kx AS (
 )
 SELECT count(*) AS n_rows,
        count(k_k) AS n_k,
-       sum(k_k) AS sum_k,
+       CAST(sum(k_k) AS BIGINT) AS sum_k,
        CAST(0 AS BIGINT) AS n_missing
 FROM kx
 """

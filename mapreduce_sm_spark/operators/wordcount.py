@@ -104,15 +104,14 @@ ORDER BY initial
     tags=("source", "datasource", "roundtrip"),
 )
 def custom_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from mapreduce_sm_spark.session import session_tmpdir
     from mapreduce_sm_spark.sources.refmr_source import read_formatted_text
     from mapreduce_sm_spark.sources.sinks import write_formatted_text
 
     wc = wordcount(spark, sf_dir)
     # the text detour must outlive this (lazy) DataFrame: a session-lived
-    # tmpdir, not a context-managed one
-    d = tempfile.mkdtemp(prefix="refmr_roundtrip_")
+    # (atexit-reclaimed) tmpdir, not a context-managed one
+    d = session_tmpdir("refmr_roundtrip_")
     write_formatted_text(wc, "%s\t%d", ["word", "cnt"], d)
     back = read_formatted_text(spark, d, fmt="wordcount")
     return (

@@ -90,6 +90,46 @@ def stop_spark() -> None:
         active.stop()
 
 
+# One generation of cached frames per operator tag. A query that returns
+# a LAZY DataFrame built on cached inputs cannot unpersist them on exit —
+# the caller's collect() still needs the blocks — but never unpersisting
+# accumulates block-store entries for the session's lifetime (ADVICE r05,
+# graph.py caches). Rotating on re-entry bounds the leak to one
+# generation per operator: the common long-session shape (bench loops,
+# the driver's repeated invocations) stays flat.
+_LIVE_CACHES: dict[str, list] = {}
+
+
+def rotate_caches(tag: str, *dfs) -> None:
+    """Unpersist the frames the previous invocation under `tag` cached,
+    then remember `dfs` (already-cached frames the caller is returning
+    lazy results over) as the new live generation."""
+    for old in _LIVE_CACHES.get(tag, []):
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session restarted under the frame; nothing to free
+    _LIVE_CACHES[tag] = [d for d in dfs if d is not None]
+
+
+def session_tmpdir(prefix: str) -> str:
+    """mkdtemp that is reclaimed at interpreter exit.
+
+    Queries that detour through an on-disk format (custom_source_roundtrip,
+    schema_evolution_stats) need a tmpdir that outlives their LAZY return
+    DataFrame — a context-managed dir would vanish before the driver
+    collects — but a bare mkdtemp leaks one directory per invocation for
+    the machine's lifetime (ADVICE r05). Process-exit cleanup is the
+    correct scope: nothing outlives the SparkSession that can read it."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 # Fixture tables materialized by the test-data driver (TESTDATA.md).
 TABLES = (
     "region",

@@ -226,6 +226,13 @@ def read_formatted_text(spark, path: str, fmt: str = "wordcount"):
     can leak one query's pushdown into the other's scan (pinned in
     tests/test_refmr_source.py). Built-in file sources don't share this
     caveat; fresh load() per query restores the expected semantics."""
+    # RefMRReader implements pushFilters(); Spark 4.1 REFUSES to plan such
+    # a reader when this conf is false (DATA_SOURCE_PUSHDOWN_DISABLED)
+    # rather than silently skipping pushdown, and the conf defaults to
+    # false. It is runtime-settable, so pin it at every read site instead
+    # of relying on the builder session (r6 driver ERR: the driver's
+    # session lacked the builder-time conf in session.py).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     register(spark)
     return (
         spark.read.format("refmr")

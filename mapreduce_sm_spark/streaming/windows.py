@@ -18,6 +18,21 @@ from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
 
+def _await_or_raise(q, query_name: str, timeout_s: int) -> None:
+    """awaitTermination(timeout) returns False on timeout WITHOUT raising,
+    so a hung availableNow query would silently hand back a partial memory
+    table. Fail loud instead, surfacing the query's own exception when one
+    exists (which a bare .stop() would swallow)."""
+    if q.awaitTermination(timeout_s):
+        return
+    exc = q.exception()
+    q.stop()
+    raise TimeoutError(
+        f"streaming query {query_name!r} did not finish in {timeout_s}s"
+        + (f": {exc}" if exc else "")
+    )
+
+
 def events_stream(
     spark: SparkSession,
     events_parquet_dir: str,
@@ -105,7 +120,7 @@ def run_streaming_tumbling_counts(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_or_raise(q, query_name, 120)
     return spark.table(query_name)
 
 
@@ -191,7 +206,7 @@ def run_streaming_query(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_or_raise(q, query_name, 120)
     return spark.table(query_name)
 
 
@@ -252,7 +267,7 @@ def run_streaming_click_purchase_join(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _await_or_raise(q, query_name, 180)
     return spark.table(query_name)
 
 
@@ -284,7 +299,7 @@ def run_foreach_batch_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_or_raise(q, query_name, 120)
 
 
 def run_streaming_dedup_counts(
@@ -322,7 +337,7 @@ def run_streaming_dedup_counts(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_or_raise(q, query_name, 120)
     data_batches = [
         p for p in q.recentProgress if p.get("numInputRows", 0) > 0
     ]

@@ -29,18 +29,49 @@ def test_query_matches_oracle(spark, duck, name, q):
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
-    from verify_local import value_hash
+    from verify_local import _pd_rows, value_hash
 
+    # Both sides through pandas, mirroring the driver's fetch path
+    # (toPandas on Spark, .df() on DuckDB). fetchall() hid the r6 class
+    # of divergence: DuckDB HUGEINT -> float64 only under a pandas fetch.
     sdf = q.fn(spark, SF_DIR)
-    srows = [tuple(r) for r in sdf.collect()]
+    srows = _pd_rows(sdf.toPandas())
     if q.oracle is None:
         assert len(srows) >= 0
         return
-    res = duck.execute(q.oracle)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    odf = duck.execute(q.oracle).df()
+    ocols = list(odf.columns)
+    orows = _pd_rows(odf)
     assert len(srows) == len(orows), f"{name}: rowcount mismatch"
     assert sorted(sdf.columns) == sorted(ocols), f"{name}: column mismatch"
     assert value_hash(sdf.columns, srows) == value_hash(ocols, orows), (
         f"{name}: value-hash mismatch"
+    )
+
+
+# Output types a pandas fetch renders differently from their SQL value
+# domain: HUGEINT/UHUGEINT become float64 ("3" hashes as "3.0" — the r6
+# driver gate's root cause for all 8 hash-reds), and DECIMAL wider than
+# what float64 round-trips is canonicalization-fragile. DuckDB returns
+# HUGEINT from sum(BIGINT) and propagates it through // — so any oracle
+# whose final SELECT leaves such an expression uncast regresses here.
+_FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+@pytest.mark.parametrize(
+    "name,q",
+    [(n, q) for n, q in _all_queries() if q.oracle is not None],
+    ids=lambda x: x if isinstance(x, str) else "",
+)
+def test_oracle_output_types_pandas_safe(duck, name, q):
+    desc = duck.execute(f"DESCRIBE ({q.oracle})").fetchall()
+    bad = [
+        (col, typ)
+        for col, typ, *_ in desc
+        if any(t in typ.upper() for t in _FORBIDDEN_ORACLE_TYPES)
+    ]
+    assert not bad, (
+        f"{name}: oracle emits pandas-unsafe output column(s) {bad}; "
+        "wrap the final-SELECT expression in CAST(... AS BIGINT) "
+        "(template: anomaly_zscore_events, operators/behavioral.py)"
     )

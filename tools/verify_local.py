@@ -26,11 +26,40 @@ from mapreduce_sm_spark.registry import load_all_operators  # noqa: E402
 from mapreduce_sm_spark.session import TABLES, get_spark  # noqa: E402
 
 
+def _is_pd_na(v) -> bool:
+    """Scalar missing-value check that is safe on array/list cells."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, (list, tuple, dict, np.ndarray)):
+        return False
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def _pd_rows(df) -> list[tuple]:
+    """Extract rows from a pandas frame with missing values as None."""
+    return [
+        tuple(None if _is_pd_na(v) else v for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+
+
 def _canon(v):
+    import numpy as np
+
     if v is None:
         return "<null>"
-    if isinstance(v, bool):
-        return str(v).lower()
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v)).lower()
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, np.floating):
+        v = float(v)
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_canon(x) for x in v.tolist()) + "]"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -53,7 +82,20 @@ def _canon(v):
         if Decimal(repr(f)) == v:
             return repr(f)
         return format(v.normalize(), "f")
-    if isinstance(v, (datetime, date)):
+    if isinstance(v, datetime):
+        # A DATE column fetched from DuckDB via pandas arrives as a
+        # midnight datetime64 while Spark's toPandas keeps datetime.date;
+        # the driver hashes these equal (recursive_month_spine was
+        # driver-green in r04), so canonicalize naive midnight datetimes
+        # to their date form. Symmetric: both engines' true-timestamp
+        # columns at exact midnight collapse the same way.
+        if (
+            v.tzinfo is None
+            and v.hour == v.minute == v.second == v.microsecond == 0
+        ):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
@@ -113,7 +155,13 @@ def main() -> int:
         try:
             sdf = q.fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # toPandas, NOT collect(): the driver fetches the Spark side
+            # through pandas (Arrow), so nullable-int columns surface as
+            # float64 etc. — the local gate must see the same dtypes the
+            # driver hashes, or driver-only divergence stays invisible
+            # (r6 verdict: HUGEINT->float64 on the oracle side was exactly
+            # such a fetch-path artifact).
+            srows = _pd_rows(sdf.toPandas())
         except Exception as e:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             n_fail += 1
@@ -128,9 +176,15 @@ def main() -> int:
             n_pass += 1
             continue
         try:
-            res = con.execute(q.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Fetch via pandas (.df()), NOT fetchall(): the driver's gate
+            # fetches the oracle through pandas, where DuckDB HUGEINT
+            # becomes float64 ("3" -> "3.0") — the r6 verdict's root cause
+            # for all 8 hash-reds, invisible to a fetchall() local gate.
+            # Mirroring the driver's fetch path here makes that class of
+            # divergence reproduce locally.
+            odf = con.execute(q.oracle).df()
+            ocols = list(odf.columns)
+            orows = _pd_rows(odf)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
             n_fail += 1
