@@ -49,99 +49,87 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
 
 from mapreduce_sm_spark.registry import REGISTRY
 
-# Round-5 driver window: the external correctness gate verifies the first 50
-# entries of queries(). Priority order (the verdict framework — weakest
-# evidence first): (1) the five queries that have NEVER been driver-green,
-# all reworked this round onto exact integer boundaries (commit 24aa722 —
-# no emitted value or predicate depends on double-ulp agreement anymore);
-# (2) every other query whose EMISSIONS changed in the r05 boundary sweep
-# (quarter-cent order-statistic quantiles, exact-rational PMI, raw
-# bit-identical doubles instead of scaled rounds, integer-cents frames and
-# thresholds — PLANS.md r05): their last driver green predates the new
-# output shape, so they now carry the weakest evidence after the five;
-# (3) the queries whose newest driver evidence is r01 — three rounds of
-# code churn ago; (4) the nine queries ADDED this round (never
-# driver-seen), filling the window to 50 (three r01 rows —
-# setops_nations, union_by_name_contacts, sample_documents_hashmod,
-# the least drift-exposed integer/string queries in the r01 group —
-# yield their slots).
-# Dropped vs the pre-sweep window to make room: unchanged r02 rows
-# (q4/q6/q7/q8/q9/q22, the streaming-window batch twins) and unchanged
-# r03 flagships (wordcount/string_match parity is binary-tested in
-# tests/test_reference_binary_parity.py; join_asof, merge_upsert,
-# dedup_connected_components are r03-green and untouched since). All
-# out-of-window rows remain covered by tests/test_oracle_parity.py
-# (sf0.001) and VERIFY_LOCAL_r05.txt (sf0.01, exact hash, full registry).
+# Round-7 driver window: the external correctness gate verifies the first 50
+# entries of queries(). Priority order (weakest evidence first):
+# (1) the 8 r6 hash-reds + the r6 ERR — every one root-caused to a DuckDB
+#     HUGEINT output column that a pandas fetch renders as float64
+#     (VERDICT r6) and fixed this round with oracle-side
+#     CAST(... AS BIGINT) (plus the filterPushdown conf pinned inside the
+#     refmr read path for the ERR). Their driver rows are the round's
+#     primary deliverable.
+# (2) the 2 queries whose EMISSIONS changed this round (decimal(18,2)
+#     drift channel -> integer cents): stream_static_enrich (green r6 but
+#     under the old output shape), stream_dedup_events.
+# (3) the 17 r05 additions that have NEVER had a driver row, including
+#     the two latent-HUGEINT oracles fixed this round
+#     (try_arithmetic_surface, udtf_dynamic_kv).
+# (4) the stalest remaining driver evidence: all 9 last-seen-r01 rows and
+#     13 of the 16 last-seen-r02 rows (the full TPC-H residue +
+#     session_window_events + window_time_range_frame).
+# Dropped to make room: everything green in r06 under its CURRENT output
+# shape (fresh evidence), the r03/r04 greens, and three r02 rows whose
+# shapes are represented in-window (tumbling/sliding_window_events twin
+# session_window_events; json_extract_events twins variant_props_stats).
+# All out-of-window rows remain covered by tests/test_oracle_parity.py
+# (sf0.001, pandas fetch path) and VERIFY_LOCAL_r07_pandas.txt (sf0.01,
+# exact hash, full registry, driver-faithful pandas fetch).
 REGISTRY.set_front(
     (
-        # --- never driver-green; boundary-reworked this round ---
-        "anomaly_zscore_events",
+        # --- (1) r6 hash-reds, HUGEINT oracle outputs cast this round ---
         "dedup_events_time_window",
         "quality_prune_per_source",
         "winsorized_price_stats",
         "variant_props_stats",
-        # --- emissions changed in the r05 sweep; driver evidence stale ---
-        "percentiles_order_price",
-        "embedding_norm_quantiles",
-        "pmi_collocations",
-        "promo_revenue_ratio",
-        "udaf_weighted_avg",
-        "array_functions_surface",
-        "embedding_similar_pairs",
-        "ann_ivf_recall_check",
-        "multimodal_resize_features",
-        "ann_lsh_topk",
-        "ann_bruteforce_topk",
-        "text_quality_stats",
         "doc_repetition_stats",
-        "tfidf_top_terms",
         "corpus_curation_report",
-        "histogram_event_values",
-        "window_lag_lead_events",
         "window_moving_avg",
-        "q17_small_quantity_revenue",
-        "scalar_functions",
-        "dedup_minhash",
-        "dedup_ngram_jaccard",
-        "corpus_near_dedup",
-        # --- newest driver evidence is r01 (the drift-exposed members:
-        # double/decimal emissions; the r01 rows with pure integer/string
-        # passthrough outputs — calendar_spine_orders, setops_multiset,
-        # string_functions_extended, topk_orders, train_val_test_split,
-        # unpivot_lineitem_measures — yield their slots to the six
-        # never-driver-seen capability rows below, same trade the window
-        # already made for the first nine additions) ---
-        "rollup_lineitem",
-        "scalar_subquery_part_avg",
-        "skew_salted_agg",
-        "stats_moments_lineitem",
-        "window_distribution_funcs",
-        "window_rank_top_orders",
-        "window_running_total",
-        # --- NEW capability rows (never driver-seen): graph kernels,
-        # collation grouping, stream-static enrichment, CSV round trip,
-        # grouped applyInArrow — integer/exact emissions by construction ---
-        "graph_triangle_count",
         "pagerank_supply_graph",
-        "collation_token_counts",
-        "stream_static_enrich",
-        "csv_roundtrip_stats",
-        "arrow_grouped_event_stats",
-        # --- NEW this round (never driver-seen): sharding/chunking/packing,
-        # skew diagnostics, real streaming session windows, z-order layout
-        # stats — integer-domain emissions by construction. They displace
-        # the unchanged r02 tail (json_extract_events, q12/q13/q16/q20/q21
-        # — r02-green, untouched since; still covered by
-        # tests/test_oracle_parity.py at sf0.001 and the local exact gate
-        # at sf0.01).
-        "chunk_documents_plan",
-        "training_shard_manifest",
-        "doc_length_deciles",
-        "key_skew_diagnostics",
-        "stream_session_windows",
-        "zorder_bucket_stats",
+        # --- (1) r6 ERR: conf now pinned at the refmr read site ---
         "custom_source_roundtrip",
-        "arrow_doc_stats",
-        "pipe_syntax_rollup",
+        # --- (2) emissions changed this round (integer cents) ---
+        "stream_static_enrich",
+        "stream_dedup_events",
+        # --- (3) never driver-seen r05 additions ---
+        "try_arithmetic_surface",
+        "udtf_dynamic_kv",
+        "udtf_table_arg_reduce",
+        "filter_clause_group_by_all",
+        "listagg_order_statuses",
+        "mask_pii_shapes",
+        "xml_roundtrip_stats",
+        "stream_sink_roundtrip",
+        "scd2_point_in_time_join",
+        "parameterized_sql_revenue",
+        "pandas_api_rollup",
+        "sql_scripting_rollup",
+        "incremental_agg_maintenance",
+        "schema_evolution_stats",
+        "number_format_roundtrip",
+        "hll_user_reach",
+        "bitmap_distinct_users",
+        # --- (4) stalest driver evidence: all of r01 ---
+        "calendar_spine_orders",
+        "sample_documents_hashmod",
+        "setops_multiset",
+        "setops_nations",
+        "string_functions_extended",
+        "topk_orders",
+        "train_val_test_split",
+        "union_by_name_contacts",
+        "unpivot_lineitem_measures",
+        # --- (4) stalest driver evidence: r02 TPC-H + window shapes ---
+        "q4_order_priority",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q12_late_shipment_priority",
+        "q13_customer_distribution",
+        "q16_part_supplier_variety",
+        "q20_volume_suppliers",
+        "q21_waiting_suppliers",
+        "q22_dormant_customers",
+        "session_window_events",
+        "window_time_range_frame",
     )
 )

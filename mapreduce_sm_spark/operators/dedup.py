@@ -44,8 +44,9 @@ from mapreduce_sm_spark.registry import REGISTRY
 from mapreduce_sm_spark.session import (
     checkpoint_df,
     fan_out,
-    rotate_caches,
+    release_caches,
     table,
+    track_caches,
 )
 
 # ---------------------------------------------------------------------------
@@ -221,6 +222,7 @@ def _jaccard_sized_pm4(sa, sb, na, nb):
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: the shingle frame feeds the prefix index and both
     # verification join-backs (3 plan branches)
+    release_caches("dedup.ngram_jaccard")  # one-generation discipline
     sh = _shingle_sets(spark, sf_dir).withColumn("n", F.size("s")).cache()
     # materialization barrier: AQE launches the broadcast-build jobs of the
     # downstream joins CONCURRENTLY, and concurrent first readers of a lazy
@@ -275,9 +277,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     idx.count()
-    # one-generation cache discipline (session.py): reclaim the previous
-    # invocation's sh/idx blocks now that this run's are materialized
-    rotate_caches("dedup.ngram_jaccard", sh, idx)
+    track_caches("dedup.ngram_jaccard", sh, idx)
     a, b = idx.alias("a"), idx.alias("b")
     # PPJoin positional filter (Xiao et al., WWW'08): J >= t requires
     # overlap >= ceil(t/(1+t) * (na+nb)). For the smallest common shingle
@@ -487,8 +487,9 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (No count() barrier here, unlike dedup_ngram_jaccard: this plan's
     # broadcast builds are cheap and overlap productively — adding the
     # barrier measured ~2x slower by serializing them.)
+    release_caches("dedup.minhash_docs")  # one-generation discipline
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    rotate_caches("dedup.minhash_docs", docs)
+    track_caches("dedup.minhash_docs", docs)
     sig = _minhash_sigs(docs)
     banded = sig.select("doc_id", *_band_cols_spark())
     band_structs = F.array(

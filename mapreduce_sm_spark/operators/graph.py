@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_sm_spark.registry import REGISTRY
-from mapreduce_sm_spark.session import rotate_caches, table
+from mapreduce_sm_spark.session import release_caches, table, track_caches
 
 # PageRank fixed-point: total initial mass (integer "rank units"), damping
 # 85/100, teleport 15/100, 3 synchronous iterations.
@@ -104,9 +104,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     # once so the edge build + orientation joins run a single time
     # (PLANS.md r05: lazy caches + AQE's concurrent broadcast builds
     # recompute in-flight partitions; the count() barrier prevents it).
+    release_caches("graph.triangles")  # one-generation discipline
     oriented = oriented.cache()
     oriented.count()
-    rotate_caches("graph.triangles", oriented)
+    track_caches("graph.triangles", oriented)
 
     # Compact-forward counting: a triangle with orientation-ordered
     # vertices u -> v -> w is found exactly once at edge (u, v) as
@@ -226,6 +227,7 @@ def pagerank_int(
     edges: (src string, dst string). No driver collect: N and the
     dangling sum travel as 1-row broadcast frames.
     """
+    release_caches("graph.pagerank")  # one-generation discipline, session.py
     edges = edges.cache()
     edges.count()
     nodes = (
@@ -291,7 +293,7 @@ def pagerank_int(
     # the LAST iteration's cached frame plus edges/nodes stay live for the
     # caller's collect over the returned lazy plan; the next invocation
     # reclaims them (one-generation cache discipline, session.py)
-    rotate_caches("graph.pagerank", edges, nodes, prev_r)
+    track_caches("graph.pagerank", edges, nodes, prev_r)
     return r
 
 

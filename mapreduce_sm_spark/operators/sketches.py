@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_sm_spark.registry import REGISTRY
-from mapreduce_sm_spark.session import rotate_caches, table
+from mapreduce_sm_spark.session import release_caches, table, track_caches
 
 # DataSketches lgConfigK: 2^12 registers per sketch (~2 KB) — the Spark
 # default, plenty below 1% error at fixture scale and still only KBs per
@@ -52,9 +52,10 @@ def hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Two consumers (per-type readout + union) of one aggregate: cache
     # with a count() barrier per the repo's materialization discipline.
+    release_caches("sketches.hll")  # one-generation discipline
     per = per.cache()
     per.count()
-    rotate_caches("sketches.hll", per)
+    track_caches("sketches.hll", per)
     per_est = per.select(
         "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
     )
@@ -109,9 +110,10 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bitmap_construct_agg("pos").alias("bm")
     )
     # two consumers (per-type counts + OR-merged ALL row): materialize once
+    release_caches("sketches.bitmap")  # one-generation discipline
     per_bucket = per_bucket.cache()
     per_bucket.count()
-    rotate_caches("sketches.bitmap", per_bucket)
+    track_caches("sketches.bitmap", per_bucket)
     per_type = per_bucket.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).alias("exact_users")
     )

@@ -277,7 +277,9 @@ def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mapreduce_sm_spark.streaming.windows import events_stream
 
-    spark.dataSource.register(JsonLogDataSource)
+    from mapreduce_sm_spark.session import register_data_source
+
+    register_data_source(spark, JsonLogDataSource)
     # mkdtemp: collision-free under concurrent runs (a fixed per-sf_dir
     # path + rmtree-on-entry would let one run destroy another's
     # in-flight sink/checkpoint); atexit reclaims the corpus-sized JSON

@@ -94,22 +94,94 @@ def stop_spark() -> None:
 # a LAZY DataFrame built on cached inputs cannot unpersist them on exit —
 # the caller's collect() still needs the blocks — but never unpersisting
 # accumulates block-store entries for the session's lifetime (ADVICE r05,
-# graph.py caches). Rotating on re-entry bounds the leak to one
-# generation per operator: the common long-session shape (bench loops,
-# the driver's repeated invocations) stays flat.
+# graph.py caches). Releasing the previous generation at operator
+# RE-ENTRY bounds the leak to one generation per operator.
+#
+# ORDER MATTERS: release must run BEFORE the new invocation creates its
+# caches. Spark's CacheManager dedupes entries by logical-plan EQUALITY,
+# and a repeated invocation on the same inputs builds plan-identical
+# frames — so unpersisting the old generation after the new cache()
+# calls would drop the new generation's data too (it shares the entry).
 _LIVE_CACHES: dict[str, list] = {}
 
 
-def rotate_caches(tag: str, *dfs) -> None:
-    """Unpersist the frames the previous invocation under `tag` cached,
-    then remember `dfs` (already-cached frames the caller is returning
-    lazy results over) as the new live generation."""
-    for old in _LIVE_CACHES.get(tag, []):
+def release_caches(tag: str) -> None:
+    """Unpersist the frames the previous invocation under `tag` cached.
+    Call at operator ENTRY, before any .cache()/.persist() of this
+    invocation. The previous invocation's returned lazy frame stays
+    CORRECT (unpersist only drops blocks; lineage recomputes)."""
+    for old in _LIVE_CACHES.pop(tag, []):
         try:
             old.unpersist()
         except Exception:
             pass  # session restarted under the frame; nothing to free
-    _LIVE_CACHES[tag] = [d for d in dfs if d is not None]
+
+
+def track_caches(tag: str, *dfs) -> None:
+    """Record already-cached frames as `tag`'s live generation, to be
+    freed by the next invocation's release_caches(tag)."""
+    _LIVE_CACHES.setdefault(tag, []).extend(
+        d for d in dfs if d is not None
+    )
+
+
+def _register_on_manager(jsession, sc, cls) -> None:
+    """Register `cls` directly on a JVM session's DataSourceManager —
+    the exact call DataSourceRegistration.register performs, minus its
+    broken context-global ALREADY_EXISTS pre-check."""
+    manager = jsession.sessionState().dataSourceManager()
+    if manager.dataSourceExists(cls.name()):
+        return
+    from pyspark.sql.udf import _wrap_function
+
+    wrapped = _wrap_function(sc, cls)
+    uds = getattr(
+        sc._jvm,
+        "org.apache.spark.sql.execution.datasources"
+        ".v2.python.UserDefinedPythonDataSource",
+    )(wrapped)
+    manager.registerDataSource(cls.name(), uds)
+
+
+def register_data_source(spark: SparkSession, cls) -> None:
+    """Idempotent, cross-session-safe Python DataSource registration.
+
+    Spark 4.1's Python data-source plumbing is session-inconsistent
+    (probed empirically, tests/test_session_conf_independence.py):
+      - BATCH read/write looks the name up in the QUERYING session's
+        DataSourceManager;
+      - STREAMING write resolves it through the DEFAULT session's
+        manager — a stream started from a child session fails with
+        DATA_SOURCE_NOT_FOUND even when the child registered the source;
+      - the DATA_SOURCE_ALREADY_EXISTS pre-check is CONTEXT-global, so a
+        name registered in any other session blocks the public register
+        call here while lookup still fails.
+    Registering on both this session's and the default session's managers
+    (bypassing the global pre-check) makes the source usable from any
+    session for both batch and streaming."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.dataSource.register(cls)
+    except AnalysisException as e:
+        if (e.getCondition() or "") != "DATA_SOURCE_ALREADY_EXISTS":
+            raise
+        try:
+            _register_on_manager(spark._jsparkSession, spark.sparkContext, cls)
+        except Exception as fallback_err:  # pragma: no cover
+            raise RuntimeError(
+                f"Python data source {cls.name()!r} is registered in "
+                "another session of this context and the per-session "
+                "fallback registration failed"
+            ) from fallback_err
+    # mirror into the default session so STREAMING lookups resolve too
+    try:
+        sc = spark.sparkContext
+        jopt = sc._jvm.org.apache.spark.sql.SparkSession.getDefaultSession()
+        if jopt.isDefined() and not jopt.get().equals(spark._jsparkSession):
+            _register_on_manager(jopt.get(), sc, cls)
+    except Exception:  # pragma: no cover - best-effort mirror
+        pass
 
 
 def session_tmpdir(prefix: str) -> str:

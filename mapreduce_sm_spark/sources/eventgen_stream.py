@@ -113,4 +113,6 @@ class EventGenDataSource(DataSource):
 
 
 def register(spark) -> None:
-    spark.dataSource.register(EventGenDataSource)
+    from mapreduce_sm_spark.session import register_data_source
+
+    register_data_source(spark, EventGenDataSource)

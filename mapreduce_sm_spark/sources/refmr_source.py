@@ -213,8 +213,10 @@ class RefMRDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Register the refmr format on this session (idempotent)."""
-    spark.dataSource.register(RefMRDataSource)
+    """Register the refmr format (idempotent, cross-session safe)."""
+    from mapreduce_sm_spark.session import register_data_source
+
+    register_data_source(spark, RefMRDataSource)
 
 
 def read_formatted_text(spark, path: str, fmt: str = "wordcount"):
