@@ -1004,3 +1004,86 @@ def corpus_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) near-dup pairs with LENGTH-BAND blocking —
+# the character-level rung of the dedup ladder (the n-gram Jaccard and
+# MinHash rungs are token/set-level; edit distance catches single-char
+# typo families those miss at low k).
+#
+# Blocking invariant: levenshtein(a, b) >= |len(a) - len(b)|, so any
+# pair within distance K has prefix lengths within K of each other. With
+# band = len div (K+1) (band width K+1 > K), such a pair sits in the
+# SAME or ADJACENT bands — so joining each doc's band against the other
+# side's {band-1, band, band+1} is LOSSLESS, and the oracle can state
+# the plain quadratic semantics while the engine runs the banded
+# equi-join. Candidates are compared on an 80-char prefix: identical
+# substr semantics in both engines, and it bounds the O(n*m) DP cost per
+# candidate at scale (Spark's threshold form levenshtein(a, b, K) also
+# abandons any DP row that exceeds K early).
+#
+# 100 TB posture: the join is an equi-join on (lang, band) — never a
+# per-lang cartesian; fan-out is 3 bands per doc; per-candidate cost is
+# a K-bounded 80x80 DP. All emitted values are exact integers.
+# ---------------------------------------------------------------------------
+
+_LEV_K = 5
+_LEV_PREFIX = 80
+
+_EDIT_DIST_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, lang, substr(text, 1, {_LEV_PREFIX}) AS pfx
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= {_LEV_K}
+ORDER BY doc_a, doc_b
+"""
+
+
+@REGISTRY.register(
+    "dedup_edit_distance",
+    oracle=_EDIT_DIST_ORACLE,
+    description=f"prefix Levenshtein <= {_LEV_K} near-dup pairs via lossless length-band blocking",
+    tags=("dedup", "fuzzy"),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, _LEV_PREFIX).alias("pfx"),
+    )
+    band = F.expr(f"length(pfx) div {_LEV_K + 1}")
+    a = p.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("pfx").alias("pfx_a"),
+        band.alias("band_a"),
+    )
+    b = p.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("pfx").alias("pfx_b"),
+        F.explode(
+            F.array(band - 1, band, band + 1)
+        ).alias("band_b"),
+    )
+    # each qualifying pair matches exactly once: band_a is a single value
+    # and the three exploded band_b values are distinct
+    lev = F.levenshtein("pfx_a", "pfx_b", _LEV_K)
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("band_a") == F.col("band_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        # threshold form returns -1 when the distance exceeds K
+        .select("doc_a", "doc_b", lev.alias("dist"))
+        .filter(F.col("dist") >= 0)
+        .select("doc_a", "doc_b", F.col("dist").cast("long").alias("dist"))
+        .orderBy("doc_a", "doc_b")
+    )

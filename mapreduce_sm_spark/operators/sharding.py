@@ -330,3 +330,118 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Storage-layout queries that register the engine's two scan-elimination
+# techniques as DRIVER-GATED surface (both were previously exercised only
+# by tests, tests/test_sources.py):
+#
+#   partition_pruned_event_stats — hive-style partitionBy layout; a filter
+#     on the partition column prunes whole directories at PLANNING time
+#     (the scan never lists the other partitions' files). At 100 TB this
+#     is the difference between reading 2 of N partitions and reading N.
+#
+#   bucketed_join_sales_by_segment — both join sides written bucketBy the
+#     join key: the one shuffle each side would need is paid ONCE at
+#     write time, and every later join/aggregation on that key is
+#     exchange-free (tests/test_plans.py asserts the executed plan has a
+#     SortMergeJoin with ZERO shuffle exchanges). This is Spark's answer
+#     to the reference's hash-partitioned in-memory multimap
+#     (/root/reference/src/mapreduce.c:145-153): co-location by key, but
+#     durable and cluster-wide instead of per-process.
+#
+# Both detour through real writes per invocation (session-lived,
+# atexit-reclaimed tmpdir / overwritten managed tables), so the driver's
+# hash covers the full write -> catalog/layout -> read -> aggregate loop,
+# not just the final aggregation.
+# ---------------------------------------------------------------------------
+
+_PART_PRUNE_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@REGISTRY.register(
+    "partition_pruned_event_stats",
+    oracle=_PART_PRUNE_ORACLE,
+    description="hive-partitioned parquet layout: planning-time partition pruning round trip",
+    tags=("layout", "partition-pruning", "source", "roundtrip"),
+)
+def partition_pruned_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.session import session_tmpdir
+    from mapreduce_sm_spark.sources.sinks import write_parquet
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    d = session_tmpdir("evpart_")
+    write_parquet(ev, d, partition_by=["event_type"])
+    back = spark.read.parquet(d).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@REGISTRY.register(
+    "bucketed_join_sales_by_segment",
+    oracle=_BUCKETED_JOIN_ORACLE,
+    description="both sides bucketed on the join key: exchange-free sort-merge join round trip",
+    tags=("layout", "bucketing", "join", "roundtrip"),
+)
+def bucketed_join_sales_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from mapreduce_sm_spark.sources.sinks import write_bucketed_table
+
+    # per-sf table names: repeated runs against different scale dirs must
+    # not collide in the shared session catalog
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_ord, t_cust = f"bkt_orders_{sfx}", f"bkt_customer_{sfx}"
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed_table(orders, t_ord, ["o_custkey"], 8, ["o_custkey"])
+    write_bucketed_table(cust, t_cust, ["c_custkey"], 8, ["c_custkey"])
+    o, c = spark.table(t_ord), spark.table(t_cust)
+    # MERGE hint pins the sort-merge strategy (a broadcast would ALSO be
+    # shuffle-free here but would not exercise the bucketing co-location
+    # this query exists to register); with both sides bucketed+sorted on
+    # the key, the SMJ needs neither exchange nor sort.
+    joined = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

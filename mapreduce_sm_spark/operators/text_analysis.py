@@ -773,3 +773,114 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-cosine similarity join via an inverted index — the sparse
+# twin of the dense embedding cosine family (similarity.py). The dot
+# product of two term-count vectors is computed WITHOUT materializing
+# vectors: join the (doc, term, count) index with itself on the term and
+# sum count products per pair — the classic sparse all-pairs shape
+# (Bayardo/Ma/Srikant, WWW'07, before their prefix optimization).
+#
+# Exactness (PLANS.md r05/r07 rules): counts are integers, so dot and
+# the squared norms are exact int64; cosine is emitted and thresholded
+# as floor(1e6 * dot^2 / (n2a * n2b)) — an exact rational in both
+# engines (Spark `div` = DuckDB `//`; DuckDB's HUGEINT intermediates are
+# cast to BIGINT at the output boundary). cos >= 0.9 <=> cos2_ppm >=
+# 810000 with no tie (dot^2 * 1e6 = 0.81 * n2a * n2b exactly is kept by
+# both engines identically since floor of an exact integer ratio).
+#
+# 100 TB posture: the index join is O(sum over terms of df^2) — the
+# hot-term quadratic blowup is the known cost of the EXACT sparse join.
+# df >= 2 pruning removes hapax terms (no pair contribution) for free;
+# past moderate vocabularies the sub-quadratic path is the banded /
+# prefix-filtered machinery this engine already registers
+# (dedup_ngram_jaccard's PPJoin prefix index, dedup_minhash's LSH bands)
+# — this query registers the exact-join baseline those approximate.
+# ---------------------------------------------------------------------------
+
+_COS2_THRESH_PPM = 810_000  # cos >= 0.9, exactly, as an integer gate
+
+_TF_COSINE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+cnt AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY doc_id, term),
+n2 AS (SELECT doc_id, sum(c * c) AS n2 FROM cnt GROUP BY doc_id),
+idx AS (
+  SELECT * FROM cnt WHERE term IN (
+    SELECT term FROM cnt GROUP BY term HAVING count(*) >= 2)
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.c * b.c) AS dot
+  FROM idx a JOIN idx b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_a, d.doc_b,
+       CAST((d.dot * d.dot * 1000000) // (x.n2 * y.n2) AS BIGINT)
+           AS cos2_ppm
+FROM dots d
+JOIN n2 x ON d.doc_a = x.doc_id
+JOIN n2 y ON d.doc_b = y.doc_id
+WHERE (d.dot * d.dot * 1000000) // (x.n2 * y.n2) >= {_COS2_THRESH_PPM}
+ORDER BY d.doc_a, d.doc_b
+"""
+
+
+@REGISTRY.register(
+    "tf_cosine_pairs",
+    oracle=_TF_COSINE_ORACLE,
+    description="sparse TF-cosine near-dup pairs via inverted-index self-join, exact integer gate",
+    tags=("similarity", "text", "dedup", "sparse"),
+)
+def tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+            ).alias("term"),
+        )
+    )
+    cnt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    # norms over ALL terms (hapax included — they contribute to the norm
+    # even though they can never contribute to a dot product)
+    n2 = cnt.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    shared = (
+        cnt.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("term")
+    )
+    idx = cnt.join(shared, "term")
+    a = idx.select(
+        F.col("term").alias("t"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("c").alias("ca"),
+    )
+    b = idx.select(
+        F.col("term").alias("t"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("c").alias("cb"),
+    )
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = n2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = n2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
+    cos2 = F.expr("(dot * dot * 1000000) div (n2a * n2b)")
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos2.alias("cos2_ppm"))
+        .filter(F.col("cos2_ppm") >= _COS2_THRESH_PPM)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -61,6 +61,22 @@ def write_bucketed_table(
     joins/aggregations on bucket_cols are exchange-free (the scale answer
     to the reference's hash-partitioned in-memory store,
     mapreduce.c:145-153)."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    # Stale-location guard: with the in-memory catalog, a managed table's
+    # warehouse directory can survive a previous PROCESS whose catalog
+    # entry died with it — saveAsTable then fails LOCATION_ALREADY_EXISTS
+    # because overwrite mode only drops tables the CURRENT catalog knows.
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    if wh:
+        shutil.rmtree(
+            os.path.join(wh, table_name.lower()), ignore_errors=True
+        )
     writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

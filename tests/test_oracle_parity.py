@@ -49,13 +49,23 @@ def test_query_matches_oracle(spark, duck, name, q):
     )
 
 
-# Output types a pandas fetch renders differently from their SQL value
-# domain: HUGEINT/UHUGEINT become float64 ("3" hashes as "3.0" — the r6
-# driver gate's root cause for all 8 hash-reds), and DECIMAL wider than
-# what float64 round-trips is canonicalization-fragile. DuckDB returns
-# HUGEINT from sum(BIGINT) and propagates it through // — so any oracle
-# whose final SELECT leaves such an expression uncast regresses here.
-_FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+# Gate-visible oracle outputs are restricted to the types a pandas fetch
+# maps LOSSLESSLY (PLANS.md r07): HUGEINT/UHUGEINT become float64
+# ("3" hashes as "3.0" — the r6 driver gate's root cause for all 8
+# hash-reds), and DECIMAL renders as float64 under .df(), silently
+# blurring drift beyond float64 precision. An ALLOWLIST (not a HUGEINT
+# denylist) so any new type joins only after its pandas round-trip is
+# reasoned about. DuckDB returns HUGEINT from sum(BIGINT) and propagates
+# it through // — wrap final-SELECT expressions in CAST(... AS BIGINT)
+# (template: anomaly_zscore_events, operators/behavioral.py).
+_ALLOWED_ORACLE_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "DOUBLE",
+    "VARCHAR",
+    "BOOLEAN",
+    "DATE",
+}
 
 
 @pytest.mark.parametrize(
@@ -68,10 +78,9 @@ def test_oracle_output_types_pandas_safe(duck, name, q):
     bad = [
         (col, typ)
         for col, typ, *_ in desc
-        if any(t in typ.upper() for t in _FORBIDDEN_ORACLE_TYPES)
+        if typ.upper().split("(")[0] not in _ALLOWED_ORACLE_TYPES
     ]
     assert not bad, (
-        f"{name}: oracle emits pandas-unsafe output column(s) {bad}; "
-        "wrap the final-SELECT expression in CAST(... AS BIGINT) "
-        "(template: anomaly_zscore_events, operators/behavioral.py)"
+        f"{name}: oracle emits output column(s) outside the pandas-safe "
+        f"allowlist {sorted(_ALLOWED_ORACLE_TYPES)}: {bad}"
     )

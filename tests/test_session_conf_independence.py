@@ -38,10 +38,20 @@ _BARE_CONF = {
 
 @pytest.fixture(scope="module")
 def bare_spark(spark):
-    s = spark.newSession()
+    yield spark.newSession()
+
+
+@pytest.fixture(autouse=True)
+def _repin_bare_conf(bare_spark):
+    """Re-pin the adversarial confs before EVERY query: the product code
+    under test legitimately flips some of them at read sites
+    (table() sets nanosAsLong, read_formatted_text sets filterPushdown) —
+    without re-pinning, the first query that does so un-bares the shared
+    module session and every later test silently runs under the flipped
+    conf, making the audit vacuous for exactly the reliance class it
+    exists to catch."""
     for k, v in _BARE_CONF.items():
-        s.conf.set(k, v)
-    yield s
+        bare_spark.conf.set(k, v)
 
 
 # No exclusions: session.register_data_source works around Spark 4.1's
