@@ -117,15 +117,21 @@ REGISTRY.set_front(
         "train_val_test_split",
         "union_by_name_contacts",
         "unpivot_lineitem_measures",
-        # --- (4) stalest driver evidence: r02 TPC-H + window shapes ---
+        # --- (4) NEW this round (never driver-seen): storage-layout round
+        # trips, sparse cosine, edit-distance dedup — all with exact
+        # integer emissions and pandas-path local-gate green ---
+        "partition_pruned_event_stats",
+        "bucketed_join_sales_by_segment",
+        "tf_cosine_pairs",
+        "dedup_edit_distance",
+        # --- (5) stalest driver evidence: r02 TPC-H + window shapes
+        # (q6/q7/q13/q16 yield their slots to the four new-capability
+        # rows; all four remain covered by tests/test_oracle_parity.py and
+        # the sf0.01 local gate, and rotate in next round) ---
         "q4_order_priority",
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
         "q8_market_share",
         "q9_product_profit",
         "q12_late_shipment_priority",
-        "q13_customer_distribution",
-        "q16_part_supplier_variety",
         "q20_volume_suppliers",
         "q21_waiting_suppliers",
         "q22_dormant_customers",

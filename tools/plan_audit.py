@@ -30,6 +30,24 @@ def _markers(plan: str) -> dict[str, object]:
     }
 
 
+def _preserved_narrative() -> list[str]:
+    """Everything ABOVE '## Scale findings' in the existing PLANS.md is
+    hand-maintained round narrative (r05 drift rules, r07 fetch-path
+    contract); regeneration must carry it forward, not drop it."""
+    try:
+        text = open("/root/repo/PLANS.md").read()
+    except OSError:
+        return []
+    marker = "## Scale findings"
+    if marker not in text:
+        return []
+    head = text.split(marker)[0].splitlines()
+    # drop the generated 4-line header; it is re-emitted below
+    while head and not head[0].startswith("## "):
+        head.pop(0)
+    return head
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     registry = load_all_operators()
@@ -41,6 +59,7 @@ def main() -> None:
         f"Post-AQE physical plans at `{sf_dir}` (local[32]). Regenerate with",
         "`python tools/plan_audit.py`.",
         "",
+        *_preserved_narrative(),
         "## Scale findings (would this hold at 1000x?)",
         "",
         "- **Lazy caches + AQE broadcast builds race.** AQE launches each",
