@@ -382,7 +382,10 @@ def partition_pruned_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_type", "value")
     d = session_tmpdir("evpart_")
     write_parquet(ev, d, partition_by=["event_type"])
-    back = spark.read.parquet(d).filter(
+    # explicit schema: an EMPTY input writes a partition dir with no data
+    # files, and schema inference then fails (UNABLE_TO_INFER_SCHEMA);
+    # the written schema is the pre-write frame's by construction
+    back = spark.read.schema(ev.schema).parquet(d).filter(
         F.col("event_type").isin("click", "purchase")
     )
     return (

@@ -158,6 +158,14 @@ FIVE = (
     "scd2_point_in_time_join",
     # FILTER clause over half-cent prices and fractional quantities
     "filter_clause_group_by_all",
+    # r07 additions: layout round trips (cents emissions through the
+    # partitioned/bucketed write-read detours), exact-integer sparse
+    # cosine gate, and the banded Levenshtein pairs over the hostile
+    # unicode text fixtures
+    "partition_pruned_event_stats",
+    "bucketed_join_sales_by_segment",
+    "tf_cosine_pairs",
+    "dedup_edit_distance",
 )
 
 
@@ -421,11 +429,14 @@ def main() -> int:
     for name in FIVE:
         q = reg.all()[name]
         try:
+            # both sides through pandas — the driver's fetch path
+            # (verify_local r07; fetchall() hid HUGEINT->float64 drift)
+            from verify_local import _pd_rows
+
             sdf = q.fn(spark, FIXDIR)
-            scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
-            res = con.execute(q.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            scols, srows = sdf.columns, _pd_rows(sdf.toPandas())
+            odf = con.execute(q.oracle).df()
+            ocols, orows = list(odf.columns), _pd_rows(odf)
         except Exception as e:  # engine error IS a divergence signal here
             print(f"FAIL {name}: {str(e)[:200]}")
             n_fail += 1
