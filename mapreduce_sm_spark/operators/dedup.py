@@ -1012,6 +1012,17 @@ def corpus_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash rungs are token/set-level; edit distance catches single-char
 # typo families those miss at low k).
 #
+# Cross-engine exactness: Spark's levenshtein counts CODEPOINT edits
+# while DuckDB's counts BYTE edits (measured: lev('héllo','hello') is 1
+# in Spark, 2 in DuckDB), so the compared prefixes are ASCII-PROJECTED
+# first — every character outside the printable-ASCII range [ -~]
+# becomes '?' in BOTH engines, where byte and codepoint distances
+# coincide. The emitted semantics is "edit distance of the
+# ASCII-projected 80-char prefix": deterministic, engine-portable, and
+# still a faithful typo detector (a multi-byte char family differing
+# only in accents projects to equal strings, distance 0 — conservative
+# for dedup).
+#
 # Blocking invariant: levenshtein(a, b) >= |len(a) - len(b)|, so any
 # pair within distance K has prefix lengths within K of each other. With
 # band = len div (K+1) (band width K+1 > K), such a pair sits in the
@@ -1033,7 +1044,9 @@ _LEV_PREFIX = 80
 
 _EDIT_DIST_ORACLE = f"""
 WITH p AS (
-  SELECT doc_id, lang, substr(text, 1, {_LEV_PREFIX}) AS pfx
+  SELECT doc_id, lang,
+         regexp_replace(substr(text, 1, {_LEV_PREFIX}),
+                        '[^ -~]', '?', 'g') AS pfx
   FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1051,11 +1064,20 @@ ORDER BY doc_a, doc_b
     tags=("dedup", "fuzzy"),
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    release_caches("dedup.edit_distance")  # one-generation discipline
     p = table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        F.substring("text", 1, _LEV_PREFIX).alias("pfx"),
+        F.regexp_replace(
+            F.substring("text", 1, _LEV_PREFIX), "[^ -~]", "?"
+        ).alias("pfx"),
     )
+    # cached: p feeds BOTH self-join sides (the b side additionally pays
+    # the 3x band explode) — the self-join-alias recompute class PLANS.md
+    # documents; one scan instead of two
+    p = p.cache()
+    p.count()
+    track_caches("dedup.edit_distance", p)
     band = F.expr(f"length(pfx) div {_LEV_K + 1}")
     a = p.select(
         F.col("doc_id").alias("doc_a"),

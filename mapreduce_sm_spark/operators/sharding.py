@@ -421,12 +421,15 @@ def bucketed_join_sales_by_segment(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     import os
+    import re
 
     from mapreduce_sm_spark.sources.sinks import write_bucketed_table
 
     # per-sf table names: repeated runs against different scale dirs must
-    # not collide in the shared session catalog
-    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # not collide in the shared session catalog; sanitize EVERY
+    # non-identifier char (a hyphenated dir would otherwise produce an
+    # unparseable unquoted table name)
+    sfx = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
     t_ord, t_cust = f"bkt_orders_{sfx}", f"bkt_customer_{sfx}"
     orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")

@@ -786,10 +786,16 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exactness (PLANS.md r05/r07 rules): counts are integers, so dot and
 # the squared norms are exact int64; cosine is emitted and thresholded
 # as floor(1e6 * dot^2 / (n2a * n2b)) — an exact rational in both
-# engines (Spark `div` = DuckDB `//`; DuckDB's HUGEINT intermediates are
-# cast to BIGINT at the output boundary). cos >= 0.9 <=> cos2_ppm >=
-# 810000 with no tie (dot^2 * 1e6 = 0.81 * n2a * n2b exactly is kept by
-# both engines identically since floor of an exact integer ratio).
+# engines. cos >= 0.9 <=> cos2_ppm >= 810000 with no tie (floor of an
+# exact integer ratio). The intermediates dot^2*1e6 and n2a*n2b exceed
+# int64 for large documents (a 1M-token doc reaches n2 ~ 1e12, dot^2*1e6
+# ~ 1e30), so BOTH engines compute them in wide integers — DuckDB's
+# native HUGEINT (int128), Spark DECIMAL(38,0) (~1e38) with the exact
+# floor-division identity floor(x/y) = (x - x % y) / y (decimal `%` is
+# exact, and dividing an exact multiple is rounding-free at any result
+# scale; a bare decimal division HALF_UP-rounds the quotient and can
+# cross an integer boundary). Output is CAST to BIGINT at the boundary
+# (<= 1e6 by construction).
 #
 # 100 TB posture: the index join is O(sum over terms of df^2) — the
 # hot-term quadratic blowup is the known cost of the EXACT sparse join.
@@ -845,7 +851,17 @@ def tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term"),
         )
     )
+    from mapreduce_sm_spark.session import release_caches, track_caches
+
+    release_caches("text.tf_cosine")  # one-generation discipline
     cnt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    # cached: cnt feeds FOUR plan branches (both self-join sides, the
+    # norms, and the df filter) — without the barrier the tokenize +
+    # explode + groupBy subplan executes 4x per run (the self-join-alias
+    # recompute class PLANS.md documents for dedup_ngram_jaccard)
+    cnt = cnt.cache()
+    cnt.count()
+    track_caches("text.tf_cosine", cnt)
     # norms over ALL terms (hapax included — they contribute to the norm
     # even though they can never contribute to a dot product)
     n2 = cnt.groupBy("doc_id").agg(
@@ -876,7 +892,14 @@ def tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = n2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
     nb = n2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
-    cos2 = F.expr("(dot * dot * 1000000) div (n2a * n2b)")
+    # wide-integer exact floor division (see module comment): DECIMAL(38,0)
+    # intermediates + the (x - x % y) / y identity
+    cos2 = F.expr(
+        "CAST(((CAST(dot AS DECIMAL(38,0)) * dot * 1000000"
+        "  - (CAST(dot AS DECIMAL(38,0)) * dot * 1000000)"
+        "    % (CAST(n2a AS DECIMAL(38,0)) * n2b))"
+        " / (CAST(n2a AS DECIMAL(38,0)) * n2b)) AS BIGINT)"
+    )
     return (
         dots.join(na, "doc_a")
         .join(nb, "doc_b")

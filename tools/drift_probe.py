@@ -274,10 +274,34 @@ def build_fixtures() -> None:
         docs.append(" ".join(words))
         langs.append(["en", "de", "fr"][i % 3])
         srcs.append(f"src{i % 5}")
+    # hostile-unicode tail: multi-byte text where BYTE-based and
+    # CODEPOINT-based string functions diverge (the confirmed class:
+    # DuckDB levenshtein counts bytes, Spark counts codepoints —
+    # dedup_edit_distance ASCII-projects for exactly this reason). Two
+    # near-identical accent families so the edit-distance and cosine
+    # queries emit pairs THROUGH the unicode path, not around it.
+    uni = [
+        "héllo wörld naïve café résumé " + "中文 分词 测试 " * 3,
+        "hello world naive cafe resume " + "中文 分词 测试 " * 3,
+        "héllo wörld naïve café résumé " + "中文 分词 测试 " * 3 + "über",
+        "señor piñata jalapeño año " * 8,
+        "senor pinata jalapeno ano " * 8,
+        "Ωμέγα άλφα βήτα γάμμα " * 6,
+        "emoji 😀 mixed ascii text with tabs	and punctuation!!! " * 2,
+        "ascii only control doc for the unicode block " * 2,
+    ]
+    # same lang WITHIN each near family so the lang-blocked pair miners
+    # emit pairs THROUGH the unicode path (docs 0 and 2 differ only by a
+    # short ascii suffix after projection: an emitted distance-4 pair)
+    uni_langs = ["en", "en", "en", "de", "de", "fr", "fr", "fr"]
+    for k, t in enumerate(uni):
+        docs.append(t)
+        langs.append(uni_langs[k])
+        srcs.append(f"src{k % 5}")
     pq.write_table(
         pa.table(
             {
-                "doc_id": pa.array(range(400), pa.int64()),
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
                 "text": pa.array(docs),
                 "lang": pa.array(langs),
                 "source": pa.array(srcs),
