@@ -32,16 +32,19 @@ def main() -> None:
     # a decaying load average from a just-finished test run (r07) — a
     # 1.3x phantom regression. Wait (bounded) for the 1-minute load to
     # drop before measuring; report the residual load in the JSON.
-    settle_deadline = time.time() + 150
-    load1 = None
-    while time.time() < settle_deadline:
+    def _load1() -> float | None:
         try:
-            load1 = float(open("/proc/loadavg").read().split()[0])
+            with open("/proc/loadavg") as fh:
+                return float(fh.read().split()[0])
         except (OSError, ValueError):
-            break
-        if load1 < 1.0:
-            break
+            return None
+
+    settle_deadline = time.time() + 150
+    load1 = _load1()
+    while load1 is not None and load1 >= 1.0 and time.time() < settle_deadline:
         time.sleep(10)
+        load1 = _load1()
+    settled = load1 is not None and load1 < 1.0
 
     registry = load_all_operators()
     spark = get_spark("bench")
@@ -94,7 +97,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "cold_first_run": cold,
-                "protocol": "warm: best of runs 2-3 of 3/query, data uncached, inter-trial GC, load-settled start",
+                "protocol": "warm: best of runs 2-3 of 3/query, data uncached, "
+                + "inter-trial GC, "
+                + ("load-settled start" if settled else "UNSETTLED start (load high after 150s wait)"),
                 "sf": sf,
                 "load1_at_start": load1,
             }

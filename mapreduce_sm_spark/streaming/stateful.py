@@ -107,7 +107,9 @@ def run_stateful_user_totals(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    from mapreduce_sm_spark.streaming.windows import _await_or_raise
+
+    _await_or_raise(q, query_name, 180)
     # update mode emits one row per key per batch that touched it; the final
     # state per user is the row with the highest n_events (monotone fold).
     sink = spark.table(query_name)

@@ -114,7 +114,9 @@ def run_user_profile(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    from mapreduce_sm_spark.streaming.windows import _await_or_raise
+
+    _await_or_raise(q, query_name, 180)
     sink = spark.table(query_name)
     # update mode: one row per key per touching batch; the final state has
     # the maximal n_events (monotone fold)

@@ -450,26 +450,24 @@ def test_stateful_streaming_on_rocksdb_state_store(spark, tmp_path):
     RocksDB state-store provider (bounded executor memory, spill to
     local disk + changelog) instead of the default in-memory HDFS-backed
     map. The engine's plans claim RocksDB compatibility (streaming/
-    windows.py, stateful.py docstrings); this proves it — the same
-    tumbling aggregate and the applyInPandasWithState operator both run
-    under the provider and produce batch-identical results."""
-    import shutil
+    windows.py, stateful.py docstrings); this proves it — the tumbling
+    aggregate AND the applyInPandasWithState operator both run under the
+    provider and produce batch-IDENTICAL results."""
+    from pyspark.sql import functions as F
 
     from mapreduce_sm_spark.operators.events import tumbling_window
+    from mapreduce_sm_spark.session import table
     from mapreduce_sm_spark.streaming.stateful import run_stateful_user_totals
     from mapreduce_sm_spark.streaming.windows import (
         run_streaming_tumbling_counts,
     )
 
-    events_dir = str(tmp_path / "events_rocks")
-    os.makedirs(events_dir)
-    shutil.copy(
-        os.path.join(SF_DIR, "events.parquet"),
-        os.path.join(events_dir, "part-0.parquet"),
-    )
+    events_dir = _stream_events_dir(tmp_path)
 
     provider_conf = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_conf, None)
+    # conf.get on a registered entry returns its default string, never
+    # None — restore by set, not unset
+    prev = spark.conf.get(provider_conf)
     spark.conf.set(
         provider_conf,
         "org.apache.spark.sql.execution.streaming.state"
@@ -488,15 +486,26 @@ def test_stateful_streaming_on_rocksdb_state_store(spark, tmp_path):
         }
         assert streamed == batch
 
-        totals = run_stateful_user_totals(
-            spark,
-            os.path.join(events_dir, "part-0.parquet"),
-            query_name="rocks_totals_test",
-        ).collect()
-        assert len(totals) > 0
-        assert all(r.n_events > 0 for r in totals)
+        expected_totals = {
+            r.user_id: (r.n, round(r.total, 2))
+            for r in table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .collect()
+        }
+        got_totals = {
+            r.user_id: (r.n_events, round(r.total_value, 2))
+            for r in run_stateful_user_totals(
+                spark,
+                os.path.join(events_dir, "part-0.parquet"),
+                query_name="rocks_totals_test",
+            ).collect()
+        }
+        assert got_totals == expected_totals
     finally:
-        if prev is None:
-            spark.conf.unset(provider_conf)
-        else:
-            spark.conf.set(provider_conf, prev)
+        spark.conf.set(provider_conf, prev)
