@@ -12,12 +12,18 @@ aggregation, a few KB per group) and then unioned across any dimension
 without rescanning the corpus. The final estimate is read out with
 hll_sketch_estimate.
 
-No DuckDB oracle: the estimate is defined by the DataSketches HLL_4
-implementation, which no other engine reproduces value-for-value — the
-driver records the weaker rows-only check, and tests/test_sketches.py
-bounds the estimates against exact distinct counts (the documented
-HLL_4 lgK=12 relative standard error is ~1.6%; the test allows 5%) and
-checks the union sketch against the exactly-computed global count.
+Oracle strategy (the ann_ivf_recall_check contract pattern,
+similarity.py): the raw estimate is defined by the DataSketches HLL_4
+implementation, which no other engine reproduces value-for-value, so the
+registered query emits the CONTRACT instead of the raw estimate — per
+group `(event_type, exact_users, hll_within_bound)` where exact_users is
+the exact distinct count (DuckDB: count(DISTINCT ...)) and
+hll_within_bound asserts |estimate - exact| <= 5% * exact, computed
+engine-side from the sketch readout vs the exact count and stated by the
+oracle as a literal TRUE (the documented HLL_4 lgK=12 relative standard
+error is ~1.6%; HLL is deterministic for fixed data, so the boolean is
+stable). tests/test_sketches.py additionally bounds the raw estimates
+and checks the union sketch against the exactly-computed global count.
 """
 
 from __future__ import annotations
@@ -34,21 +40,44 @@ from mapreduce_sm_spark.session import release_caches, table, track_caches
 HLL_LGK = 12
 
 
+# Engine-asserted relative-error ceiling for the contract boolean: HLL_4
+# at lgK=12 has ~1.6% RSE; 5% gives deterministic headroom at every
+# fixture SF (the estimate is a pure function of the data).
+_HLL_BOUND_PCT = 5
+
+_HLL_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       true AS hll_within_bound
+FROM events
+GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS exact_users,
+       true AS hll_within_bound
+FROM events
+ORDER BY event_type
+"""
+
+
 @REGISTRY.register(
     "hll_user_reach",
-    oracle=None,  # estimates are sketch-implementation-defined; rows-only
-    description="per-event-type user reach via mergeable HLL sketches + global union",
-    tags=("sketch", "approximate", "scale"),
+    oracle=_HLL_ORACLE,
+    description="HLL sketch vs exact distinct contract: per-type reach + union total",
+    tags=("sketch", "approximate", "scale", "contract"),
 )
 def hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type distinct-user estimates and their sketch-union total.
+    """Per-event-type HLL user-reach contract (sketch vs exact, in-bound).
 
-    The 'ALL' row is NOT re-scanned from events: it is the union of the
-    per-type sketches — the merge path that makes sketches useful.
+    The 'ALL' sketch row is NOT re-scanned from events: it is the union of
+    the per-type sketches — the merge path that makes sketches useful. The
+    exact side is a plain distinct-count aggregation; the emitted
+    hll_within_bound boolean asserts the sketch estimate landed within
+    5% of it, which the oracle states as a literal (contract pattern,
+    see module docstring).
     """
     ev = table(spark, sf_dir, "events").select("event_type", "user_id")
     per = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk")
+        F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
     # Two consumers (per-type readout + union) of one aggregate: cache
     # with a count() barrier per the repo's materialization discipline.
@@ -56,17 +85,59 @@ def hll_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = per.cache()
     per.count()
     track_caches("sketches.hll", per)
-    per_est = per.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    within = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users")) * 100
+        <= F.col("exact_users") * _HLL_BOUND_PCT
     )
+    per_est = per.select(
+        "event_type", "exact_users", within.alias("hll_within_bound")
+    )
+    # The union row merges per-type sketches (no rescan for the estimate);
+    # its exact side is the one global distinct-count the sketches cannot
+    # provide (users overlap across types, so per-type exacts don't sum).
     total = (
         per.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(
+            F.broadcast(ev.agg(F.count_distinct("user_id").alias("exact_users")))
+        )
         .select(
             F.lit("ALL").alias("event_type"),
-            F.hll_sketch_estimate("sk").alias("approx_users"),
+            "exact_users",
+            within.alias("hll_within_bound"),
         )
     )
     return per_est.unionAll(total).orderBy("event_type")
+
+
+def hll_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch readout (event_type, approx_users, exact_users).
+
+    Library/pytest surface, NOT registered: the raw estimate has no SQL
+    oracle. tests/test_sketches.py bounds it against the exact counts;
+    the registered hll_user_reach emits the bound as a contract boolean.
+    """
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    total = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(
+            F.broadcast(ev.agg(F.count_distinct("user_id").alias("exact_users")))
+        )
+        .select(F.lit("ALL").alias("event_type"), "sk", "exact_users")
+    )
+    return (
+        per.select("event_type", "sk", "exact_users")
+        .unionAll(total)
+        .select(
+            "event_type",
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+            "exact_users",
+        )
+        .orderBy("event_type")
+    )
 
 
 # ---------------------------------------------------------------------------
