@@ -907,3 +907,163 @@ def tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos2_ppm") >= _COS2_THRESH_PPM)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# tf_cosine_pairs_prefix — the SUB-QUADRATIC rung of the sparse-cosine
+# family (VERDICT r07 item 6): same result set and oracle as
+# tf_cosine_pairs, but candidates come from an L2AP-style prefix filter
+# (Anastasiu & Karypis, ICDE'14 "L2AP"; Bayardo et al., WWW'07
+# "All-Pairs") instead of the full inverted-index self-join.
+#
+# Losslessness (why the prefix join misses no qualifying pair): order
+# terms by global (df, term) — rarest first, string tiebreak, the same
+# total order in every document. For doc x with that ordered term-count
+# list, let ss_p(x) = sum of c_j^2 over positions j >= p (suffix squared
+# norm, exact int64). If x and y share NO term among x's positions
+# 1..p-1, every common term lies in x's suffix from p, so by
+# Cauchy-Schwarz dot(x,y)^2 <= ss_p(x) * n2(y). The gate
+# cos^2 >= 81/100 means dot^2 * 100 >= 81 * n2(x) * n2(y), which forces
+# ss_p(x) * 100 >= 81 * n2(x). Contrapositive: position p belongs to
+# x's prefix iff ss_p(x) * 100 >= 81 * n2(x) — beyond that point no
+# qualifying partner can have its EARLIEST common term, and the earliest
+# common term of a qualifying pair always sits inside BOTH prefixes
+# (it is <= any common term, hence inside any prefix that contains one;
+# each prefix contains at least one by the bound above). All arithmetic
+# is integer-exact, so the filter is lossless at exactly cos^2 >= 0.81 —
+# the same gate tf_cosine_pairs floors into cos2_ppm >= 810000.
+#
+# Candidate pruning on the matched row (also lossless): when the matched
+# token IS the pair's earliest common term at positions pa, pb, all
+# common terms sit in both suffixes, so dot^2 <= ss_pa(x) * ss_pb(y);
+# rows failing ss_pa * ss_pb * 100 >= 81 * n2a * n2b are pruned, and the
+# earliest-common-term row always survives. Products reach ~1e24 at
+# large-doc scale, so the check runs in DECIMAL(38,0).
+#
+# Hapax terms (df = 1) can never be a COMMON term, so the prefix list
+# skips them — but their weight still counts in n2 (norms are over the
+# full vector), which only shortens prefixes further.
+#
+# Verification is exact and per-candidate: each doc's df>=2 terms as a
+# map<term, count>, dot = sum over the key-union of count products
+# (map_zip_with + aggregate, JVM-side), then the identical DECIMAL(38,0)
+# floor-division gate as tf_cosine_pairs.
+#
+# 100 TB posture: candidate generation is an equality join on RARE
+# prefix tokens — near-linear in practice vs the exact join's
+# O(sum df^2) hot-term blowup; verification touches only candidate
+# pairs and ships two bounded maps per pair. This is the registered
+# scale path the exact tf_cosine_pairs baseline documents.
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    "tf_cosine_pairs_prefix",
+    oracle=_TF_COSINE_ORACLE,  # identical semantics, identical oracle
+    description="sparse TF-cosine pairs via lossless L2AP prefix filter + exact verify",
+    tags=("similarity", "text", "dedup", "sparse", "scale"),
+)
+def tf_cosine_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.session import release_caches, track_caches
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+            ).alias("term"),
+        )
+    )
+    release_caches("text.tf_cosine_prefix")  # one-generation discipline
+    cnt = toks.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    # cached: cnt feeds n2, the df counts, the prefix lists and the
+    # verification maps — four plan branches over the tokenize subplan
+    cnt = cnt.cache()
+    cnt.count()
+    # norms over ALL terms (hapax weight counts toward the norm)
+    n2 = cnt.groupBy("doc_id").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    df_counts = cnt.groupBy("term").agg(F.count("*").alias("df"))
+    shared = cnt.join(df_counts.filter(F.col("df") >= 2), "term")
+    # per-doc global-order term list; suffix squared norms via a
+    # descending-position running sum (one window per doc partition)
+    from pyspark.sql import Window
+
+    ordered = (
+        shared.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "term", "c"))).alias("st"))
+        .select("doc_id", F.posexplode("st").alias("p0", "e"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("p"),
+            F.col("e.term").alias("tok"),
+            F.col("e.c").alias("c"),
+        )
+    )
+    w_suffix = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("p").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_ss = ordered.withColumn(
+        "ss", F.sum((F.col("c") * F.col("c")).cast("long")).over(w_suffix)
+    )
+    # prefix membership: ss_p * 100 >= 81 * n2 (exact int64 comparison)
+    idx = (
+        with_ss.join(n2, "doc_id")
+        .filter(F.col("ss") * 100 >= F.col("n2") * 81)
+        .select("doc_id", "tok", "ss", "n2")
+        # cached + materialized: the self-join below reads idx twice and
+        # exchange reuse does not dedupe alias branches (the
+        # dedup_ngram_jaccard recompute class, PLANS.md)
+        .cache()
+    )
+    idx.count()
+    track_caches("text.tf_cosine_prefix", cnt, idx)
+    a, b = idx.alias("a"), idx.alias("b")
+    pos_filter = F.expr(
+        "CAST(a.ss AS DECIMAL(38,0)) * b.ss * 100"
+        " >= CAST(a.n2 AS DECIMAL(38,0)) * b.n2 * 81"
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & pos_filter,
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact verification: map<term,c> per doc (df>=2 terms only — hapax
+    # cannot be common), dot over the key union, identical gate
+    vecs = shared.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "c"))).alias("m")
+    )
+    va = vecs.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"))
+    vb = vecs.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"))
+    dot = F.expr(
+        "aggregate(map_values(map_zip_with(ma, mb,"
+        " (k, x, y) -> coalesce(x, 0L) * coalesce(y, 0L))),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    na = n2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = n2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
+    cos2 = F.expr(
+        "CAST(((CAST(dot AS DECIMAL(38,0)) * dot * 1000000"
+        "  - (CAST(dot AS DECIMAL(38,0)) * dot * 1000000)"
+        "    % (CAST(n2a AS DECIMAL(38,0)) * n2b))"
+        " / (CAST(n2a AS DECIMAL(38,0)) * n2b)) AS BIGINT)"
+    )
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("dot", dot)
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos2.alias("cos2_ppm"))
+        .filter(F.col("cos2_ppm") >= _COS2_THRESH_PPM)
+        .orderBy("doc_a", "doc_b")
+    )
