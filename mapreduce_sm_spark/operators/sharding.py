@@ -428,13 +428,18 @@ def bucketed_join_sales_by_segment(
     # per-sf table names: repeated runs against different scale dirs must
     # not collide in the shared session catalog; sanitize EVERY
     # non-identifier char (a hyphenated dir would otherwise produce an
-    # unparseable unquoted table name)
+    # unparseable unquoted table name). write_bucketed_table additionally
+    # pid-suffixes the name so concurrent PROCESSES never collide either
+    # (ADVICE r07) — always read via the returned actual name.
     sfx = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
-    t_ord, t_cust = f"bkt_orders_{sfx}", f"bkt_customer_{sfx}"
     orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    write_bucketed_table(orders, t_ord, ["o_custkey"], 8, ["o_custkey"])
-    write_bucketed_table(cust, t_cust, ["c_custkey"], 8, ["c_custkey"])
+    t_ord = write_bucketed_table(
+        orders, f"bkt_orders_{sfx}", ["o_custkey"], 8, ["o_custkey"]
+    )
+    t_cust = write_bucketed_table(
+        cust, f"bkt_customer_{sfx}", ["c_custkey"], 8, ["c_custkey"]
+    )
     o, c = spark.table(t_ord), spark.table(t_cust)
     # MERGE hint pins the sort-merge strategy (a broadcast would ALSO be
     # shuffle-free here but would not exercise the bucketing co-location

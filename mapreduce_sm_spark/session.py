@@ -128,7 +128,21 @@ def track_caches(tag: str, *dfs) -> None:
 def _register_on_manager(jsession, sc, cls) -> None:
     """Register `cls` directly on a JVM session's DataSourceManager —
     the exact call DataSourceRegistration.register performs, minus its
-    broken context-global ALREADY_EXISTS pre-check."""
+    broken context-global ALREADY_EXISTS pre-check.
+
+    Leans on pyspark-private internals (_wrap_function, the JVM
+    sessionState().dataSourceManager() path) that a patch release can
+    shift (ADVICE r07): the surfaces were probed against pyspark 4.1.x,
+    so any other minor line fails loudly here rather than mysteriously
+    at stream start."""
+    import pyspark
+
+    if not pyspark.__version__.startswith("4.1."):
+        raise RuntimeError(
+            "register_data_source's private-API fallback was validated "
+            f"against pyspark 4.1.x only (running {pyspark.__version__}); "
+            "re-probe DataSourceManager/_wrap_function before trusting it"
+        )
     manager = jsession.sessionState().dataSourceManager()
     if manager.dataSourceExists(cls.name()):
         return
@@ -174,14 +188,26 @@ def register_data_source(spark: SparkSession, cls) -> None:
                 "another session of this context and the per-session "
                 "fallback registration failed"
             ) from fallback_err
-    # mirror into the default session so STREAMING lookups resolve too
+    # mirror into the default session so STREAMING lookups resolve too.
+    # Best-effort, but never silent (ADVICE r07): a failed mirror makes a
+    # LATER streaming write fail with DATA_SOURCE_NOT_FOUND far from this
+    # cause, so leave a pointer at the scene.
     try:
         sc = spark.sparkContext
         jopt = sc._jvm.org.apache.spark.sql.SparkSession.getDefaultSession()
         if jopt.isDefined() and not jopt.get().equals(spark._jsparkSession):
             _register_on_manager(jopt.get(), sc, cls)
-    except Exception:  # pragma: no cover - best-effort mirror
-        pass
+    except Exception as mirror_err:  # pragma: no cover - best-effort mirror
+        import warnings
+
+        warnings.warn(
+            f"default-session mirror registration of data source "
+            f"{cls.name()!r} failed ({mirror_err!r}); batch use works, but "
+            "a streaming read/write of this source from a non-default "
+            "session will fail with DATA_SOURCE_NOT_FOUND",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def session_tmpdir(prefix: str) -> str:

@@ -56,31 +56,42 @@ def write_bucketed_table(
     bucket_cols: Sequence[str],
     num_buckets: int,
     sort_cols: Sequence[str] = (),
-) -> None:
+) -> str:
     """Bucketed managed table: pre-shuffles once at write time so future
     joins/aggregations on bucket_cols are exchange-free (the scale answer
     to the reference's hash-partitioned in-memory store,
-    mapreduce.c:145-153)."""
+    mapreduce.c:145-153).
+
+    Returns the ACTUAL table name, which is table_name suffixed with this
+    process's pid. Two processes sharing a warehouse dir (bench +
+    verify_local from the same cwd — the repo's documented concurrent-run
+    posture, ADVICE r07) therefore never touch each other's tables: the
+    stale-location rmtree below only ever deletes a dir this same pid
+    wrote, and the dir is reclaimed at interpreter exit."""
+    import atexit
     import os
     import shutil
 
     spark = df.sparkSession
+    actual = f"{table_name}_p{os.getpid()}"
     # Stale-location guard: with the in-memory catalog, a managed table's
-    # warehouse directory can survive a previous PROCESS whose catalog
-    # entry died with it — saveAsTable then fails LOCATION_ALREADY_EXISTS
-    # because overwrite mode only drops tables the CURRENT catalog knows.
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # warehouse directory can survive a previous SESSION of this process
+    # whose catalog entry died with it — saveAsTable then fails
+    # LOCATION_ALREADY_EXISTS because overwrite mode only drops tables the
+    # CURRENT catalog knows. The pid suffix scopes this to our own dirs.
+    spark.sql(f"DROP TABLE IF EXISTS {actual}")
     wh = spark.conf.get("spark.sql.warehouse.dir", "")
     if wh.startswith("file:"):
         wh = wh[len("file:"):]
     if wh:
-        shutil.rmtree(
-            os.path.join(wh, table_name.lower()), ignore_errors=True
-        )
+        loc = os.path.join(wh, actual.lower())
+        shutil.rmtree(loc, ignore_errors=True)
+        atexit.register(shutil.rmtree, loc, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
-    writer.saveAsTable(table_name)
+    writer.saveAsTable(actual)
+    return actual
 
 
 def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> None:

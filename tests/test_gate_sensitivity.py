@@ -49,3 +49,19 @@ def test_hash_distinguishes_null_zero_empty():
     h_empty = value_hash(cols, [("",)])
     h_nan = value_hash(cols, [(float("nan"),)])
     assert len({h_null, h_zero, h_empty, h_nan}) == 4
+
+
+def test_midnight_timestamp_collapses_only_for_declared_date_cols():
+    """ADVICE r07: a DATE column's midnight-datetime64 pandas artifact
+    hashes equal to the date, but an UNDECLARED midnight timestamp (a
+    date_trunc type drift) must NOT — the collapse follows the emitting
+    engine's declared type, not the value's clock reading."""
+    from datetime import date, datetime
+
+    cols = ["d"]
+    as_date = value_hash(cols, [(date(2024, 3, 1),)])
+    midnight = [(datetime(2024, 3, 1, 0, 0, 0),)]
+    # declared DATE: pandas artifact collapses -> equal
+    assert value_hash(cols, midnight, frozenset({"d"})) == as_date
+    # NOT declared: a midnight TIMESTAMP is a different value -> unequal
+    assert value_hash(cols, midnight) != as_date

@@ -39,14 +39,24 @@ def test_query_matches_oracle(spark, duck, name, q):
     if q.oracle is None:
         assert len(srows) >= 0
         return
+    from pyspark.sql.types import DateType
+
+    s_dates = frozenset(
+        f.name for f in sdf.schema.fields if isinstance(f.dataType, DateType)
+    )
     odf = duck.execute(q.oracle).df()
     ocols = list(odf.columns)
     orows = _pd_rows(odf)
+    o_dates = frozenset(
+        col for col, typ, *_ in
+        duck.execute(f"DESCRIBE ({q.oracle})").fetchall()
+        if typ.upper() == "DATE"
+    )
     assert len(srows) == len(orows), f"{name}: rowcount mismatch"
     assert sorted(sdf.columns) == sorted(ocols), f"{name}: column mismatch"
-    assert value_hash(sdf.columns, srows) == value_hash(ocols, orows), (
-        f"{name}: value-hash mismatch"
-    )
+    assert value_hash(sdf.columns, srows, s_dates) == value_hash(
+        ocols, orows, o_dates
+    ), f"{name}: value-hash mismatch"
 
 
 # Gate-visible oracle outputs are restricted to the types a pandas fetch

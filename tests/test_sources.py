@@ -77,15 +77,15 @@ def test_bucketed_table_join_avoids_exchange(spark, tmp_path):
     from mapreduce_sm_spark.session import table
 
     orders = table(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice")
-    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
-    write_bucketed_table(orders, "orders_bucketed", ["o_custkey"], 8)
+    name = write_bucketed_table(orders, "orders_bucketed", ["o_custkey"], 8)
+    assert name.startswith("orders_bucketed_p")  # pid-scoped (ADVICE r07)
 
-    t = spark.table("orders_bucketed")
+    t = spark.table(name)
     agg = t.groupBy("o_custkey").count()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     # aggregation on the bucket key needs no shuffle
     assert "Exchange hashpartitioning(o_custkey" not in plan
-    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
 def test_orc_roundtrip(spark, tmp_path):
@@ -108,16 +108,14 @@ def test_two_bucketed_tables_join_shuffle_free(spark, tmp_path):
 
     orders = table(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice")
     cust = table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
-    spark.sql("DROP TABLE IF EXISTS t_ord_b")
-    spark.sql("DROP TABLE IF EXISTS t_cust_b")
-    write_bucketed_table(orders, "t_ord_b", ["o_custkey"], 8, ["o_custkey"])
-    write_bucketed_table(cust, "t_cust_b", ["c_custkey"], 8, ["c_custkey"])
+    t_ord = write_bucketed_table(orders, "t_ord_b", ["o_custkey"], 8, ["o_custkey"])
+    t_cust = write_bucketed_table(cust, "t_cust_b", ["c_custkey"], 8, ["c_custkey"])
     # disable broadcast so the join strategy is the bucket-aware SMJ
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        j = spark.table("t_ord_b").join(
-            spark.table("t_cust_b"),
+        j = spark.table(t_ord).join(
+            spark.table(t_cust),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         plan = j._jdf.queryExecution().executedPlan().toString()
@@ -126,8 +124,8 @@ def test_two_bucketed_tables_join_shuffle_free(spark, tmp_path):
         assert j.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.sql("DROP TABLE IF EXISTS t_ord_b")
-        spark.sql("DROP TABLE IF EXISTS t_cust_b")
+        spark.sql(f"DROP TABLE IF EXISTS {t_ord}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
 
 
 def test_orc_roundtrip_with_pushdown(spark, tmp_path):

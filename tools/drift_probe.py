@@ -459,8 +459,19 @@ def main() -> int:
 
             sdf = q.fn(spark, FIXDIR)
             scols, srows = sdf.columns, _pd_rows(sdf.toPandas())
+            from pyspark.sql.types import DateType
+
+            s_dates = frozenset(
+                f.name for f in sdf.schema.fields
+                if isinstance(f.dataType, DateType)
+            )
             odf = con.execute(q.oracle).df()
             ocols, orows = list(odf.columns), _pd_rows(odf)
+            o_dates = frozenset(
+                col for col, typ, *_ in
+                con.execute(f"DESCRIBE ({q.oracle})").fetchall()
+                if typ.upper() == "DATE"
+            )
         except Exception as e:  # engine error IS a divergence signal here
             print(f"FAIL {name}: {str(e)[:200]}")
             n_fail += 1
@@ -468,7 +479,8 @@ def main() -> int:
         ok = (
             len(srows) == len(orows)
             and sorted(scols) == sorted(ocols)
-            and value_hash(scols, srows) == value_hash(ocols, orows)
+            and value_hash(scols, srows, s_dates)
+            == value_hash(ocols, orows, o_dates)
         )
         if ok:
             print(f"PASS {name} ({len(srows)} rows) — drift-immune")

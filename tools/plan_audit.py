@@ -42,9 +42,24 @@ def _preserved_narrative() -> list[str]:
     if marker not in text:
         return []
     head = text.split(marker)[0].splitlines()
-    # drop the generated 4-line header; it is re-emitted below
-    while head and not head[0].startswith("## "):
+    # Drop ONLY the generated header (re-emitted below): the '# PLANS'
+    # title, its two description lines and surrounding blanks. Anything
+    # else before the first '## ' — a hand-written preamble — is
+    # narrative and must survive regeneration (ADVICE r07: the old
+    # pop-until-'## ' silently ate such preambles).
+    if head and head[0].startswith("# PLANS"):
         head.pop(0)
+        while head and (
+            not head[0].strip()
+            or head[0].startswith("Post-AQE physical plans at ")
+            or head[0].startswith("`python tools/plan_audit.py`")
+        ):
+            head.pop(0)
+    # trailing blanks collapse; the generator re-adds spacing
+    while head and not head[-1].strip():
+        head.pop()
+    if head:
+        head.append("")
     return head
 
 

@@ -47,7 +47,7 @@ def _pd_rows(df) -> list[tuple]:
     ]
 
 
-def _canon(v):
+def _canon(v, date_col=False):
     import numpy as np
 
     if v is None:
@@ -59,7 +59,7 @@ def _canon(v):
     if isinstance(v, np.floating):
         v = float(v)
     if isinstance(v, np.ndarray):
-        return "[" + ",".join(_canon(x) for x in v.tolist()) + "]"
+        return "[" + ",".join(_canon(x, date_col) for x in v.tolist()) + "]"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -87,10 +87,14 @@ def _canon(v):
         # midnight datetime64 while Spark's toPandas keeps datetime.date;
         # the driver hashes these equal (recursive_month_spine was
         # driver-green in r04), so canonicalize naive midnight datetimes
-        # to their date form. Symmetric: both engines' true-timestamp
-        # columns at exact midnight collapse the same way.
+        # to their date form — but ONLY for columns the emitting engine
+        # DECLARES as DATE (ADVICE r07): collapsing every midnight
+        # timestamp would also hash a genuine DATE-vs-midnight-TIMESTAMP
+        # divergence (a date_trunc type drift) equal. Callers pass the
+        # declared DATE columns per side (DuckDB DESCRIBE / Spark schema).
         if (
-            v.tzinfo is None
+            date_col
+            and v.tzinfo is None
             and v.hour == v.minute == v.second == v.microsecond == 0
         ):
             return v.date().isoformat()
@@ -98,15 +102,23 @@ def _canon(v):
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
+        return "[" + ",".join(_canon(x, date_col) for x in v) + "]"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
 
 
-def value_hash(cols: list[str], rows: list[tuple]) -> str:
+def value_hash(
+    cols: list[str], rows: list[tuple], date_cols: frozenset[str] = frozenset()
+) -> str:
+    """Order-insensitive value hash. date_cols: the column names the
+    EMITTING engine declares as DATE — only there does the midnight
+    datetime64 pandas artifact collapse to its date form (ADVICE r07)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x1f".join(_canon(r[i]) for i in order) for r in rows)
+    lines = sorted(
+        "\x1f".join(_canon(r[i], cols[i] in date_cols) for i in order)
+        for r in rows
+    )
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
@@ -155,6 +167,14 @@ def main() -> int:
         try:
             sdf = q.fn(spark, sf_dir)
             scols = sdf.columns
+            # per-side declared DATE columns (ADVICE r07): only there may
+            # a midnight datetime64 collapse to its date form
+            from pyspark.sql.types import DateType
+
+            s_dates = frozenset(
+                f.name for f in sdf.schema.fields
+                if isinstance(f.dataType, DateType)
+            )
             # toPandas, NOT collect(): the driver fetches the Spark side
             # through pandas (Arrow), so nullable-int columns surface as
             # float64 etc. — the local gate must see the same dtypes the
@@ -185,6 +205,11 @@ def main() -> int:
             odf = con.execute(q.oracle).df()
             ocols = list(odf.columns)
             orows = _pd_rows(odf)
+            o_dates = frozenset(
+                col for col, typ, *_ in
+                con.execute(f"DESCRIBE ({q.oracle})").fetchall()
+                if typ.upper() == "DATE"
+            )
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
             n_fail += 1
@@ -196,13 +221,24 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
         if not problems:
-            sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
+            sh = value_hash(scols, srows, s_dates)
+            oh = value_hash(ocols, orows, o_dates)
             if sh != oh:
                 problems.append("value-hash mismatch")
                 order_s = sorted(range(len(scols)), key=lambda i: scols[i])
                 order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                srt = sorted("\x1f".join(_canon(r[i]) for i in order_s) for r in srows)
-                ort = sorted("\x1f".join(_canon(r[i]) for i in order_o) for r in orows)
+                srt = sorted(
+                    "\x1f".join(
+                        _canon(r[i], scols[i] in s_dates) for i in order_s
+                    )
+                    for r in srows
+                )
+                ort = sorted(
+                    "\x1f".join(
+                        _canon(r[i], ocols[i] in o_dates) for i in order_o
+                    )
+                    for r in orows
+                )
                 for i, (a, b) in enumerate(zip(srt, ort)):
                     if a != b:
                         problems.append(f"first diff row {i}:\n  S: {a[:220]}\n  O: {b[:220]}")
