@@ -68,7 +68,10 @@ def main() -> None:
     jvm_gc = spark._jvm.System.gc  # type: ignore[attr-defined]
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
+    raw_trials: dict[str, list[float]] = {}
+    per_query_load1: dict[str, float | None] = {}
     for q in registry.headline():
+        per_query_load1[q.name] = _load1()
         trials: list[float] = []
         for trial in range(3):
             t0 = time.time()
@@ -87,6 +90,7 @@ def main() -> None:
             jvm_gc()
         cold[q.name] = trials[0]
         times[q.name] = min(trials[1:])
+        raw_trials[q.name] = trials
 
     total = round(sum(times.values()), 3)
     print(
@@ -97,6 +101,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "cold_first_run": cold,
+                # VERDICT r07 item 4: per-trial raw arrays + the load1
+                # reading taken immediately before each query, so the
+                # next judge can separate machine noise (uniform shift,
+                # high load1, wide trial spread) from a plan regression
+                # (stable trials, low load1, one query moved) without a
+                # re-run. trials[0] is the cold run; the headline value
+                # stays best-of-trials-2..3.
+                "trials": raw_trials,
+                "load1_before_query": per_query_load1,
                 "protocol": "warm: best of runs 2-3 of 3/query, data uncached, "
                 + "inter-trial GC, "
                 + ("load-settled start" if settled else "UNSETTLED start (load high after 150s wait)"),
