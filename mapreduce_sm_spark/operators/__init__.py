@@ -49,93 +49,85 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
 
 from mapreduce_sm_spark.registry import REGISTRY
 
-# Round-7 driver window: the external correctness gate verifies the first 50
-# entries of queries(). Priority order (weakest evidence first):
-# (1) the 8 r6 hash-reds + the r6 ERR — every one root-caused to a DuckDB
-#     HUGEINT output column that a pandas fetch renders as float64
-#     (VERDICT r6) and fixed this round with oracle-side
-#     CAST(... AS BIGINT) (plus the filterPushdown conf pinned inside the
-#     refmr read path for the ERR). Their driver rows are the round's
-#     primary deliverable.
-# (2) the 2 queries whose EMISSIONS changed this round (decimal(18,2)
-#     drift channel -> integer cents): stream_static_enrich (green r6 but
-#     under the old output shape), stream_dedup_events.
-# (3) the 17 r05 additions that have NEVER had a driver row, including
-#     the two latent-HUGEINT oracles fixed this round
-#     (try_arithmetic_surface, udtf_dynamic_kv).
-# (4) the stalest remaining driver evidence: all 9 last-seen-r01 rows and
-#     13 of the 16 last-seen-r02 rows (the full TPC-H residue +
-#     session_window_events + window_time_range_frame).
-# Dropped to make room: everything green in r06 under its CURRENT output
-# shape (fresh evidence), the r03/r04 greens, and three r02 rows whose
-# shapes are represented in-window (tumbling/sliding_window_events twin
-# session_window_events; json_extract_events twins variant_props_stats).
-# All out-of-window rows remain covered by tests/test_oracle_parity.py
-# (sf0.001, pandas fetch path) and VERIFY_LOCAL_r07_pandas.txt (sf0.01,
-# exact hash, full registry, driver-faithful pandas fetch).
+# Round-8 driver window: the external correctness gate verifies the first 50
+# entries of queries(). r07 went 49/50 green with every registered query
+# driver-seen at least once, so this round is pure EVIDENCE ROTATION
+# (VERDICT r07 items 2 and 7) plus the two rows whose emissions changed:
+# (1) hll_user_reach — converted this round from rows-only to the
+#     oracle-checkable contract form (exact distinct + engine-asserted
+#     in-bound boolean); its first full rows+schema+hash driver row is
+#     the round's primary deliverable (VERDICT item 1).
+# (2) tf_cosine_pairs_prefix — NEW this round (VERDICT item 6): the
+#     lossless L2AP prefix rung, hash-identical to tf_cosine_pairs.
+# (3) all 7 rows last driver-seen in r02 (q6/q7/q13/q16 yielded their
+#     slots in r07 and return as promised, plus the tumbling/sliding/
+#     json_extract trio).
+# (4) all 33 rows last driver-seen in r03 (ann_ivf_topk was deregistered
+#     in r06 for the stronger ann_ivf_recall_check contract).
+# (5) 8 of the 36 rows last driver-seen in r04, led by
+#     stream_stateful_user_totals (the RocksDB transformWithState path —
+#     never in a driver window, VERDICT item 7), then the most intricate
+#     oracles (streaming joins, CDC, sessionization, cogrouped as-of).
+# Dropped to make room: everything green in r06/r07 under its current
+# output shape. Still out after this round: the 28 remaining r04 rows —
+# they rotate in r09 and stay covered by tests/test_oracle_parity.py
+# (sf0.001) and the sf0.01 pandas-path local gate meanwhile.
 REGISTRY.set_front(
     (
-        # --- (1) r6 hash-reds, HUGEINT oracle outputs cast this round ---
-        "dedup_events_time_window",
-        "quality_prune_per_source",
-        "winsorized_price_stats",
-        "variant_props_stats",
-        "doc_repetition_stats",
-        "corpus_curation_report",
-        "window_moving_avg",
-        "pagerank_supply_graph",
-        # --- (1) r6 ERR: conf now pinned at the refmr read site ---
-        "custom_source_roundtrip",
-        # --- (2) emissions changed this round (integer cents) ---
-        "stream_static_enrich",
-        "stream_dedup_events",
-        # --- (3) never driver-seen r05 additions ---
-        "try_arithmetic_surface",
-        "udtf_dynamic_kv",
-        "udtf_table_arg_reduce",
-        "filter_clause_group_by_all",
-        "listagg_order_statuses",
-        "mask_pii_shapes",
-        "xml_roundtrip_stats",
-        "stream_sink_roundtrip",
-        "scd2_point_in_time_join",
-        "parameterized_sql_revenue",
-        "pandas_api_rollup",
-        "sql_scripting_rollup",
-        "incremental_agg_maintenance",
-        "schema_evolution_stats",
-        "number_format_roundtrip",
+        # --- (1) emission changed: rows-only -> oracled contract ---
         "hll_user_reach",
-        "bitmap_distinct_users",
-        # --- (4) stalest driver evidence: all of r01 ---
-        "calendar_spine_orders",
-        "sample_documents_hashmod",
-        "setops_multiset",
-        "setops_nations",
-        "string_functions_extended",
-        "topk_orders",
-        "train_val_test_split",
-        "union_by_name_contacts",
-        "unpivot_lineitem_measures",
-        # --- (4) NEW this round (never driver-seen): storage-layout round
-        # trips, sparse cosine, edit-distance dedup — all with exact
-        # integer emissions and pandas-path local-gate green ---
-        "partition_pruned_event_stats",
-        "bucketed_join_sales_by_segment",
-        "tf_cosine_pairs",
-        "dedup_edit_distance",
-        # --- (5) stalest driver evidence: r02 TPC-H + window shapes
-        # (q6/q7/q13/q16 yield their slots to the four new-capability
-        # rows; all four remain covered by tests/test_oracle_parity.py and
-        # the sf0.01 local gate, and rotate in next round) ---
-        "q4_order_priority",
-        "q8_market_share",
-        "q9_product_profit",
-        "q12_late_shipment_priority",
-        "q20_volume_suppliers",
-        "q21_waiting_suppliers",
-        "q22_dormant_customers",
-        "session_window_events",
-        "window_time_range_frame",
+        # --- (2) new this round ---
+        "tf_cosine_pairs_prefix",
+        # --- (3) last driver-seen r02 ---
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q13_customer_distribution",
+        "q16_part_supplier_variety",
+        "tumbling_window_events",
+        "sliding_window_events",
+        "json_extract_events",
+        # --- (4) last driver-seen r03 ---
+        "wordcount",
+        "string_match",
+        "approx_distinct_users",
+        "approx_percentiles_lineitem",
+        "benchmark_contamination",
+        "bigram_lm_counts",
+        "case_bucket_orders",
+        "corpus_clean_pipeline",
+        "corpus_source_rollup",
+        "dedup_connected_components",
+        "dedup_exact",
+        "dedup_exact_normalized",
+        "dedup_exact_substring",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+        "denylist_scrub_stats",
+        "doc_fingerprint",
+        "grouped_map_top2_docs",
+        "join_asof_events_orders",
+        "join_range_value_bands",
+        "lang_id_heuristic",
+        "map_functions_surface",
+        "merge_upsert_orders",
+        "multimodal_audio_meta",
+        "multimodal_frame_sample",
+        "multimodal_image_meta",
+        "posexplode_first_tokens",
+        "retention_cohorts_weekly",
+        "sequence_packing_plan",
+        "sql_interface_udf",
+        "token_count",
+        "udtf_sentence_split",
+        "zipf_token_stats",
+        # --- (5) last driver-seen r04: RocksDB stateful first ---
+        "stream_stateful_user_totals",
+        "stream_interval_join",
+        "cdc_merge_audit",
+        "sessionize_events",
+        "cogrouped_asof_gap",
+        "funnel_view_click_purchase",
+        "json_schema_parse_events",
+        "q1_pricing_summary",
     )
 )
