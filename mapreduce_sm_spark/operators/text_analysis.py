@@ -1057,9 +1057,17 @@ def tf_cosine_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    % (CAST(n2a AS DECIMAL(38,0)) * n2b))"
         " / (CAST(n2a AS DECIMAL(38,0)) * n2b)) AS BIGINT)"
     )
+    # The term-map joins are PINNED to sort-merge; everything else stays
+    # adaptive. Reason for the targeted pin: a map<term,count> frame is
+    # COMPACT in shuffle-byte estimates but expands ~10x as JVM objects,
+    # so AQE's size-based broadcast decision undercounts it — measured at
+    # 10x docs (tools/scale_proof.py) the auto-broadcast of `vecs` ran
+    # the 8 GB local heap out of memory, while pinned SMJ completes. The
+    # narrow joins (norms, index) AQE sizes correctly and switches off
+    # broadcast by itself as the corpus grows.
     return (
-        cand.join(va, "doc_a")
-        .join(vb, "doc_b")
+        cand.join(va.hint("merge"), "doc_a")
+        .join(vb.hint("merge"), "doc_b")
         .withColumn("dot", dot)
         .join(na, "doc_a")
         .join(nb, "doc_b")

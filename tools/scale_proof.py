@@ -16,11 +16,12 @@ Replication semantics (why a naive 10x copy would LIE for text ops):
   exactly 10x in input without creating cross-replica matches;
 - dimension tables (region, nation) are NOT replicated (true dimensions:
   nationkey references stay valid);
-- `documents.text` is SALTED per replica (>= ~25% new md5-derived tokens
-  appended, deterministic in (doc_id, replica)) so near-dup miners see
-  10x corpora, NOT 45 artificial cross-replica duplicate pairs per doc —
-  an output-size explosion that would measure result materialization,
-  not engine scaling. n_chars is recomputed over the salted text;
+- `documents.text` is SALTED per replica (~50% new md5-derived token
+  mass PREPENDED, deterministic in (doc_id, replica)) so near-dup miners
+  see 10x corpora, NOT 45 artificial cross-replica duplicate pairs per
+  doc — an output-size explosion that would measure result
+  materialization, not engine scaling. n_chars is recomputed over the
+  salted text;
 - `events` user/event ids are strided (10x users, 10x density on the
   same time range — the realistic way an event stream grows);
 - `embeddings` vec_ids are strided with vectors unchanged (ANN queries
@@ -68,10 +69,11 @@ DEFAULT_QUERIES = (
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "tf_cosine_pairs_prefix",
-    "dedup_edit_distance",
     # graph kernels
     "graph_triangle_count",
     "pagerank_supply_graph",
+    # last: quadratic-within-band candidates — the known riskiest grower
+    "dedup_edit_distance",
 )
 
 # key columns per table -> the table whose stride they follow
@@ -108,13 +110,20 @@ def _stride(spark, key_table: str) -> int:
 
 
 def _salt_text(df: DataFrame, i: int) -> DataFrame:
-    """Append ~1 md5-derived 8-char token per 3 original words,
-    deterministic in (doc_id, replica): >= ~25% of the salted doc's
-    distinct shingles/terms are replica-unique, pushing cross-replica
-    Jaccard below 0.72 and TF-cosine^2 below 0.81 so the miners see a
-    bigger corpus, not an artificial duplicate explosion."""
+    """PREPEND one md5-derived 8-char token per original word,
+    deterministic in (doc_id, replica): ~half the salted doc's term mass
+    and distinct shingles are replica-unique, pushing cross-replica
+    Jaccard well below 0.72, TF-cosine^2 below the 0.81 gate AND below
+    the prefix rung's positional-filter boundary (salt mass ratio must
+    exceed ~0.11 or replica pairs survive to the verify step — measured:
+    a 1-per-3-words APPENDED salt sat exactly on that boundary and blew
+    the candidate set up 45 pairs/doc-group), flipping enough SimHash
+    bits to clear its Hamming bands, and breaking the edit-distance
+    miner's 80-char prefix (an appended salt leaves replica prefixes
+    IDENTICAL and manufactures lev=0 pairs). The miners then see a 10x
+    corpus, not an artificial duplicate explosion."""
     n_salt = F.greatest(
-        F.lit(4), (F.size(F.split(F.col("text"), " ")) / 3).cast("int")
+        F.lit(8), F.size(F.split(F.col("text"), " ")).cast("int")
     )
     salt = F.concat_ws(
         " ",
@@ -134,7 +143,7 @@ def _salt_text(df: DataFrame, i: int) -> DataFrame:
             ),
         ),
     )
-    return df.withColumn("text", F.concat(F.col("text"), F.lit(" "), salt))
+    return df.withColumn("text", F.concat(salt, F.lit(" "), F.col("text")))
 
 
 def build(spark, repl: int, out_dir: str) -> None:
