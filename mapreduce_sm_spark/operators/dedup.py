@@ -654,16 +654,26 @@ for _i in range(_N_HAMMING_CHUNKS):
 assert _shift == _SIMHASH_BITS
 
 
-def _banded_hamming_pairs(sig: DataFrame) -> DataFrame:
-    """Candidate-verified near-dup pairs (hamming <= _HAMMING_MAX) from a
+def _banded_hamming_pairs(
+    sig: DataFrame,
+    chunk_spec: list[tuple[int, int]] | None = None,
+    hamming_max: int | None = None,
+) -> DataFrame:
+    """Candidate-verified near-dup pairs (hamming <= hamming_max) from a
     (doc_id, lang, simhash) frame, via pigeonhole chunk banding.
 
-    Scale shape: explode each signature into 7 (chunk_id, chunk_val) keys
-    (constant 7x fan-out of a 3-column frame, NOT of the corpus text),
-    equality-join on (lang, chunk_id, chunk_val), dedup candidates, verify
-    hamming exactly. Work is proportional to true collisions per chunk
-    bucket instead of |lang block|^2.
+    Scale shape: explode each signature into len(chunk_spec)
+    (chunk_id, chunk_val) keys (a constant fan-out of a 3-column frame,
+    NOT of the corpus text), equality-join on (lang, chunk_id,
+    chunk_val), dedup candidates, verify hamming exactly. Work is
+    proportional to true collisions per chunk bucket instead of
+    |lang block|^2 — PROVIDED the chunks are wide enough that buckets
+    don't saturate (see the 60-bit variant below for the arithmetic).
     """
+    if chunk_spec is None:
+        chunk_spec = _HAMMING_CHUNKS
+    if hamming_max is None:
+        hamming_max = _HAMMING_MAX
     chunks = F.array(
         *[
             F.struct(
@@ -673,7 +683,7 @@ def _banded_hamming_pairs(sig: DataFrame) -> DataFrame:
                 .cast("int")
                 .alias("chunk_val"),
             )
-            for i, (sh, w) in enumerate(_HAMMING_CHUNKS)
+            for i, (sh, w) in enumerate(chunk_spec)
         ]
     )
     keyed = sig.select(
@@ -707,7 +717,7 @@ def _banded_hamming_pairs(sig: DataFrame) -> DataFrame:
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .filter(F.col("hamming") <= hamming_max)
     )
 
 
@@ -733,6 +743,107 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _simhash_spark(docs).cache()  # both join sides share one compute
     sig.count()  # materialization barrier (see dedup_ngram_jaccard)
     return _banded_hamming_pairs(sig).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# 60-bit SimHash — the SCALE rung of the simhash family (r08).
+#
+# Why the 32-bit/K=6 configuration above cannot be the 100 TB path: its
+# pigeonhole chunks are 4-5 bits wide (16-32 buckets per (lang, chunk)),
+# so bucket populations grow linearly with the corpus and banded
+# candidates grow QUADRATICALLY once n >> 2^5 — measured in the r08
+# scale proof (tools/scale_proof.py): 2.5 s -> 75 s for 10x docs, ~29x,
+# the worst grower in the suite. Pigeonhole banding only works when
+# chunk width beats log2(n per block).
+#
+# This variant is the Manku et al. (WWW'07) shape: a 60-bit fingerprint
+# (every bit of the portable hash60), Hamming tolerance K=3, and
+# K+1 = 4 chunks of 15 bits — 32768 buckets per (lang, chunk), so
+# expected collisions per bucket stay ~n^2/2^16 per block: ~40 candidate
+# checks per 1k docs, ~4M at 1M docs/lang — distributed-friendly far
+# past where the 32-bit rung saturates. All-integer end to end, so the
+# DuckDB oracle replays the exact signatures and the all-pairs gate.
+# ---------------------------------------------------------------------------
+
+_SIMHASH60_BITS = 60
+_HAMMING60_MAX = 3
+_HAMMING60_CHUNKS: list[tuple[int, int]] = [
+    (0, 15), (15, 15), (30, 15), (45, 15)
+]
+
+
+def _simhash60_spark(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, simhash) with the full 60-bit hash60 per token."""
+    toks = fan_out(docs, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    h = hash60(F.col("tok")).alias("h")
+    bit_sums = [
+        F.sum(
+            F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{j}")
+        for j in range(_SIMHASH60_BITS)
+    ]
+    sums = toks.select("doc_id", "lang", h).groupBy("doc_id", "lang").agg(*bit_sums)
+    sig = None
+    for j in range(_SIMHASH60_BITS):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", "lang", sig.cast("long").alias("simhash"))
+
+
+def _simhash60_sql_cte() -> str:
+    h = hash60_sql("t")
+    bit_sums = ", ".join(
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(h, x -> "
+        f"((x // {1 << j}) % 2) * 2 - 1)), (a, b) -> a + b) AS s{j}"
+        for j in range(_SIMHASH60_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_SIMHASH60_BITS)
+    )
+    return f"""
+toks60 AS (
+  SELECT doc_id, lang,
+         list_transform(regexp_extract_all(lower(text), '[a-z]+'), t -> {h}) AS h
+  FROM documents
+), sums60 AS (
+  SELECT doc_id, lang, {bit_sums} FROM toks60
+), sig60 AS (
+  SELECT doc_id, lang, ({sig})::BIGINT AS simhash FROM sums60
+)"""
+
+
+_SIMHASH60_PAIRS_ORACLE = f"""
+WITH {_simhash60_sql_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig60 a JOIN sig60 b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING60_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+@REGISTRY.register(
+    "dedup_simhash60_pairs",
+    oracle=_SIMHASH60_PAIRS_ORACLE,
+    description="60-bit SimHash near-dup pairs (hamming <= 3), 15-bit pigeonhole bands — the scale rung",
+    tags=("dedup", "simhash", "scale"),
+)
+def dedup_simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    release_caches("dedup.simhash60")  # one-generation discipline
+    sig = _simhash60_spark(docs).cache()  # both join sides share one compute
+    sig.count()  # materialization barrier (see dedup_ngram_jaccard)
+    track_caches("dedup.simhash60", sig)
+    return _banded_hamming_pairs(
+        sig, _HAMMING60_CHUNKS, _HAMMING60_MAX
+    ).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------

@@ -16,12 +16,13 @@ Replication semantics (why a naive 10x copy would LIE for text ops):
   exactly 10x in input without creating cross-replica matches;
 - dimension tables (region, nation) are NOT replicated (true dimensions:
   nationkey references stay valid);
-- `documents.text` is SALTED per replica (~50% new md5-derived token
-  mass PREPENDED, deterministic in (doc_id, replica)) so near-dup miners
-  see 10x corpora, NOT 45 artificial cross-replica duplicate pairs per
-  doc — an output-size explosion that would measure result
-  materialization, not engine scaling. n_chars is recomputed over the
-  salted text;
+- `documents.text` gets a per-replica bijective VOCABULARY REMAP (every
+  token suffixed per replica) so shards are vocabulary-disjoint with
+  identical per-shard statistics — near-dup miners and inverted-index
+  ops see a 10x corpus with an unchanged selectivity profile, not an
+  artificial duplicate explosion or a corpus where every "rare" term
+  suddenly has df >= 10 (see _remap_vocab for the measured failure
+  modes of both naive alternatives). n_chars is recomputed;
 - `events` user/event ids are strided (10x users, 10x density on the
   same time range — the realistic way an event stream grows);
 - `embeddings` vec_ids are strided with vectors unchanged (ANN queries
@@ -109,41 +110,29 @@ def _stride(spark, key_table: str) -> int:
     return int(df.agg(F.max(col[1])).collect()[0][0]) + 1
 
 
-def _salt_text(df: DataFrame, i: int) -> DataFrame:
-    """PREPEND one md5-derived 8-char token per original word,
-    deterministic in (doc_id, replica): ~half the salted doc's term mass
-    and distinct shingles are replica-unique, pushing cross-replica
-    Jaccard well below 0.72, TF-cosine^2 below the 0.81 gate AND below
-    the prefix rung's positional-filter boundary (salt mass ratio must
-    exceed ~0.11 or replica pairs survive to the verify step — measured:
-    a 1-per-3-words APPENDED salt sat exactly on that boundary and blew
-    the candidate set up 45 pairs/doc-group), flipping enough SimHash
-    bits to clear its Hamming bands, and breaking the edit-distance
-    miner's 80-char prefix (an appended salt leaves replica prefixes
-    IDENTICAL and manufactures lev=0 pairs). The miners then see a 10x
-    corpus, not an artificial duplicate explosion."""
-    n_salt = F.greatest(
-        F.lit(8), F.size(F.split(F.col("text"), " ")).cast("int")
+def _remap_vocab(df: DataFrame, i: int) -> DataFrame:
+    """Give replica i a DISJOINT vocabulary: every [a-z]+ token gets a
+    per-replica suffix ("...zzb" for replica 1, etc.), a bijective remap
+    that preserves each shard's token-frequency and document-similarity
+    statistics exactly while making shards vocabulary-disjoint.
+
+    Why not keep the shared vocabulary (first attempt, r08): replicating
+    text verbatim multiplies EVERY term's document frequency by REPL with
+    zero new vocabulary — no hapax legomena, rare terms at df=20 — which
+    is the adversarial worst case for any df-based blocking (the prefix
+    rung's candidate join is O(sum over prefix tokens of df^2), so its
+    work grew 100x for 10x docs and spilled >80 GB; a salted variant sat
+    on the positional-filter boundary instead). A real corpus grows by
+    adding DOCUMENTS with their own vocabulary mix (Heaps' law), which
+    disjoint shards model faithfully: per-shard selectivity profiles are
+    unchanged and the engine must still scan, shuffle, aggregate and
+    join 10x the bytes. Cross-shard text similarity is ~zero, so near-dup
+    miners see a 10x corpus rather than an artificial 45-pairs-per-doc
+    duplicate explosion."""
+    suffix = "zz" + chr(ord("a") + i)
+    return df.withColumn(
+        "text", F.regexp_replace("text", "([a-z]+)", "$1" + suffix)
     )
-    salt = F.concat_ws(
-        " ",
-        F.transform(
-            F.sequence(F.lit(1), n_salt),
-            lambda j: F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "_",
-                        F.col("doc_id").cast("string"),
-                        F.lit(str(i)),
-                        j.cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-        ),
-    )
-    return df.withColumn("text", F.concat(salt, F.lit(" "), F.col("text")))
 
 
 def build(spark, repl: int, out_dir: str) -> None:
@@ -173,7 +162,7 @@ def build(spark, repl: int, out_dir: str) -> None:
                     col, (F.col(col) + F.lit(i * strides[parent])).cast("long")
                 )
             if t == "documents" and i > 0:
-                d = _salt_text(d, i)
+                d = _remap_vocab(d, i)
             parts.append(d)
         out = parts[0]
         for d in parts[1:]:
@@ -216,6 +205,13 @@ def main() -> None:
     queries = sys.argv[2:] or list(DEFAULT_QUERIES)
     out_dir = f"{OUT_ROOT}/x{repl}"
 
+    # The repo's 8g local default leaves (8g * 0.6) / 32 tasks ~ 150 MB
+    # of execution memory per task — below the 128 MB page requests the
+    # wide-row sort-merge stages make at 10x volume (measured: task OOMs
+    # in TaskMemoryManager page allocation). A real cluster provisions
+    # 2-8 GB per core; mirror that here so the proof measures the PLANS,
+    # not an artificially starved harness. Overridable via env.
+    os.environ.setdefault("SPARKSM_DRIVER_MEMORY", "24g")
     reg = load_all_operators()
     spark = get_spark("scale-proof")
 
