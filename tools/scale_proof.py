@@ -69,6 +69,7 @@ DEFAULT_QUERIES = (
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
+    "dedup_simhash60_pairs",
     "tf_cosine_pairs_prefix",
     # graph kernels
     "graph_triangle_count",
@@ -111,10 +112,12 @@ def _stride(spark, key_table: str) -> int:
 
 
 def _remap_vocab(df: DataFrame, i: int) -> DataFrame:
-    """Give replica i a DISJOINT vocabulary: every [a-z]+ token gets a
-    per-replica suffix ("...zzb" for replica 1, etc.), a bijective remap
-    that preserves each shard's token-frequency and document-similarity
-    statistics exactly while making shards vocabulary-disjoint.
+    """Give replica i a DISJOINT vocabulary: Caesar-rotate the alphabet by
+    i positions (a->b, b->c, ... for replica 1; identity for replica 0), a
+    bijective, length-preserving remap that preserves each shard's
+    token-frequency, document-length, and document-similarity statistics
+    exactly while making shards disjoint at BOTH the word-token and the
+    character-shingle level.
 
     Why not keep the shared vocabulary (first attempt, r08): replicating
     text verbatim multiplies EVERY term's document frequency by REPL with
@@ -122,16 +125,32 @@ def _remap_vocab(df: DataFrame, i: int) -> DataFrame:
     is the adversarial worst case for any df-based blocking (the prefix
     rung's candidate join is O(sum over prefix tokens of df^2), so its
     work grew 100x for 10x docs and spilled >80 GB; a salted variant sat
-    on the positional-filter boundary instead). A real corpus grows by
-    adding DOCUMENTS with their own vocabulary mix (Heaps' law), which
-    disjoint shards model faithfully: per-shard selectivity profiles are
-    unchanged and the engine must still scan, shuffle, aggregate and
-    join 10x the bytes. Cross-shard text similarity is ~zero, so near-dup
-    miners see a 10x corpus rather than an artificial 45-pairs-per-doc
-    duplicate explosion."""
-    suffix = "zz" + chr(ord("a") + i)
+    on the positional-filter boundary instead).
+
+    Why not a per-token suffix (second attempt, r08): suffixing every
+    [a-z]+ token ("...zza"/"...zzb") makes replicas disjoint at the WORD
+    level but leaves almost every interior character 5-gram shared, so
+    each document gains REPL-1 cross-replica copies at char-shingle
+    Jaccard ~0.8 — an artificial 45-pairs-per-doc near-dup explosion that
+    sent dedup_minhash to 229x and dedup_ngram_jaccard to 29x growth for
+    10x data (measured 2026-08-14; the word-token simhash ops were
+    unaffected, which is what isolated the cause to char shingles).
+
+    A real corpus grows by adding DOCUMENTS with their own vocabulary mix
+    (Heaps' law), which rotation-disjoint shards model faithfully:
+    per-shard selectivity profiles are unchanged (rotation is an
+    isomorphism on strings) and the engine must still scan, shuffle,
+    aggregate and join 10x the bytes. Cross-shard 5-gram collisions
+    require the base corpus to contain both a shingle and its exact
+    rotation — rare, and one shared shingle is noise, not a near-dup."""
+    k = i % 26
+    if k == 0:
+        return df
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    rot = lower[k:] + lower[:k]
     return df.withColumn(
-        "text", F.regexp_replace("text", "([a-z]+)", "$1" + suffix)
+        "text", F.translate("text", lower + upper, rot + rot.upper())
     )
 
 
