@@ -57,8 +57,13 @@ from mapreduce_sm_spark.registry import REGISTRY
 #     oracle-checkable contract form (exact distinct + engine-asserted
 #     in-bound boolean); its first full rows+schema+hash driver row is
 #     the round's primary deliverable (VERDICT item 1).
-# (2) tf_cosine_pairs_prefix — NEW this round (VERDICT item 6): the
-#     lossless L2AP prefix rung, hash-identical to tf_cosine_pairs.
+# (2) the queries NEW this round, none of which has ever had a driver
+#     row: tf_cosine_pairs_prefix (VERDICT item 6 — the lossless L2AP
+#     prefix rung, hash-identical to tf_cosine_pairs),
+#     dedup_simhash60_pairs (the 60-bit SimHash scale rung; 1.7x wall
+#     growth for 10x data vs the 32-bit rung's 12.9x, SCALING.md), and
+#     mg_heavy_hitters (Misra-Gries frequency-sketch contract — the
+#     fourth member of the sketch family).
 # (3) all 7 rows last driver-seen in r02 (q6/q7/q13/q16 yielded their
 #     slots in r07 and return as promised, plus the tumbling/sliding/
 #     json_extract trio).
@@ -69,15 +74,20 @@ from mapreduce_sm_spark.registry import REGISTRY
 #     never in a driver window, VERDICT item 7), then the most intricate
 #     oracles (streaming joins, CDC, sessionization, cogrouped as-of).
 # Dropped to make room: everything green in r06/r07 under its current
-# output shape. Still out after this round: the 28 remaining r04 rows —
-# they rotate in r09 and stay covered by tests/test_oracle_parity.py
-# (sf0.001) and the sf0.01 pandas-path local gate meanwhile.
+# output shape. Still out after this round: the 30 remaining r04 rows
+# (q1_pricing_summary and json_schema_parse_events yielded their slots
+# to the two late-round new queries — a never-driver-seen row outranks
+# a stale-but-green one) — they rotate in r09 and stay covered by
+# tests/test_oracle_parity.py (sf0.001) and the sf0.01 pandas-path
+# local gate meanwhile.
 REGISTRY.set_front(
     (
         # --- (1) emission changed: rows-only -> oracled contract ---
         "hll_user_reach",
         # --- (2) new this round ---
         "tf_cosine_pairs_prefix",
+        "dedup_simhash60_pairs",
+        "mg_heavy_hitters",
         # --- (3) last driver-seen r02 ---
         "q6_forecast_revenue",
         "q7_volume_shipping",
@@ -127,7 +137,5 @@ REGISTRY.set_front(
         "sessionize_events",
         "cogrouped_asof_gap",
         "funnel_view_click_purchase",
-        "json_schema_parse_events",
-        "q1_pricing_summary",
     )
 )

@@ -195,3 +195,142 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("event_type"), "exact_users")
     )
     return per_type.unionAll(merged).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the FREQUENCY member of the sketch family
+# (HLL = cardinality, bitmap = exact cardinality, approx_percentile =
+# quantiles; this adds frequent items). Public literature: Misra & Gries
+# 1982 ("Finding repeated elements"); the mergeability argument is
+# Agarwal, Cormode, Huang, Phillips, Wei, Yi, "Mergeable Summaries"
+# (PODS 2012). The reference engine has no sketches at all — this is a
+# §2.C scale extension.
+#
+# Shape: per-partition bounded-state partials (a dict of at most K
+# counters, maintained with the batched MG decrement: fold a batch's
+# value_counts into the carry, then subtract the (K+1)-th largest
+# counter from every entry and drop the non-positive ones), merged by a
+# tiny groupBy-sum over <= K * num_partitions rows. This is the one
+# operator lane the rest of the repo doesn't exercise: carry-state
+# mapInPandas, where Python holds per-PARTITION state across Arrow
+# batches but never more than K counters of it.
+#
+# Guarantee (what the contract boolean asserts): each per-partition
+# truncation that subtracts t removes >= (K+1)*t total counter mass, so
+# a partition that processed n_p tokens subtracts at most n_p/(K+1)
+# from any single token's counter; summing the per-partition lower
+# bounds, the merged candidate weight of token x is
+# >= c(x) - N/(K+1). Hence every token with c(x) > N/(K+1) ("heavy")
+# MUST appear among the merged candidates — no false negatives, under
+# ANY partitioning and ANY batch boundaries. The candidate set beyond
+# the heavy tokens IS partitioning-dependent, so the query emits only
+# deterministic columns: the exact count, the oracle-recomputable
+# heavy flag, and the theorem-backed implication boolean.
+#
+# Fixture honesty: the documents vocabulary is 31 near-uniform tokens,
+# so K=64 never truncates locally (the implication binds: ~30 of 31
+# tokens are heavy) while K=16 truncates on every partition (the
+# decrement path runs) but leaves no token heavy (the implication is
+# vacuously true). Registering BOTH k-rungs keeps the decrement
+# machinery driver-executed AND the guarantee driver-checked;
+# tests/test_sketches.py additionally asserts the bounded-state
+# invariant (<= K counters per partial) and the superset property.
+# ---------------------------------------------------------------------------
+
+_MG_K_SMALL = 16
+_MG_K_LARGE = 64
+
+
+def _mg_partials(toks: DataFrame, k: int) -> DataFrame:
+    """(token, chat) bounded-state Misra-Gries partials, <= k rows per
+    partition; chat is the partition-local lower-bound counter."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        carry: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["token"].value_counts().items():
+                carry[t] = carry.get(t, 0) + int(c)
+            if len(carry) > k:
+                thr = sorted(carry.values(), reverse=True)[k]
+                carry = {t: c - thr for t, c in carry.items() if c > thr}
+        if carry:
+            yield pd.DataFrame(
+                {"token": list(carry.keys()), "chat": list(carry.values())}
+            )
+
+    return toks.mapInPandas(kernel, "token string, chat long")
+
+
+_MG_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(upper(text), '[A-Z][A-Z'']*')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, count(*) AS exact_count FROM toks GROUP BY token
+), n AS (
+  SELECT CAST(sum(exact_count) AS BIGINT) AS n FROM cnt
+)
+SELECT token, exact_count,
+       exact_count * {_MG_K_LARGE + 1} > n.n AS heavy_k{_MG_K_LARGE},
+       true AS mg{_MG_K_SMALL}_ok, true AS mg{_MG_K_LARGE}_ok
+FROM cnt, n
+ORDER BY token
+"""
+
+
+@REGISTRY.register(
+    "mg_heavy_hitters",
+    oracle=_MG_ORACLE,
+    description="Misra-Gries frequent-token sketch vs exact counts contract",
+    tags=("sketch", "approximate", "scale", "contract"),
+)
+def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token (exact_count, heavy_k64, mg16_ok, mg64_ok).
+
+    heavy_kK is a hash-checked VALUE (the oracle recomputes
+    exact_count * (K+1) > N itself); mgK_ok asserts the MG no-false-
+    negative theorem — heavy implies present among the merged
+    candidates — which the oracle states as a literal TRUE (module
+    comment has the bound). Tokenizer is the wordcount grammar
+    (functions/text.py), so the oracle tokenizes identically.
+    """
+    from mapreduce_sm_spark.functions.text import tokenize_words
+    from mapreduce_sm_spark.session import fan_out
+
+    docs = table(spark, sf_dir, "documents").select("text")
+    toks = fan_out(docs).select(F.explode(tokenize_words("text")).alias("token"))
+    # three consumers (exact counts + two k-rung partial passes):
+    # materialize the exploded frame once per the repo's discipline.
+    release_caches("sketches.mg")  # one-generation discipline
+    toks = toks.persist()
+    toks.count()
+    track_caches("sketches.mg", toks)
+
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    # N via a 1-row broadcast of the exact-count sum (no token rescan)
+    n_total = F.broadcast(exact.agg(F.sum("exact_count").alias("n")))
+
+    out = exact.crossJoin(n_total)
+    for k in (_MG_K_SMALL, _MG_K_LARGE):
+        cand = (
+            _mg_partials(toks, k)
+            .groupBy("token")
+            .agg(F.sum("chat").alias(f"chat{k}"))
+            .filter(F.col(f"chat{k}") > 0)
+        )
+        heavy = F.col("exact_count") * (k + 1) > F.col("n")
+        found = F.col(f"chat{k}").isNotNull()
+        out = out.join(cand, "token", "left").withColumn(
+            f"mg{k}_ok", ~heavy | found
+        )
+    return out.select(
+        "token",
+        "exact_count",
+        (F.col("exact_count") * (_MG_K_LARGE + 1) > F.col("n")).alias(
+            f"heavy_k{_MG_K_LARGE}"
+        ),
+        f"mg{_MG_K_SMALL}_ok",
+        f"mg{_MG_K_LARGE}_ok",
+    ).orderBy("token")

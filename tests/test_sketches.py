@@ -52,3 +52,74 @@ def test_hll_reach_contract_schema_and_determinism(spark):
     # sketches are deterministic for a fixed input and lgK: two runs agree
     b = [tuple(r) for r in hll_user_reach(spark, SF_DIR).collect()]
     assert a == b
+
+
+def test_mg_partials_bounded_state_and_superset(spark):
+    """The MG invariants the contract booleans summarize: every partial
+    holds <= k counters, and the merged candidate set contains every
+    token with exact count > N/(k+1) — for the SMALL k, where the
+    truncation path actually runs on the 31-token fixture vocabulary."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.functions.text import tokenize_words
+    from mapreduce_sm_spark.operators.sketches import _MG_K_SMALL, _mg_partials
+    from mapreduce_sm_spark.session import table
+
+    toks = (
+        table(spark, SF_DIR, "documents")
+        .select("text")
+        .repartition(8)
+        .select(F.explode(tokenize_words("text")).alias("token"))
+    )
+    part = _mg_partials(toks, _MG_K_SMALL)
+    # bounded state: no partition emits more than k counters
+    sizes = (
+        part.groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert sizes is not None and sizes <= _MG_K_SMALL
+    # truncation RAN: vocabulary (31) exceeds k (16), so some partition
+    # must have dropped tokens (emitted fewer than the vocab it saw)
+    merged = {r["token"] for r in part.groupBy("token").agg(F.sum("chat")).collect()}
+    exact = {
+        r["token"]: r["c"]
+        for r in toks.groupBy("token").agg(F.count("*").alias("c")).collect()
+    }
+    n = sum(exact.values())
+    heavy = {t for t, c in exact.items() if c * (_MG_K_SMALL + 1) > n}
+    assert heavy <= merged, f"MG lost heavy tokens: {heavy - merged}"
+
+
+def test_mg_heavy_hitters_contract(spark, duck):
+    from mapreduce_sm_spark.operators.sketches import (
+        _MG_K_LARGE,
+        mg_heavy_hitters,
+    )
+
+    df = mg_heavy_hitters(spark, SF_DIR)
+    assert df.columns == [
+        "token", "exact_count", f"heavy_k{_MG_K_LARGE}", "mg16_ok", "mg64_ok",
+    ]
+    rows = df.collect()
+    # all contract booleans must hold
+    assert all(r["mg16_ok"] and r["mg64_ok"] for r in rows)
+    # exact side and heavy flags agree with an independent oracle count
+    exact = dict(
+        duck.execute(
+            "WITH toks AS (SELECT unnest(regexp_extract_all(upper(text),"
+            " '[A-Z][A-Z'']*')) AS t FROM documents)"
+            " SELECT t, count(*) FROM toks GROUP BY t"
+        ).df().itertuples(index=False, name=None)
+    )
+    n = sum(exact.values())
+    assert {r["token"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["exact_count"] == exact[r["token"]]
+        assert r[f"heavy_k{_MG_K_LARGE}"] == (
+            exact[r["token"]] * (_MG_K_LARGE + 1) > n
+        )
+    # the fixture vocabulary makes the k=64 implication BINDING for most
+    # tokens: assert the heavy set is non-trivial, not vacuous
+    assert sum(1 for r in rows if r[f"heavy_k{_MG_K_LARGE}"]) >= 5
