@@ -63,7 +63,9 @@ from mapreduce_sm_spark.registry import REGISTRY
 #     dedup_simhash60_pairs (the 60-bit SimHash scale rung; 1.7x wall
 #     growth for 10x data vs the 32-bit rung's 12.9x, SCALING.md), and
 #     mg_heavy_hitters (Misra-Gries frequency-sketch contract — the
-#     fourth member of the sketch family).
+#     fourth member of the sketch family), and dedup_minhash_incremental
+#     (new-batch band-index probe — the production incremental-dedup
+#     shape; oracle = the full pair query filtered to doc_b >= T).
 # (3) all 7 rows last driver-seen in r02 (q6/q7/q13/q16 yielded their
 #     slots in r07 and return as promised, plus the tumbling/sliding/
 #     json_extract trio).
@@ -74,10 +76,11 @@ from mapreduce_sm_spark.registry import REGISTRY
 #     never in a driver window, VERDICT item 7), then the most intricate
 #     oracles (streaming joins, CDC, sessionization, cogrouped as-of).
 # Dropped to make room: everything green in r06/r07 under its current
-# output shape. Still out after this round: the 30 remaining r04 rows
-# (q1_pricing_summary and json_schema_parse_events yielded their slots
-# to the two late-round new queries — a never-driver-seen row outranks
-# a stale-but-green one) — they rotate in r09 and stay covered by
+# output shape. Still out after this round: the 31 remaining r04 rows
+# (q1_pricing_summary, json_schema_parse_events and
+# funnel_view_click_purchase yielded their slots to the three
+# late-round new queries — a never-driver-seen row outranks a
+# stale-but-green one) — they rotate in r09 and stay covered by
 # tests/test_oracle_parity.py (sf0.001) and the sf0.01 pandas-path
 # local gate meanwhile.
 REGISTRY.set_front(
@@ -88,6 +91,7 @@ REGISTRY.set_front(
         "tf_cosine_pairs_prefix",
         "dedup_simhash60_pairs",
         "mg_heavy_hitters",
+        "dedup_minhash_incremental",
         # --- (3) last driver-seen r02 ---
         "q6_forecast_revenue",
         "q7_volume_shipping",
@@ -136,6 +140,5 @@ REGISTRY.set_front(
         "cdc_merge_audit",
         "sessionize_events",
         "cogrouped_asof_gap",
-        "funnel_view_click_purchase",
     )
 )

@@ -460,10 +460,24 @@ ORDER BY doc_a, doc_b
 """
 
 
-def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_verified_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str = "dedup.minhash_docs",
+    new_min: DataFrame | None = None,
+) -> DataFrame:
     """(doc_a, doc_b, jaccard_pm4) — banded MinHash candidates verified
-    with exact integer-pm4 Jaccard; the shared core of dedup_minhash and
-    the end-to-end corpus_near_dedup pipeline."""
+    with exact integer-pm4 Jaccard; the shared core of dedup_minhash,
+    the end-to-end corpus_near_dedup pipeline, and (with `new_min`) the
+    incremental dedup_minhash_incremental variant.
+
+    `new_min`: a 1-row (new_min BIGINT) frame, broadcast-joined (never
+    collected) so the PROBE side of the band join is restricted to
+    doc_id >= new_min. Only pairs whose LARGER id is NEW are generated —
+    OLD-OLD pairs are never formed. Because ids are assigned
+    monotonically, the larger id of any OLD/NEW or NEW/NEW pair is
+    always the NEW one, so this is exactly "pairs touching the new
+    batch", while the build side stays the full band index."""
     # hash shingles to 60-bit longs HERE, before the cache: md5 runs once
     # per shingle total; signatures and both verification join-backs all
     # work on the cached long array. Jaccard over 60-bit hashes equals
@@ -487,9 +501,9 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (No count() barrier here, unlike dedup_ngram_jaccard: this plan's
     # broadcast builds are cheap and overlap productively — adding the
     # barrier measured ~2x slower by serializing them.)
-    release_caches("dedup.minhash_docs")  # one-generation discipline
+    release_caches(tag)  # one-generation discipline
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    track_caches("dedup.minhash_docs", docs)
+    track_caches(tag, docs)
     sig = _minhash_sigs(docs)
     banded = sig.select("doc_id", *_band_cols_spark())
     band_structs = F.array(
@@ -501,7 +515,16 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = banded.select("doc_id", F.explode(band_structs).alias("e")).select(
         "doc_id", "e.band_idx", "e.bh"
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    probe = bands
+    if new_min is not None:
+        # incremental: probe side = NEW docs only (1-row broadcast
+        # threshold, no collect); build side = the full band index
+        probe = (
+            bands.crossJoin(F.broadcast(new_min))
+            .filter(F.col("doc_id") >= F.col("new_min"))
+            .drop("new_min")
+        )
+    a, b = bands.alias("a"), probe.alias("b")
     cand = (
         a.join(
             b,
@@ -553,6 +576,51 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_verified_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dedup — the shape corpus growth actually takes in
+# production: a NEW batch (a day of crawl) arrives and must be checked
+# against the EXISTING corpus and against itself, but the existing
+# corpus must never be re-paired with itself (its internal dups were
+# handled when it was the new batch). Splitting "new" as the top fifth
+# of the id space (ids are assigned monotonically, so the newest docs
+# are the highest ids; the threshold is a 1-row broadcast aggregate,
+# never collected) makes the contract purely relational:
+# pairs(J >= 0.8) whose LARGER id is NEW — exactly dedup_minhash's
+# result minus the OLD-OLD pairs, which the oracle states as the same
+# pair query with `doc_b >= T`.
+#
+# 100 TB posture: the band join becomes an asymmetric index probe —
+# build side is the full band index (in production, a stored table
+# maintained across batches; recomputed here only because fixtures are
+# stateless), probe side is the NEW batch's bands. Per-increment work
+# is |new| x bucket-collision rate, NOT |corpus|^2, and is the reason
+# incremental dedup stays runnable daily at corpus scale.
+# ---------------------------------------------------------------------------
+
+_MINHASH_INCR_ORACLE = f"""
+WITH {_MINHASH_CTES}
+{_MINHASH_PAIRS_SELECT}
+  AND doc_b >= (SELECT 4 * max(doc_id) // 5 FROM documents)
+ORDER BY doc_a, doc_b
+"""
+
+
+@REGISTRY.register(
+    "dedup_minhash_incremental",
+    oracle=_MINHASH_INCR_ORACLE,
+    description="incremental MinHash near-dedup: new batch probed against the full band index",
+    tags=("dedup", "lsh", "incremental", "scale"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    new_min = docs.agg(
+        F.expr("4 * max(doc_id) div 5").cast("long").alias("new_min")
+    )
+    return _minhash_verified_pairs(
+        spark, sf_dir, tag="dedup.minhash_incr", new_min=new_min
+    ).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
