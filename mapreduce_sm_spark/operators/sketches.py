@@ -240,6 +240,15 @@ def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MG_K_SMALL = 16
 _MG_K_LARGE = 64
 
+# Count-Min geometry (shared by the sketch builder, the estimator, and the
+# tests): d independent hash rows, two width rungs. The width is part of
+# the hash input so the rungs use independent bucketings (w=16 divides
+# w=1024, so mod-only bucketing would make the small sketch a fold of the
+# large one).
+_CM_D = 4
+_CM_W_SMALL = 16
+_CM_W_LARGE = 1024
+
 
 def _mg_partials(toks: DataFrame, k: int) -> DataFrame:
     """(token, chat) bounded-state Misra-Gries partials, <= k rows per
@@ -334,3 +343,159 @@ def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"mg{_MG_K_SMALL}_ok",
         f"mg{_MG_K_LARGE}_ok",
     ).orderBy("token")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min — the POINT-FREQUENCY member of the sketch family (HLL =
+# cardinality estimate, bitmap = exact cardinality, Misra-Gries = heavy
+# hitters, approx_percentile = quantiles; this adds "how often did x
+# occur" in fixed space). Public literature: Cormode & Muthukrishnan,
+# "An improved data stream summary: the count-min sketch and its
+# applications" (J. Algorithms 55, 2005); mergeability per Agarwal et al.
+# "Mergeable Summaries" (PODS 2012) — CM sketches merge by cell-wise
+# addition, which is exactly what the partial-aggregable groupBy below
+# computes.
+#
+# Shape: the sketch IS a groupBy over the fixed d x w cell space —
+# bucket(j, token) = pmod(xxhash64(token, w, j), w) — so map-side combine
+# collapses every partition to <= d*w rows before the shuffle. Shuffle
+# bytes are bounded by partitions * d * w * ~24 B REGARDLESS of corpus
+# size or token skew: the hot-key problem other frequency pipelines have
+# cannot occur because the key space is the d*w cells, not the tokens.
+# The point estimate reads back min_j cell(j, h_j(x)) through a broadcast
+# of the <= d*w-row sketch — no second shuffle of the token stream.
+#
+# Guarantees (what the contract booleans assert):
+#   cm{w}_ge_exact — est(x) >= c(x) ALWAYS (every occurrence of x lands
+#     in x's own cell in every row; collisions only add). A theorem, true
+#     under any data, partitioning, or hash.
+#   cm{w}_within_bound — est(x) <= c(x) + 2N/w. Per row the expected
+#     collision mass in x's cell is (N - c(x))/w, so Markov gives
+#     P(row overshoot > 2N/w) < 1/2 and the min over d=4 independent
+#     rows exceeds the bound with probability < 2^-4 per token; for
+#     FIXED data and the fixed xxhash64 seeds the estimate is a pure
+#     function of the fixtures, so the boolean is deterministic (same
+#     argument as the HLL 5% bound above). Fixture honesty: the 31-token
+#     near-uniform vocabulary means w=16 forces real collisions (the
+#     overshoot path is exercised and stays within 2N/16) while w=1024
+#     makes all-4-row collisions vanishingly rare (est == exact, bound
+#     trivially met) — registering both rungs keeps the collision
+#     machinery driver-executed AND the clean-sketch readout checked.
+# ---------------------------------------------------------------------------
+
+
+def _cm_cells(frame: DataFrame, w: int) -> DataFrame:
+    """Attach (j, b) cell coordinates for every row's token, one row per
+    hash row j — the shared fan-out for both build and readout."""
+    j = F.explode(F.array(*[F.lit(i) for i in range(_CM_D)])).alias("j")
+    out = frame.select("*", j)
+    return out.withColumn(
+        "b", F.pmod(F.xxhash64("token", F.lit(w), F.col("j")), F.lit(w))
+    )
+
+
+def _cm_sketch(toks: DataFrame, w: int) -> DataFrame:
+    """(j, b, cnt) Count-Min cell counts: d*w rows max, built in ONE
+    partial-aggregable groupBy (map-side combine bounds shuffle bytes by
+    partitions * d * w regardless of data volume)."""
+    return _cm_cells(toks, w).groupBy("j", "b").agg(F.count("*").alias("cnt"))
+
+
+def _cm_point_estimates(tokens: DataFrame, sketch: DataFrame, w: int, out: str) -> DataFrame:
+    """min_j cell(j, h_j(token)) per distinct token via a broadcast join
+    against the <= d*w-row sketch."""
+    cells = _cm_cells(tokens, w)
+    return (
+        cells.join(F.broadcast(sketch), ["j", "b"], "left")
+        .groupBy("token")
+        .agg(F.min("cnt").alias(out))
+    )
+
+
+_CM_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(upper(text), '[A-Z][A-Z'']*')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, count(*) AS exact_count FROM toks GROUP BY token
+)
+SELECT token, exact_count,
+       true AS cm{_CM_W_SMALL}_ge_exact, true AS cm{_CM_W_SMALL}_within_bound,
+       true AS cm{_CM_W_LARGE}_ge_exact, true AS cm{_CM_W_LARGE}_within_bound
+FROM cnt
+ORDER BY token
+"""
+
+
+@REGISTRY.register(
+    "countmin_token_freq",
+    oracle=_CM_ORACLE,
+    description="Count-Min point-frequency sketch vs exact counts contract (two width rungs)",
+    tags=("sketch", "approximate", "scale", "contract"),
+)
+def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token (exact_count, cm{16,1024}_ge_exact, cm{16,1024}_within_bound).
+
+    exact_count is the hash-checked value (oracle recomputes it with the
+    wordcount token grammar); the four booleans assert the CM one-sided
+    error theorem and the 2N/w Markov bound per width rung, stated by the
+    oracle as literal TRUE (deterministic for fixed data + fixed seeds —
+    module comment has the argument).
+    """
+    from mapreduce_sm_spark.functions.text import tokenize_words
+    from mapreduce_sm_spark.session import fan_out
+
+    docs = table(spark, sf_dir, "documents").select("text")
+    toks = fan_out(docs).select(F.explode(tokenize_words("text")).alias("token"))
+    # three consumers (exact counts + two sketch builds): materialize the
+    # exploded frame once per the repo's cache discipline.
+    release_caches("sketches.cm")  # one-generation discipline
+    toks = toks.persist()
+    toks.count()
+    track_caches("sketches.cm", toks)
+
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    # N for the bound: 1-row broadcast of the exact-count sum (no rescan)
+    n_total = F.broadcast(exact.agg(F.sum("exact_count").alias("n")))
+    out = exact.crossJoin(n_total)
+
+    for w in (_CM_W_SMALL, _CM_W_LARGE):
+        est = _cm_point_estimates(exact.select("token"), _cm_sketch(toks, w), w, f"est{w}")
+        out = (
+            out.join(est, "token")
+            .withColumn(f"cm{w}_ge_exact", F.col(f"est{w}") >= F.col("exact_count"))
+            .withColumn(
+                f"cm{w}_within_bound",
+                # integer-exact: est*w <= exact*w + 2N  <=>  est <= exact + 2N/w
+                F.col(f"est{w}") * w <= F.col("exact_count") * w + 2 * F.col("n"),
+            )
+        )
+    return out.select(
+        "token",
+        "exact_count",
+        f"cm{_CM_W_SMALL}_ge_exact",
+        f"cm{_CM_W_SMALL}_within_bound",
+        f"cm{_CM_W_LARGE}_ge_exact",
+        f"cm{_CM_W_LARGE}_within_bound",
+    ).orderBy("token")
+
+
+def cm_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw readout (token, exact_count, est16, est1024) — library/pytest
+    surface, NOT registered (the raw estimates depend on xxhash64, which
+    no oracle reproduces). tests/test_sketches.py bounds them."""
+    from mapreduce_sm_spark.functions.text import tokenize_words
+    from mapreduce_sm_spark.session import fan_out
+
+    docs = table(spark, sf_dir, "documents").select("text")
+    toks = fan_out(docs).select(F.explode(tokenize_words("text")).alias("token"))
+    release_caches("sketches.cm")  # one-generation discipline
+    toks = toks.persist()
+    toks.count()
+    track_caches("sketches.cm", toks)
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    out = exact
+    for w in (_CM_W_SMALL, _CM_W_LARGE):
+        est = _cm_point_estimates(exact.select("token"), _cm_sketch(toks, w), w, f"est{w}")
+        out = out.join(est, "token")
+    return out.orderBy("token")

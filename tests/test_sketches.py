@@ -123,3 +123,64 @@ def test_mg_heavy_hitters_contract(spark, duck):
     # the fixture vocabulary makes the k=64 implication BINDING for most
     # tokens: assert the heavy set is non-trivial, not vacuous
     assert sum(1 for r in rows if r[f"heavy_k{_MG_K_LARGE}"]) >= 5
+
+def test_cm_sketch_bounded_cells_and_one_sided_error(spark):
+    """The sketch never exceeds d*w cells, every estimate >= exact, and the
+    w=16 rung actually collides on the fixture vocabulary (the overshoot
+    path is exercised, not vacuous)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.functions.text import tokenize_words
+    from mapreduce_sm_spark.operators.sketches import (
+        _CM_D,
+        _CM_W_LARGE,
+        _CM_W_SMALL,
+        _cm_sketch,
+        cm_estimates,
+    )
+    from mapreduce_sm_spark.session import table
+
+    docs = table(spark, SF_DIR, "documents").select("text")
+    toks = docs.select(F.explode(tokenize_words("text")).alias("token"))
+    for w in (_CM_W_SMALL, _CM_W_LARGE):
+        cells = _cm_sketch(toks, w).collect()
+        assert len(cells) <= _CM_D * w
+        assert all(0 <= r["b"] < w and 0 <= r["j"] < _CM_D for r in cells)
+        # cell-wise totals conserve mass: every row sums to N
+        n = toks.count()
+        by_row = {}
+        for r in cells:
+            by_row[r["j"]] = by_row.get(r["j"], 0) + r["cnt"]
+        assert all(v == n for v in by_row.values())
+
+    est = cm_estimates(spark, SF_DIR).collect()
+    assert all(r["est16"] >= r["exact_count"] for r in est)
+    assert all(r["est1024"] >= r["exact_count"] for r in est)
+    # 31 tokens into 16 buckets MUST collide somewhere
+    assert any(r["est16"] > r["exact_count"] for r in est)
+
+
+def test_cm_contract_booleans_and_exact_side(spark, duck):
+    from mapreduce_sm_spark.operators.sketches import countmin_token_freq
+
+    df = countmin_token_freq(spark, SF_DIR)
+    assert df.columns == [
+        "token", "exact_count",
+        "cm16_ge_exact", "cm16_within_bound",
+        "cm1024_ge_exact", "cm1024_within_bound",
+    ]
+    rows = df.collect()
+    assert all(
+        r["cm16_ge_exact"] and r["cm16_within_bound"]
+        and r["cm1024_ge_exact"] and r["cm1024_within_bound"]
+        for r in rows
+    )
+    exact = dict(
+        duck.execute(
+            "WITH toks AS (SELECT unnest(regexp_extract_all(upper(text),"
+            " '[A-Z][A-Z'']*')) AS t FROM documents)"
+            " SELECT t, count(*) FROM toks GROUP BY t"
+        ).df().itertuples(index=False, name=None)
+    )
+    assert {r["token"] for r in rows} == set(exact)
+    assert all(r["exact_count"] == exact[r["token"]] for r in rows)
