@@ -499,3 +499,104 @@ def cm_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         est = _cm_point_estimates(exact.select("token"), _cm_sketch(toks, w), w, f"est{w}")
         out = out.join(est, "token")
     return out.orderBy("token")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join prune — the MEMBERSHIP member of the sketch
+# family, registered as the ingest-scrub contract it exists for. Catalyst
+# already injects its own runtime bloom filter inside eligible shuffle
+# joins (plan-asserted in tests/test_runtime_filter.py); what that cannot
+# do is persist the filter ACROSS jobs. This operator builds the explicit
+# filter (functions/bloom.py: one groupBy over <= m/64 words), broadcasts
+# it as one map row, and prunes the fact side with a per-row expression —
+# the shape a 100 TB pipeline uses to scrub today's corpus against
+# yesterday's 10^10 ingested keys without joining them.
+#
+# Contract (ann_ivf_recall_check pattern): per order-status the EXACT
+# semi-join count and integer-cents total (oracle recomputes both via
+# IN-subquery), plus two engine-asserted booleans the oracle states as
+# literals: bloom_no_false_negatives (a theorem — every built-in key
+# probes true, under any data) and bloom_fp_under_1pct (geometry math:
+# at the largest fixture SF the load gives ~2.9e-4 per-probe FP, 34x
+# under the bound; deterministic for fixed data + fixed xxhash64 seeds,
+# same argument as the HLL/CM bounds above).
+# ---------------------------------------------------------------------------
+
+_BLOOM_SEGMENT = "BUILDING"
+
+_BLOOM_ORACLE = f"""
+WITH probe AS (
+  SELECT o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_custkey IN (SELECT c_custkey FROM customer
+                       WHERE c_mktsegment = '{_BLOOM_SEGMENT}') AS m
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN m THEN cents ELSE 0 END) AS BIGINT) AS member_cents,
+       true AS bloom_no_false_negatives,
+       true AS bloom_fp_under_1pct
+FROM probe
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@REGISTRY.register(
+    "bloom_semi_prune_orders",
+    oracle=_BLOOM_ORACLE,
+    description="explicit reusable Bloom filter prunes orders to a customer segment; exact-vs-filter contract",
+    tags=("sketch", "bloom", "join", "scale", "contract"),
+)
+def bloom_semi_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status (n_members, member_cents, bloom_no_false_negatives,
+    bloom_fp_under_1pct).
+
+    The exact flag comes from a broadcast join against the dim keys (the
+    re-check every Bloom candidate set feeds anyway); the filter flag
+    from the broadcast map probe. The fact table is never shuffled on the
+    join key — the only exchange is the final tiny status rollup.
+    """
+    from mapreduce_sm_spark.functions.bloom import bloom_build, bloom_might_contain
+
+    dim = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _BLOOM_SEGMENT)
+        .select("c_custkey")
+    )
+    bloom = bloom_build(dim, "c_custkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey", "o_totalprice"
+    )
+    probed = (
+        orders.crossJoin(F.broadcast(bloom))
+        .join(
+            F.broadcast(dim.withColumn("_m", F.lit(True))),
+            orders.o_custkey == dim.c_custkey,
+            "left",
+        )
+        .select(
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+            F.coalesce(F.col("_m"), F.lit(False)).alias("m"),
+            bloom_might_contain(F.col("o_custkey"), F.col("bloom")).alias("hit"),
+        )
+    )
+    return (
+        probed.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(F.col("m"), 1).otherwise(0)).alias("n_members"),
+            F.sum(F.when(F.col("m"), F.col("cents")).otherwise(0)).alias(
+                "member_cents"
+            ),
+            (F.sum(F.when(F.col("m") & ~F.col("hit"), 1).otherwise(0)) == 0).alias(
+                "bloom_no_false_negatives"
+            ),
+            (
+                F.sum(F.when(~F.col("m") & F.col("hit"), 1).otherwise(0)) * 100
+                <= F.sum(F.when(~F.col("m"), 1).otherwise(0))
+            ).alias("bloom_fp_under_1pct"),
+        )
+        .orderBy("o_orderstatus")
+    )
