@@ -144,3 +144,64 @@ def number_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC round trip (§2.B connector surface): the second first-class columnar
+# format next to parquet. The query writes a projected lineitem slice to
+# ORC (zlib, the Spark default), reads it back through the vectorized ORC
+# reader with a predicate that must reach the scan as a PushedFilter
+# (tests/test_sources.py asserts it plan-level), and aggregates with the
+# repo's integer-cents discipline. A writer that lost precision on
+# DECIMAL-as-double columns, dropped rows at stripe boundaries, or a
+# reader that mis-applied the pushed predicate fails the exact hash.
+#
+# 100 TB posture: identical to the parquet path — ORC stripes give the
+# same splittable, column-pruned, predicate-pushed scan; the detour
+# volume here is one projected slice, written once and read once. The
+# oracle never sees ORC: it recomputes from the canonical parquet, which
+# is exactly what makes the round trip a round trip.
+# ---------------------------------------------------------------------------
+
+_ORC_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS gross_cents
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-06-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@REGISTRY.register(
+    "orc_roundtrip_stats",
+    oracle=_ORC_ORACLE,
+    description="lineitem slice written to ORC, read back with pushed predicate, integer-cents rollup",
+    tags=("source", "orc", "roundtrip"),
+)
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from mapreduce_sm_spark.session import session_tmpdir
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    d = os.path.join(session_tmpdir("orc_rt_"), "lineitem_orc")
+    li.write.mode("overwrite").orc(d)
+
+    back = spark.read.orc(d).filter(F.col("l_shipdate") >= F.lit("1995-06-01").cast("date"))
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("total_qty"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("gross_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -154,3 +154,28 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert "o_custkey" not in plan.split("ReadSchema")[1].splitlines()[0]
     expected = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert pruned.count() == expected
+
+
+def test_orc_roundtrip_stats_registered_query(spark, duck):
+    """The registered orc_roundtrip_stats query: predicate reaches the ORC
+    scan as a pushed filter, and the rollup matches the parquet oracle."""
+    from mapreduce_sm_spark.operators.formats import orc_roundtrip_stats
+
+    df = orc_roundtrip_stats(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed), plan[:2000]
+    got = {r["l_returnflag"]: (r["n_items"], r["total_qty"], r["gross_cents"])
+           for r in df.collect()}
+    want = {
+        f: (n, q, c)
+        for f, n, q, c in duck.execute(
+            "SELECT l_returnflag, count(*), CAST(sum(l_quantity) AS BIGINT),"
+            " CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT)"
+            " FROM lineitem WHERE l_shipdate >= DATE '1995-06-01'"
+            " GROUP BY l_returnflag"
+        ).fetchall()
+    }
+    assert got == want
