@@ -18,7 +18,12 @@ positives only (candidates re-checked by the exact path they feed).
 Geometry: m_bits must be a multiple of 64; k seeds index k bit
 positions per key via pmod(xxhash64(key, seed), m). The filter is ONE
 row holding map<long,long> of only the OCCUPIED words (dense filters
-approach m/8 bytes; sparse ones pay only for set words).
+approach m/8 bytes; sparse ones pay only for set words) PLUS its own
+geometry (m_bits, seeds) as columns — a filter that outlives the job
+that built it must carry its geometry, because merging or probing two
+filters built with different m_bits/seeds yields a plausible-looking
+map whose probes can be FALSE NEGATIVE. bloom_merge and the guarded
+probe raise at action time when geometries differ.
 """
 
 from __future__ import annotations
@@ -45,12 +50,14 @@ def bloom_build(
     m_bits: int = BLOOM_M_BITS,
     seeds: tuple[int, ...] = BLOOM_SEEDS,
 ) -> DataFrame:
-    """1-row DataFrame [bloom: map<long,long>] over the key column.
+    """1-row DataFrame [bloom: map<long,long>, m_bits: long,
+    seeds: array<long>] over the key column.
 
     One explode (k rows per key) + one partial-aggregable groupBy over at
     most m_bits/64 words + one collect-free map_from_entries fold: the
     build shuffles <= m_bits/64 rows per partition no matter how many
-    keys go in.
+    keys go in. The geometry rides along as columns so a persisted filter
+    is self-describing (see module docstring).
     """
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
@@ -66,7 +73,14 @@ def bloom_build(
     )
     return words.agg(
         F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bloom")
-    )
+    ).select("bloom", *_geometry_literals(m_bits, seeds))
+
+
+def _geometry_literals(m_bits: int, seeds: tuple[int, ...]) -> list[Column]:
+    return [
+        F.lit(int(m_bits)).cast("long").alias("m_bits"),
+        F.array(*[F.lit(int(s)).cast("long") for s in seeds]).alias("seeds"),
+    ]
 
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -74,11 +88,34 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     is bit-identical to building one filter over the union of their key
     sets (each bit is an OR of per-key contributions, and OR is
     associative-commutative) — the sketch-family merge law that lets
-    per-day / per-shard filters roll up without rescanning keys."""
-    entries = a.unionAll(b).select(F.explode("bloom").alias("word", "mask"))
+    per-day / per-shard filters roll up without rescanning keys.
+
+    Geometry guard: the inputs carry (m_bits, seeds) columns; if they
+    disagree, the merged map would be probed with the wrong bucketing
+    (false negatives possible), so the merge RAISES at action time
+    instead of returning it.
+    """
+    both = a.unionAll(b)
+    geom = both.agg(
+        F.count_distinct(F.struct("m_bits", "seeds")).alias("n_geom"),
+        F.first("m_bits").alias("m_bits"),
+        F.first("seeds").alias("seeds"),
+    )
+    entries = both.select(F.explode("bloom").alias("word", "mask"))
     merged = entries.groupBy("word").agg(F.bit_or("mask").alias("mask"))
-    return merged.agg(
+    folded = merged.agg(
         F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bloom")
+    )
+    return folded.crossJoin(geom).select(
+        "bloom",
+        F.when(F.col("n_geom") == 1, F.col("m_bits"))
+        .otherwise(
+            F.raise_error(
+                F.lit("bloom_merge: filters were built with different geometry (m_bits/seeds)")
+            ).cast("long")
+        )
+        .alias("m_bits"),
+        "seeds",
     )
 
 
@@ -87,12 +124,19 @@ def bloom_might_contain(
     bloom: Column,
     m_bits: int = BLOOM_M_BITS,
     seeds: tuple[int, ...] = BLOOM_SEEDS,
+    stored_geometry: tuple[Column, Column] | None = None,
 ) -> Column:
     """Boolean membership probe — pure codegen'd expressions, no join.
 
     True iff every seed's bit is set. Guarantees: never false on a key
     that was built in (no false negatives); may be true for absent keys
     at the geometry's FP rate.
+
+    stored_geometry: pass the filter frame's (m_bits, seeds) columns to
+    assert at action time that the probe's geometry matches the one the
+    filter was BUILT with — mandatory hygiene when the filter was loaded
+    from storage rather than built in this job (a mismatched probe is
+    silently wrong, with false negatives possible).
     """
     out = F.lit(True)
     for p in _positions(key, m_bits, seeds):
@@ -100,4 +144,13 @@ def bloom_might_contain(
         bit = (p % 64).cast("int")
         mask = F.coalesce(F.element_at(bloom, word), F.lit(0).cast("long"))
         out = out & (F.getbit(mask, bit) == 1)
+    if stored_geometry is not None:
+        m_col, s_col = stored_geometry
+        built_m, built_s = _geometry_literals(m_bits, seeds)
+        ok = (m_col == built_m) & (s_col == built_s)
+        out = F.when(ok, out).otherwise(
+            F.raise_error(
+                F.lit("bloom probe: probe geometry does not match the filter's stored geometry")
+            ).cast("boolean")
+        )
     return out

@@ -681,7 +681,11 @@ toks AS (
          list_transform(regexp_extract_all(lower(text), '[a-z]+'), t -> {h}) AS h
   FROM documents
 ), sums AS (
-  SELECT doc_id, lang, {bit_sums} FROM toks
+  -- len(h) > 0 mirrors the Spark side, where explode() emits no rows for a
+  -- letter-free or NULL text, so the doc never reaches the signature table.
+  -- Without it an empty token list reduces every s_j to 0 and the CASE sets
+  -- all bits, silently pairing any two empty docs in the same lang.
+  SELECT doc_id, lang, {bit_sums} FROM toks WHERE len(h) > 0
 ), sig AS (
   SELECT doc_id, lang, ({sig})::BIGINT AS simhash FROM sums
 )"""
@@ -881,7 +885,9 @@ toks60 AS (
          list_transform(regexp_extract_all(lower(text), '[a-z]+'), t -> {h}) AS h
   FROM documents
 ), sums60 AS (
-  SELECT doc_id, lang, {bit_sums} FROM toks60
+  -- len(h) > 0: see the 32-bit CTE — drops letter-free/NULL-text docs to
+  -- match the Spark side's explode(), which emits no rows for them.
+  SELECT doc_id, lang, {bit_sums} FROM toks60 WHERE len(h) > 0
 ), sig60 AS (
   SELECT doc_id, lang, ({sig})::BIGINT AS simhash FROM sums60
 )"""

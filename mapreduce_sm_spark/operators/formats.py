@@ -185,12 +185,14 @@ ORDER BY l_returnflag
 def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from mapreduce_sm_spark.session import session_tmpdir
+    from mapreduce_sm_spark.session import shared_tmpdir
 
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_shipdate", "l_quantity", "l_extendedprice"
     )
-    d = os.path.join(session_tmpdir("orc_rt_"), "lineitem_orc")
+    # shared (per-process) dir: every write is mode("overwrite"), so bench's
+    # cold+3-trial protocol reuses ONE on-disk copy instead of four (ADVICE r08)
+    d = os.path.join(shared_tmpdir("orc_rt_"), "lineitem_orc")
     li.write.mode("overwrite").orc(d)
 
     back = spark.read.orc(d).filter(F.col("l_shipdate") >= F.lit("1995-06-01").cast("date"))

@@ -369,13 +369,18 @@ def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   cm{w}_ge_exact — est(x) >= c(x) ALWAYS (every occurrence of x lands
 #     in x's own cell in every row; collisions only add). A theorem, true
 #     under any data, partitioning, or hash.
-#   cm{w}_within_bound — est(x) <= c(x) + 2N/w. Per row the expected
+#   cm{w}_within_bound — est(x) <= c(x) + 3N/w. Per row the expected
 #     collision mass in x's cell is (N - c(x))/w, so Markov gives
-#     P(row overshoot > 2N/w) < 1/2 and the min over d=4 independent
-#     rows exceeds the bound with probability < 2^-4 per token; for
-#     FIXED data and the fixed xxhash64 seeds the estimate is a pure
-#     function of the fixtures, so the boolean is deterministic (same
-#     argument as the HLL 5% bound above). Fixture honesty: the 31-token
+#     P(row overshoot > 3N/w) < 1/3 and the min over d=4 independent
+#     rows exceeds the bound with probability < 3^-4 per token. That is
+#     NOT a union-bound theorem over the whole vocabulary (31 tokens *
+#     3^-4 > 1/3), so like the HLL 5% bound above this boolean is
+#     MEASURED on the fixtures, not theorem-backed: for FIXED data and
+#     the fixed xxhash64 seeds the estimate is a pure function of the
+#     fixtures, so the boolean is deterministic — but it MUST be
+#     re-measured (run the query at the new SF and confirm all-true)
+#     whenever fixture SFs or the seed layout change. ge_exact is the
+#     only unconditional theorem here. Fixture honesty: the 31-token
 #     near-uniform vocabulary means w=16 forces real collisions (the
 #     overshoot path is exercised and stays within 2N/16) while w=1024
 #     makes all-4-row collisions vanishingly rare (est == exact, bound
@@ -438,7 +443,7 @@ def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact_count is the hash-checked value (oracle recomputes it with the
     wordcount token grammar); the four booleans assert the CM one-sided
-    error theorem and the 2N/w Markov bound per width rung, stated by the
+    error theorem and the 3N/w Markov bound per width rung, stated by the
     oracle as literal TRUE (deterministic for fixed data + fixed seeds —
     module comment has the argument).
     """
@@ -466,8 +471,10 @@ def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn(f"cm{w}_ge_exact", F.col(f"est{w}") >= F.col("exact_count"))
             .withColumn(
                 f"cm{w}_within_bound",
-                # integer-exact: est*w <= exact*w + 2N  <=>  est <= exact + 2N/w
-                F.col(f"est{w}") * w <= F.col("exact_count") * w + 2 * F.col("n"),
+                # integer-exact: est*w <= exact*w + 3N  <=>  est <= exact + 3N/w
+                # (measured bound — see the module comment; re-measure on
+                # any fixture-SF or seed change, as for the HLL 5% bound)
+                F.col(f"est{w}") * w <= F.col("exact_count") * w + 3 * F.col("n"),
             )
         )
     return out.select(
@@ -580,7 +587,11 @@ def bloom_semi_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
             F.coalesce(F.col("_m"), F.lit(False)).alias("m"),
-            bloom_might_contain(F.col("o_custkey"), F.col("bloom")).alias("hit"),
+            bloom_might_contain(
+                F.col("o_custkey"),
+                F.col("bloom"),
+                stored_geometry=(F.col("m_bits"), F.col("seeds")),
+            ).alias("hit"),
         )
     )
     return (

@@ -17,6 +17,7 @@ Scale posture (100 TB readiness):
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import SparkSession
@@ -226,6 +227,17 @@ def session_tmpdir(prefix: str) -> str:
     d = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
+
+
+@functools.lru_cache(maxsize=None)
+def shared_tmpdir(prefix: str) -> str:
+    """One session_tmpdir per (process, prefix).
+
+    For queries that rewrite the same detour data with mode("overwrite")
+    on every invocation: bench's cold+3-trial protocol would otherwise
+    accumulate four full copies on disk for the process lifetime
+    (ADVICE r08). Safe exactly because every write through it overwrites."""
+    return session_tmpdir(prefix)
 
 
 # Fixture tables materialized by the test-data driver (TESTDATA.md).

@@ -69,6 +69,74 @@ def test_bloom_build_word_count_bounded(spark):
     assert all(0 <= w < BLOOM_M_BITS // 64 for w in bl)
 
 
+def test_bloom_filter_frame_carries_geometry(spark):
+    from mapreduce_sm_spark.functions.bloom import (
+        BLOOM_M_BITS,
+        BLOOM_SEEDS,
+        bloom_build,
+    )
+
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    bl = bloom_build(keys, "k")
+    assert bl.columns == ["bloom", "m_bits", "seeds"]
+    row = bl.collect()[0]
+    assert row["m_bits"] == BLOOM_M_BITS
+    assert tuple(row["seeds"]) == BLOOM_SEEDS
+
+
+def test_bloom_merge_geometry_mismatch_raises(spark):
+    import pytest
+
+    from mapreduce_sm_spark.functions.bloom import bloom_build, bloom_merge
+
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    a = bloom_build(keys, "k")
+    b = bloom_build(keys, "k", m_bits=1024)
+    with pytest.raises(Exception, match="geometry"):
+        bloom_merge(a, b).collect()
+
+
+def test_bloom_probe_geometry_mismatch_raises(spark):
+    import pytest
+
+    from mapreduce_sm_spark.functions.bloom import bloom_build, bloom_might_contain
+
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    bl = bloom_build(keys, "k", m_bits=1024)  # stored geometry: 1024 bits
+    probe = (
+        spark.range(0, 10)
+        .crossJoin(F.broadcast(bl))
+        .select(
+            bloom_might_contain(  # probe geometry: the default (2^17 bits)
+                F.col("id"),
+                F.col("bloom"),
+                stored_geometry=(F.col("m_bits"), F.col("seeds")),
+            ).alias("hit")
+        )
+    )
+    with pytest.raises(Exception, match="geometry"):
+        probe.collect()
+
+
+def test_bloom_probe_matching_geometry_passes_guard(spark):
+    from mapreduce_sm_spark.functions.bloom import bloom_build, bloom_might_contain
+
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    bl = bloom_build(keys, "k")
+    probe = (
+        spark.range(0, 100)
+        .crossJoin(F.broadcast(bl))
+        .select(
+            bloom_might_contain(
+                F.col("id"),
+                F.col("bloom"),
+                stored_geometry=(F.col("m_bits"), F.col("seeds")),
+            ).alias("hit")
+        )
+    )
+    assert all(r["hit"] for r in probe.collect())
+
+
 def test_bloom_semi_prune_contract(spark, duck):
     from mapreduce_sm_spark.operators.sketches import bloom_semi_prune_orders
 
