@@ -611,3 +611,108 @@ def bloom_semi_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter CROSS-JOB reuse — the persist half of the ingest-scrub
+# story. bloom_semi_prune_orders proves build+probe inside one job;
+# production builds the filter ONCE (over yesterday's 10^10 ingested
+# keys), stores it (m/8 bytes at most — here a 1-row parquet), and every
+# later job re-loads and re-broadcasts it. This query drives that full
+# cycle: build -> write parquet -> read parquet -> broadcast -> prune ->
+# exact re-check of the survivors only.
+#
+# Contract: per order-status the member count and integer-cents total,
+# computed ON THE PRUNED SIDE (probe first, exact broadcast re-check only
+# on probe survivors). The oracle recomputes both from the FULL orders
+# table via an IN-subquery — equality IS the no-false-negative proof for
+# the store/load/probe path: if the round trip lost a single set bit, a
+# member order would be pruned before the re-check could save it and the
+# count would drop. geometry_roundtrip_ok asserts the loaded filter's
+# stored (m_bits, seeds) equal the build constants (the probe itself
+# would raise on mismatch — functions/bloom.py guard); the oracle states
+# it as literal TRUE.
+#
+# 100 TB posture: the persisted filter is ONE row independent of key
+# count; the fact side is never shuffled on the join key — the probe is
+# a codegen'd map lookup under the scan, the re-check a broadcast hash
+# join, and the only exchange is the final tiny status rollup
+# (plan-asserted in tests/test_bloom.py).
+# ---------------------------------------------------------------------------
+
+_BLOOM_REUSE_ORACLE = f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS member_cents,
+       true AS geometry_roundtrip_ok
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = '{_BLOOM_SEGMENT}')
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@REGISTRY.register(
+    "bloom_reuse_prune_orders",
+    oracle=_BLOOM_REUSE_ORACLE,
+    description="Bloom filter persisted to parquet, re-loaded, re-broadcast; prune-then-verify equals the exact semi-join",
+    tags=("sketch", "bloom", "join", "scale", "contract", "roundtrip"),
+)
+def bloom_reuse_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status (n_members, member_cents, geometry_roundtrip_ok) via the
+    stored-filter path: probe survivors only are exactly re-checked."""
+    import os
+
+    from mapreduce_sm_spark.functions.bloom import (
+        BLOOM_M_BITS,
+        BLOOM_SEEDS,
+        bloom_build,
+        bloom_might_contain,
+    )
+    from mapreduce_sm_spark.session import shared_tmpdir
+
+    dim = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _BLOOM_SEGMENT)
+        .select("c_custkey")
+    )
+    # phase 1 (the "yesterday" job): build and PERSIST the 1-row filter.
+    # shared per-process dir + overwrite: bench's 4 trials reuse one copy.
+    store = os.path.join(shared_tmpdir("bloom_store_"), "ingest_filter")
+    bloom_build(dim, "c_custkey").write.mode("overwrite").parquet(store)
+
+    # phase 2 (the "today" job): reload, re-broadcast, prune, re-check.
+    loaded = spark.read.parquet(store)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey", "o_totalprice"
+    )
+    candidates = orders.crossJoin(F.broadcast(loaded)).filter(
+        bloom_might_contain(
+            F.col("o_custkey"),
+            F.col("bloom"),
+            stored_geometry=(F.col("m_bits"), F.col("seeds")),
+        )
+    )
+    # exact re-check runs ONLY on probe survivors (inner broadcast join);
+    # geometry_roundtrip_ok re-states the loaded-vs-built equality the
+    # guarded probe already enforced (it raises, so reaching here with a
+    # FALSE is impossible — the boolean makes the oracle say so).
+    built_m, built_s = F.lit(BLOOM_M_BITS).cast("long"), F.array(
+        *[F.lit(int(s)).cast("long") for s in BLOOM_SEEDS]
+    )
+    return (
+        candidates.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "member_cents"
+            ),
+            ((F.first("m_bits") == built_m) & (F.first("seeds") == built_s)).alias(
+                "geometry_roundtrip_ok"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -163,3 +163,36 @@ def test_bloom_semi_prune_contract(spark, duck):
         n, c = exact.get(r["o_orderstatus"], (0, 0))
         assert r["n_members"] == n
         assert r["member_cents"] == c
+
+
+def test_bloom_reuse_prune_contract_and_plan(spark, duck):
+    from mapreduce_sm_spark.operators.sketches import bloom_reuse_prune_orders
+
+    df = bloom_reuse_prune_orders(spark, SF_DIR)
+    assert df.columns == [
+        "o_orderstatus", "n_members", "member_cents", "geometry_roundtrip_ok",
+    ]
+    exact = {
+        s: (n, c)
+        for s, n, c in duck.execute(
+            "SELECT o_orderstatus, count(*),"
+            " CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)"
+            " FROM orders WHERE o_custkey IN"
+            " (SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING')"
+            " GROUP BY o_orderstatus"
+        ).fetchall()
+    }
+    rows = df.collect()
+    assert {r["o_orderstatus"] for r in rows} == set(exact)
+    for r in rows:
+        n, c = exact[r["o_orderstatus"]]
+        assert (r["n_members"], r["member_cents"]) == (n, c)
+        assert r["geometry_roundtrip_ok"]
+
+    # scale posture: the fact side is NEVER shuffled on the join key — the
+    # probe is a filter under the scan, the re-check a broadcast join; the
+    # only hash exchange is the final status rollup.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(o_custkey" not in plan, plan[:1200]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
