@@ -716,3 +716,87 @@ def bloom_reuse_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING Count-Min equality — the sketch family's mergeability claim,
+# proven across micro-batches instead of argued. The batch sketches above
+# are "mergeable partials" by construction (counts add; bitmaps OR; HLL
+# registers max); this contract runs the SAME Count-Min build as a
+# RocksDB-backed stateful stream (streaming/sketch_stream.py) and asserts
+# the final streamed state is cell-for-cell identical to the batch-built
+# sketch on the same documents — under whatever batch split the
+# availableNow trigger chose. Addition over any partition of the input is
+# associative-commutative, so equality is a theorem; the run checks the
+# operational machinery (keyed state round-trips through RocksDB,
+# update-mode emission, final-state extraction).
+#
+# Contract columns (per hash row j):
+#   row_mass — the streamed row's total mass. Every token occurrence
+#     lands in exactly ONE cell per row, so row_mass == N, the exact
+#     corpus token count — which the oracle recomputes and hash-checks.
+#     A stream that dropped or double-counted a batch fails here.
+#   cells_within_w — occupied cells <= w (state is bounded by GEOMETRY,
+#     not data — the scale story). Theorem; oracle literal TRUE.
+#   stream_equals_batch — full-outer cell-for-cell equality vs the batch
+#     sketch. Theorem (see above); oracle literal TRUE.
+# ---------------------------------------------------------------------------
+
+_STREAM_CM_ORACLE = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(upper(text), '[A-Z][A-Z'']*')) AS token
+  FROM documents
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM toks
+)
+SELECT CAST(t.j AS BIGINT) AS j, n.n AS row_mass,
+       true AS cells_within_w, true AS stream_equals_batch
+FROM (VALUES (0), (1), (2), (3)) AS t(j), n
+ORDER BY j
+"""
+
+
+@REGISTRY.register(
+    "stream_countmin_equality",
+    oracle=_STREAM_CM_ORACLE,
+    description="Count-Min built as a RocksDB stateful stream equals the batch sketch cell-for-cell",
+    tags=("streaming", "sketch", "stateful", "contract", "scale"),
+)
+def stream_countmin_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per hash row j: (row_mass, cells_within_w, stream_equals_batch)."""
+    import os
+
+    from mapreduce_sm_spark.functions.text import tokenize_words
+    from mapreduce_sm_spark.session import fan_out
+    from mapreduce_sm_spark.streaming.sketch_stream import run_stream_countmin
+
+    docs = table(spark, sf_dir, "documents").select("text")
+    toks = fan_out(docs).select(F.explode(tokenize_words("text")).alias("token"))
+    batch = _cm_sketch(toks, _CM_W_LARGE).alias("ba")
+
+    qname = "stream_cm_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    streamed = run_stream_countmin(
+        spark, sf_dir, _CM_W_LARGE, _CM_D, query_name=qname
+    ).alias("st")
+
+    cmp = batch.join(streamed, ["j", "b"], "full")
+    return (
+        cmp.groupBy("j")
+        .agg(
+            F.sum(F.col("st.cnt")).alias("row_mass"),
+            (F.count("*") <= _CM_W_LARGE).alias("cells_within_w"),
+            (
+                F.sum(
+                    F.when(~F.col("ba.cnt").eqNullSafe(F.col("st.cnt")), 1).otherwise(0)
+                )
+                == 0
+            ).alias("stream_equals_batch"),
+        )
+        .select(
+            F.col("j").cast("long").alias("j"),
+            "row_mass",
+            "cells_within_w",
+            "stream_equals_batch",
+        )
+        .orderBy("j")
+    )

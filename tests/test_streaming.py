@@ -509,3 +509,69 @@ def test_stateful_streaming_on_rocksdb_state_store(spark, tmp_path):
         assert got_totals == expected_totals
     finally:
         spark.conf.set(provider_conf, prev)
+
+
+def test_stream_countmin_equality_contract(spark, duck):
+    from mapreduce_sm_spark.operators.sketches import stream_countmin_equality
+
+    df = stream_countmin_equality(spark, SF_DIR)
+    assert df.columns == ["j", "row_mass", "cells_within_w", "stream_equals_batch"]
+    rows = df.collect()
+    assert [r["j"] for r in rows] == [0, 1, 2, 3]
+    (n,) = duck.execute(
+        "SELECT count(*) FROM (SELECT unnest(regexp_extract_all("
+        "upper(text), '[A-Z][A-Z'']*')) FROM documents)"
+    ).fetchone()
+    for r in rows:
+        assert r["row_mass"] == n, "streamed row mass != exact token count"
+        assert r["cells_within_w"] and r["stream_equals_batch"]
+
+
+def test_stream_countmin_multibatch_fold_equals_batch(spark, tmp_path):
+    """Force >= 2 micro-batches (two input files + maxFilesPerTrigger=1)
+    and check the streamed cells still equal the batch sketch — the
+    cross-batch RocksDB state fold, not a single-batch degenerate run."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.functions.text import tokenize_words
+    from mapreduce_sm_spark.operators.sketches import _CM_D, _cm_sketch
+    from mapreduce_sm_spark.session import table
+    from mapreduce_sm_spark.streaming.sketch_stream import run_stream_countmin
+
+    w = 64
+    docs_dir = str(tmp_path / "docs_split")
+    os.makedirs(docs_dir)
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(
+        os.path.join(docs_dir, "even.d")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(
+        os.path.join(docs_dir, "odd.d")
+    )
+    # flatten the two datasets into one dir of part files
+    flat = str(tmp_path / "docs_flat")
+    os.makedirs(flat)
+    i = 0
+    for sub in ("even.d", "odd.d"):
+        for f in os.listdir(os.path.join(docs_dir, sub)):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(docs_dir, sub, f),
+                    os.path.join(flat, f"part-{i}.parquet"),
+                )
+                i += 1
+    assert i >= 2
+
+    streamed = run_stream_countmin(
+        spark, flat, w, _CM_D,
+        query_name="t_stream_cm_split",
+        glob="*.parquet",
+        max_files_per_trigger=1,
+    )
+    toks = docs.select(F.explode(tokenize_words("text")).alias("token"))
+    batch = _cm_sketch(toks, w)
+    got = {(r["j"], r["b"]): r["cnt"] for r in streamed.collect()}
+    want = {(r["j"], r["b"]): r["cnt"] for r in batch.collect()}
+    assert got == want
