@@ -93,9 +93,7 @@ def main() -> None:
         raw_trials[q.name] = trials
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
+    doc = {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
@@ -115,9 +113,17 @@ def main() -> None:
                 + ("load-settled start" if settled else "UNSETTLED start (load high after 150s wait)"),
                 "sf": sf,
                 "load1_at_start": load1,
-            }
-        )
-    )
+    }
+    # The driver keeps only the last 2000 chars of stdout, which truncates
+    # the per-trial document's HEAD (VERDICT r08 "What's missing" 3). Write
+    # the complete JSON to a file too, so the full per-query record is
+    # committable; the stdout line stays the driver's summary.
+    out_file = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_file:
+        with open(out_file, "w") as fh:
+            json.dump(doc, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":

@@ -626,6 +626,15 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash — near-dup detection for token-level similarity.
 #
+# >>> DEFAULT FOR CONSUMERS: dedup_simhash60_pairs (below). <<<
+# This 32-bit rung stays registered as the MEASURED counter-example: its
+# 4-5-bit pigeonhole chunks birthday-collide once n per (lang, chunk)
+# block passes ~2^5, so banded candidates grow quadratically — 12.9x wall
+# for 10x docs in the r08 scale proof vs the 60-bit rung's 1.7x
+# (SCALING.md). Same deference pattern as tf_cosine_pairs ->
+# tf_cosine_pairs_prefix: the simple rung defines the semantics, the
+# successor is the plan you'd run at scale.
+#
 # 32-bit simhash: token -> hash60 % 2^32; bit j of the signature is the
 # sign (>= 0) of sum over tokens of (2*bit_j(h) - 1). All-integer, so the
 # oracle replays it exactly. Pair search blocks on lang here; the 100 TB
@@ -806,8 +815,10 @@ ORDER BY doc_a, doc_b
 @REGISTRY.register(
     "dedup_simhash_pairs",
     oracle=_SIMHASH_PAIRS_ORACLE,
-    description="SimHash near-dup pairs (hamming <= 6) within lang blocks",
-    headline=True,
+    description="SimHash near-dup pairs (hamming <= 6) within lang blocks — semantics rung; see dedup_simhash60_pairs for the scale/default rung",
+    # retired from the headline bench in r09 (VERDICT r08 item 7): the r08
+    # scale proof measured this configuration anti-scaling (12.9x wall at
+    # 10x docs); dedup_simhash60_pairs carries the family's headline slot.
     tags=("dedup", "simhash"),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,6 +918,7 @@ ORDER BY doc_a, doc_b
     "dedup_simhash60_pairs",
     oracle=_SIMHASH60_PAIRS_ORACLE,
     description="60-bit SimHash near-dup pairs (hamming <= 3), 15-bit pigeonhole bands — the scale rung",
+    headline=True,  # carries the simhash family's headline slot since r09
     tags=("dedup", "simhash", "scale"),
 )
 def dedup_simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -179,3 +179,43 @@ def test_orc_roundtrip_stats_registered_query(spark, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_bucketed_writer_never_touches_other_pids_dir(spark, tmp_path):
+    """Pins the rmtree OWNERSHIP guard (ADVICE r07 / VERDICT r08 item 8):
+    write_bucketed_table may only ever reclaim the pid-suffixed dir IT
+    owns. Simulate the concurrent-writer layout by planting a foreign
+    pid's table directory in the warehouse; after our write (same logical
+    table name, twice — the overwrite path runs the rmtree), the foreign
+    dir and its contents must be byte-identical."""
+    import os
+
+    from mapreduce_sm_spark.session import table
+    from mapreduce_sm_spark.sources.sinks import write_bucketed_table
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    assert wh, "in-memory catalog still has a warehouse dir"
+    foreign = os.path.join(wh, "own_guard_tbl_p99999999")
+    os.makedirs(foreign, exist_ok=True)
+    sentinel = os.path.join(foreign, "part-00000.parquet")
+    with open(sentinel, "wb") as fh:
+        fh.write(b"other process's data")
+
+    orders = table(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice")
+    try:
+        # twice: the second call exercises DROP TABLE + rmtree of OUR dir
+        for _ in range(2):
+            name = write_bucketed_table(orders, "own_guard_tbl", ["o_custkey"], 4)
+            assert name == f"own_guard_tbl_p{os.getpid()}"
+            assert spark.table(name).count() == orders.count()
+        with open(sentinel, "rb") as fh:
+            assert fh.read() == b"other process's data", (
+                "ownership guard broken: foreign pid's table dir was clobbered"
+            )
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    finally:
+        import shutil
+
+        shutil.rmtree(foreign, ignore_errors=True)
