@@ -800,3 +800,215 @@ def stream_countmin_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("j")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch — the SET-OPERATION member of the sketch
+# family. HLL unions but cannot intersect; KMV supports union AND
+# intersection estimation from the same mergeable synopsis, which is the
+# audience-overlap question (how many of the clickstream users are also
+# paying customers?) a pipeline cannot answer from per-set cardinalities.
+# Public literature: Beyer, Haas, Reinwald, Sismanis, Gemulla, "On
+# synopses for distinct-value estimation under multiset operations"
+# (SIGMOD 2007); the same construction underlies Apache DataSketches'
+# theta sketch.
+#
+# Construction: KMV(S) = the k smallest DISTINCT values of h(x), x in S,
+# with h = the repo's shared 60-bit md5-derived hash (functions/
+# hashing.py) — which DuckDB computes bit-for-bit, so unlike the HLL/CM
+# contracts the ORACLE REPLAYS THE ENTIRE SKETCH and every emitted value
+# is hash-checked (no literal-TRUE booleans needed):
+#   union:      merge = k smallest of KMV(A) u KMV(B); tau = the k-th
+#               smallest; est_union = floor((k-1) * M / tau), M = 2^60
+#               (Beyer et al. eq. for the k-th order statistic of
+#               uniforms); EXACT-mode when the merged synopsis holds
+#               fewer than k values (then it holds the whole union).
+#   intersect:  kappa = |{v in merge : v in KMV(A) and v in KMV(B)}|;
+#               est = floor(kappa * est_union / k) (the Jaccard
+#               estimator kappa/k scaled by the union estimate).
+# All order statistics and floor divisions over integers — both engines
+# agree to the last bit (the pmi_ratio_ppm discipline).
+#
+# Set pairs measured (the fixture's only genuinely PARTIAL overlaps —
+# within events every type/week shares all users, a density quirk worth
+# stating): the events audience vs ALL ordering customers (user ids are
+# a 1/10th prefix of the custkey space: Jaccard ~0.1) and vs the
+# BUILDING-segment customers (~1/50).
+#
+# 100 TB posture: each input side is one distinct + one TakeOrdered(k)
+# — no all-pairs anything; the sketches themselves are k-row frames
+# joined broadcast. Sketch maintenance at scale is the same top-k merge
+# per shard (mergeable by the same argument as min: the k smallest of a
+# union is computable from the per-shard k smallest).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_M = 1 << 60
+
+
+def _kmv_sketch(keys: DataFrame, col: str, k: int = _KMV_K) -> DataFrame:
+    """k smallest distinct 60-bit hashes of the key column: [h: long]."""
+    from mapreduce_sm_spark.functions.hashing import hash60
+
+    return (
+        keys.select(hash60(F.col(col).cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def _kmv_overlap(a: DataFrame, b: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """1-row [n_merged, tau, kappa, est_union, est_inter] from two
+    KMV sketches (see module comment for the estimator)."""
+    merged = a.unionAll(b).distinct().orderBy("h").limit(k)
+    both = a.intersect(b)  # sketch rows present in BOTH inputs (k-bounded)
+    stats = merged.join(F.broadcast(both.withColumnRenamed("h", "hb")),
+                        F.col("h") == F.col("hb"), "left").agg(
+        F.count("*").alias("n_merged"),
+        F.max("h").alias("tau"),
+        F.count("hb").alias("kappa"),
+    )
+    # exact integer estimates via DECIMAL(38,0) `div` (truncating, the
+    # pmi_ratio_ppm discipline — plain decimal `/` ROUNDS at scale 6, so
+    # a quotient epsilon under an integer would round up and break the
+    # floor semantics the oracle's HUGEINT `//` implements)
+    est_union = F.when(
+        F.col("n_merged") < k, F.col("n_merged").cast("long")
+    ).otherwise(
+        F.expr(
+            f"CAST((CAST({k - 1} AS DECIMAL(38,0)) * CAST({_KMV_M} AS DECIMAL(38,0)))"
+            " div CAST(tau AS DECIMAL(38,0)) AS BIGINT)"
+        )
+    )
+    out = stats.select("n_merged", "tau", "kappa", est_union.alias("est_union"))
+    return out.select(
+        "n_merged",
+        "tau",
+        "kappa",
+        "est_union",
+        F.when(F.col("n_merged") < k, F.col("kappa").cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST((CAST(kappa AS DECIMAL(38,0)) * CAST(est_union AS DECIMAL(38,0)))"
+                f" div CAST({k} AS DECIMAL(38,0)) AS BIGINT)"
+            )
+        )
+        .alias("est_inter"),
+    )
+
+
+def _kmv_oracle() -> str:
+    from mapreduce_sm_spark.functions.hashing import hash60_sql
+
+    h = hash60_sql("CAST(k AS VARCHAR)")
+    k, m = _KMV_K, _KMV_M
+
+    def pair(tag: str, aset: str, bset: str) -> str:
+        return f"""
+m_{tag} AS (
+  SELECT h FROM (SELECT h FROM sk_{aset} UNION SELECT h FROM sk_{bset})
+  ORDER BY h LIMIT {k}
+),
+s_{tag} AS (
+  SELECT count(*) AS n_merged, max(h) AS tau,
+         CAST(sum(CASE WHEN h IN (SELECT h FROM sk_{aset})
+                        AND h IN (SELECT h FROM sk_{bset})
+                  THEN 1 ELSE 0 END) AS BIGINT) AS kappa
+  FROM m_{tag}
+),
+e_{tag} AS (
+  SELECT (SELECT count(*) FROM
+            (SELECT k FROM {aset} UNION SELECT k FROM {bset})) AS exact_union,
+         (SELECT count(*) FROM
+            (SELECT k FROM {aset} INTERSECT SELECT k FROM {bset})) AS exact_inter
+),
+u_{tag} AS (
+  SELECT e.exact_union, e.exact_inter, s.n_merged, s.tau, s.kappa,
+         CASE WHEN s.n_merged < {k} THEN s.n_merged
+              ELSE CAST(({k - 1}::HUGEINT * {m}::HUGEINT) // s.tau::HUGEINT
+                        AS BIGINT) END AS est_union
+  FROM e_{tag} e, s_{tag} s
+),
+r_{tag} AS (
+  SELECT '{tag}' AS set_pair, exact_union, exact_inter, n_merged, tau, kappa,
+         est_union,
+         CASE WHEN n_merged < {k} THEN kappa
+              ELSE CAST((kappa::HUGEINT * est_union::HUGEINT) // {k}::HUGEINT
+                        AS BIGINT) END AS est_inter
+  FROM u_{tag}
+)"""
+
+    return f"""
+WITH
+events_users AS (SELECT DISTINCT user_id AS k FROM events),
+order_customers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+building_customers AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+sk_events_users AS (
+  SELECT h FROM (SELECT {h} AS h FROM events_users) ORDER BY h LIMIT {k}
+),
+sk_order_customers AS (
+  SELECT h FROM (SELECT {h} AS h FROM order_customers) ORDER BY h LIMIT {k}
+),
+sk_building_customers AS (
+  SELECT h FROM (SELECT {h} AS h FROM building_customers) ORDER BY h LIMIT {k}
+),{pair("order_customers_x", "events_users", "order_customers")},{pair("building_customers_x", "events_users", "building_customers")}
+SELECT * FROM r_order_customers_x
+UNION ALL
+SELECT * FROM r_building_customers_x
+ORDER BY set_pair
+"""
+
+
+@REGISTRY.register(
+    "kmv_audience_overlap",
+    oracle=_kmv_oracle(),
+    description="KMV (k-minimum-values) sketch: union AND intersection estimates for audience overlap, oracle replays the sketch bit-for-bit",
+    tags=("sketch", "kmv", "setops", "scale", "contract"),
+)
+def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per set pair: exact union/intersection plus the full KMV readout
+    (n_merged, tau, kappa, est_union, est_inter) — every column
+    hash-checked against the oracle's replay of the same sketch."""
+    ev = table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    orders = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    bldg = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    sk_ev = _kmv_sketch(ev, "k")
+
+    def pair_row(tag: str, bkeys: DataFrame) -> DataFrame:
+        ov = _kmv_overlap(sk_ev, _kmv_sketch(bkeys, "k"))
+        exact = (
+            ev.distinct()
+            .withColumn("ina", F.lit(1))
+            .join(bkeys.distinct().withColumn("inb", F.lit(1)), "k", "full")
+            .agg(
+                F.count("*").alias("exact_union"),
+                F.sum(
+                    F.when(
+                        F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1
+                    ).otherwise(0)
+                ).alias("exact_inter"),
+            )
+        )
+        return exact.crossJoin(ov).select(
+            F.lit(tag).alias("set_pair"),
+            "exact_union",
+            "exact_inter",
+            "n_merged",
+            "tau",
+            "kappa",
+            "est_union",
+            "est_inter",
+        )
+
+    return (
+        pair_row("order_customers_x", orders)
+        .unionAll(pair_row("building_customers_x", bldg))
+        .orderBy("set_pair")
+    )

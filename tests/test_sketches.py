@@ -184,3 +184,44 @@ def test_cm_contract_booleans_and_exact_side(spark, duck):
     )
     assert {r["token"] for r in rows} == set(exact)
     assert all(r["exact_count"] == exact[r["token"]] for r in rows)
+
+
+def test_kmv_merge_law_and_exact_mode(spark):
+    """KMV mergeability theorem: the k smallest of (KMV(A) u KMV(B)) equals
+    KMV(A u B) — computable from the per-set synopses without the raw
+    sets. And when |union| < k the synopsis IS the union (exact mode)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.operators.sketches import _kmv_sketch
+
+    a = spark.range(0, 5000).select(F.col("id").alias("k"))
+    b = spark.range(2500, 7500).select(F.col("id").alias("k"))
+    u = spark.range(0, 7500).select(F.col("id").alias("k"))
+    ka, kb = _kmv_sketch(a, "k"), _kmv_sketch(b, "k")
+    merged = ka.unionAll(kb).distinct().orderBy("h").limit(256)
+    direct = _kmv_sketch(u, "k")
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in direct.collect()
+    )
+
+    tiny = spark.range(0, 100).select(F.col("k") if False else F.col("id").alias("k"))
+    sk = _kmv_sketch(tiny, "k").collect()
+    assert len(sk) == 100  # exact mode: synopsis holds everything
+
+
+def test_kmv_estimates_within_theory_bounds(spark):
+    """k=256 gives ~1/sqrt(k) ~ 6% RSE on the union and wider on small
+    Jaccards; assert loose 5-sigma-ish envelopes so the test pins sanity,
+    not luck (estimates are deterministic for fixed data + hash)."""
+    from mapreduce_sm_spark.operators.sketches import kmv_audience_overlap
+    from tests.conftest import SF_DIR
+
+    for r in kmv_audience_overlap(spark, SF_DIR).collect():
+        if r["n_merged"] < 256:
+            assert r["est_union"] == r["exact_union"]
+            assert r["est_inter"] == r["exact_inter"]
+        else:
+            assert abs(r["est_union"] - r["exact_union"]) <= 0.3 * r["exact_union"]
+            assert abs(r["est_inter"] - r["exact_inter"]) <= max(
+                0.5 * r["exact_inter"], 20
+            )
