@@ -138,3 +138,127 @@ def dataset_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_selected"), F.min("doc_id").alias("first_doc"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# PRIORITY SAMPLING (weight-proportional without replacement) — the
+# missing member of the sampling family: hash-mod sampling is uniform;
+# training-data mixtures want "sample documents proportional to length /
+# quality weight", and the estimator question that follows ("what total
+# weight does my sample represent?") needs an unbiased answer. Public
+# literature: Duffield, Lund, Thorup, "Priority sampling for estimation
+# of arbitrary subset sums" (JACM 2007): priority q_i = w_i / u_i with
+# u_i uniform; keep the k largest priorities; with tau = the (k+1)-th
+# priority, sum of max(w_i, tau) over the sample is an UNBIASED
+# estimator of total weight (and of any subset sum) — within a factor
+# of optimal variance among all k-sample schemes.
+#
+# Determinism discipline: u_i comes from the repo's shared 60-bit hash
+# (u_i ~ (h_i+1)/2^60), so priorities are the exact rationals
+# w_i * 2^60 / (h_i + 1) — computed as truncating integer division in
+# DECIMAL(38,0) `div` / HUGEINT `//` (the pmi_ratio_ppm discipline) with
+# doc_id as the total tiebreak. Every emitted value, including the DLT
+# estimate itself, is therefore replayed bit-for-bit by the oracle — a
+# weighted sampler with a full value-hash contract, no literal-TRUE
+# booleans.
+#
+# 100 TB posture: the k+1 largest priorities are a TakeOrdered (per-
+# partition top-(k+1), single tiny reduce — no global sort, no shuffle
+# of the corpus); the weight total is one partial-aggregable sum. The
+# scheme is mergeable for the same reason as KMV: the top-k of a union
+# is computable from per-shard top-k synopses.
+# ---------------------------------------------------------------------------
+
+_PRIO_K = 64
+_PRIO_M = 1 << 60
+_PRIO_SALT = "psample"
+
+
+_PRIORITY_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, n_chars AS w,
+         {hash60_sql("'" + _PRIO_SALT + "|' || doc_id::VARCHAR")} AS h
+  FROM documents
+),
+q AS (
+  SELECT doc_id, w,
+         (w::HUGEINT * {_PRIO_M}::HUGEINT) // (h + 1)::HUGEINT AS q
+  FROM d
+),
+top AS (
+  SELECT doc_id, w, q,
+         row_number() OVER (ORDER BY q DESC, doc_id) AS rnk
+  FROM q
+  QUALIFY rnk <= {_PRIO_K + 1}
+),
+tau AS (SELECT min(q) AS tau FROM top),
+samp AS (SELECT doc_id, w, rnk FROM top WHERE rnk <= {_PRIO_K}),
+tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS exact_total_weight FROM documents),
+est AS (
+  -- q is already in WEIGHT units (q = w/u = w*2^60/(h+1)), so the DLT
+  -- estimator is sum over the sample of max(w_i, tau) directly
+  SELECT CAST(sum(GREATEST(s.w::HUGEINT, t.tau)) AS BIGINT) AS est_total_weight
+  FROM samp s, tau t
+)
+SELECT CAST(s.rnk AS BIGINT) AS rank, s.doc_id, CAST(s.w AS BIGINT) AS weight,
+       e.est_total_weight, t.exact_total_weight
+FROM samp s, est e, tot t
+ORDER BY rank
+"""
+
+
+@REGISTRY.register(
+    "priority_sample_documents",
+    oracle=_PRIORITY_ORACLE,
+    description="Duffield-Lund-Thorup priority sample (weight ~ n_chars) + unbiased subset-sum estimate, exact-integer replayable",
+    tags=("sampling", "weighted", "sketch", "scale", "contract"),
+)
+def priority_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-64 priority sample of documents weighted by n_chars:
+    (rank, doc_id, weight, est_total_weight, exact_total_weight) — the
+    DLT estimate rides along so the sample is self-describing."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("w")
+    )
+    key = F.concat(F.lit(_PRIO_SALT + "|"), F.col("doc_id").cast("string"))
+    q = F.expr(
+        f"CAST(w AS DECIMAL(38,0)) * CAST({_PRIO_M} AS DECIMAL(38,0))"
+        " div CAST(h + 1 AS DECIMAL(38,0))"
+    )
+    # TakeOrdered(k+1): per-partition top-(k+1), one tiny reduce
+    top = (
+        docs.select("doc_id", "w", hash60(key).alias("h"))
+        .select("doc_id", "w", q.alias("q"))
+        .orderBy(F.col("q").desc(), "doc_id")
+        .limit(_PRIO_K + 1)
+    )
+    win = Window.orderBy(F.col("q").desc(), "doc_id")  # 65 rows: safe window
+    ranked = top.select(
+        "doc_id", "w", "q", F.row_number().over(win).cast("long").alias("rank")
+    )
+    tau = ranked.agg(F.min("q").alias("tau"))  # the (k+1)-th priority
+    samp = ranked.filter(F.col("rank") <= _PRIO_K)
+    est = (
+        samp.crossJoin(F.broadcast(tau))
+        .agg(
+            # q (and so tau) is already in WEIGHT units — see the oracle
+            F.expr(
+                "CAST(sum(GREATEST(CAST(w AS DECIMAL(38,0)), tau)) AS BIGINT)"
+            ).alias("est_total_weight")
+        )
+    )
+    tot = docs.agg(F.sum("w").cast("long").alias("exact_total_weight"))
+    return (
+        samp.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "doc_id",
+            F.col("w").cast("long").alias("weight"),
+            "est_total_weight",
+            "exact_total_weight",
+        )
+        .orderBy("rank")
+    )

@@ -205,3 +205,21 @@ def test_stratified_quota_invariants(spark, rows):
         .select("lang", "doc_id", "rk")
     ).collect()
     assert {(r.lang, r.doc_id) for r in out} == {(r.lang, r.doc_id) for r in out2}
+
+
+def test_priority_sample_estimator_and_bias(spark, duck):
+    """DLT subset-sum estimator sanity: the estimate should land near the
+    exact total (deterministic for fixed data+hash; assert a loose 25%
+    envelope for k=64), and the sample must be WEIGHT-biased — mean
+    sampled weight above the corpus mean — or the weighting is a no-op."""
+    from mapreduce_sm_spark.operators.sampling import priority_sample_documents
+    from tests.conftest import SF_DIR
+
+    rows = priority_sample_documents(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    assert [r["rank"] for r in rows] == list(range(1, 65))
+    est, tot = rows[0]["est_total_weight"], rows[0]["exact_total_weight"]
+    assert abs(est - tot) <= 0.25 * tot, (est, tot)
+    (mean_w,) = duck.execute("SELECT avg(n_chars) FROM documents").fetchone()
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert sample_mean > mean_w, "sample is not weight-biased"
