@@ -989,10 +989,15 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(bkeys.distinct().withColumn("inb", F.lit(1)), "k", "full")
             .agg(
                 F.count("*").alias("exact_union"),
-                F.sum(
-                    F.when(
-                        F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1
-                    ).otherwise(0)
+                # coalesce: sum over ZERO rows is NULL, but the oracle's
+                # scalar-subquery count over an empty set is 0
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0).cast("long"),
                 ).alias("exact_inter"),
             )
         )

@@ -77,9 +77,23 @@ def documents_text_stream(
     is how r03 silently broke on a fixture dtype change).
     max_files_per_trigger: availableNow honors it, so tests can FORCE a
     multi-batch split and exercise the cross-batch state fold."""
-    schema = (
-        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).select("text").schema
-    )
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        schema = (
+            spark.read.option("pathGlobFilter", glob)
+            .parquet(sf_dir)
+            .select("text")
+            .schema
+        )
+    except AnalysisException as e:
+        # Only a genuinely empty source may fall back (events_stream's
+        # ADVICE r04 rule): the stream starts empty on the canonical
+        # column instead of failing inference; real errors must surface.
+        cond = e.getCondition() or ""
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
+        schema = "text string"
     reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
