@@ -61,3 +61,33 @@ def test_xml_roundtrip_survives_hostile_strings(spark):
     )
     got = sorted(tuple(r) for r in back.collect())
     assert got == sorted(rows)
+
+
+def test_shared_tmpdir_reuses_one_dir_per_prefix():
+    """Pins the ADVICE r08 fix: overwrite-style detours (ORC roundtrip,
+    bloom store) must reuse ONE on-disk directory per process instead of
+    accumulating a copy per invocation across bench's 4 trials."""
+    from mapreduce_sm_spark.session import session_tmpdir, shared_tmpdir
+
+    a = shared_tmpdir("t_shared_")
+    b = shared_tmpdir("t_shared_")
+    assert a == b
+    assert shared_tmpdir("t_other_") != a
+    # the unshared variant still hands out fresh dirs
+    assert session_tmpdir("t_fresh_") != session_tmpdir("t_fresh_")
+
+
+def test_orc_roundtrip_reuses_detour_dir(spark):
+    from mapreduce_sm_spark.operators.formats import orc_roundtrip_stats
+    from mapreduce_sm_spark.session import shared_tmpdir
+    import os
+
+    from tests.conftest import SF_DIR
+
+    orc_roundtrip_stats(spark, SF_DIR).collect()
+    d = os.path.join(shared_tmpdir("orc_rt_"), "lineitem_orc")
+    before = sorted(os.listdir(d))
+    orc_roundtrip_stats(spark, SF_DIR).collect()
+    # same directory, overwritten in place — no second copy anywhere
+    assert os.path.isdir(d)
+    assert sorted(os.listdir(d)) != [] and len(os.listdir(d)) <= len(before) + 2
