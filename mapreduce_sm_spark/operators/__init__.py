@@ -68,12 +68,13 @@ from mapreduce_sm_spark.registry import REGISTRY
 #     join/setop/olap block, json_schema_parse_events,
 #     funnel_view_click_purchase, etc.). After this window, no registered
 #     query's freshest driver row predates r06.
-# (4) the remaining 12 slots go to the OLDEST third of the r06 cohort,
+# (4) the remaining 11 slots go to the OLDEST third of the r06 cohort,
 #     riskiest oracles first (graph kernel, banded dedup miners, the ANN
 #     recall contract, streaming session windows, the UDAF surface).
-#     tfidf_top_terms and pipe_syntax_rollup yielded their slots to the
-#     two late-round new queries (kmv_audience_overlap,
-#     priority_sample_documents) — never-driver-seen outranks stale.
+#     tfidf_top_terms, pipe_syntax_rollup and skew_salted_agg yielded
+#     their slots to the three late-round new queries
+#     (kmv_audience_overlap, priority_sample_documents,
+#     stream_bloom_scrub_events) — never-driver-seen outranks stale.
 # Dropped to make room: everything green in r07/r08 under its current
 # output shape. Still out after this round: 26 r06 rows + the r07/r08
 # cohorts — all stay covered by tests/test_oracle_parity.py (sf0.001)
@@ -89,6 +90,7 @@ REGISTRY.set_front(
         "stream_countmin_equality",
         "kmv_audience_overlap",
         "priority_sample_documents",
+        "stream_bloom_scrub_events",
         # --- (3) all 31 rows last driver-seen r04 ---
         "q1_pricing_summary",
         "q2_min_per_group",
@@ -133,6 +135,5 @@ REGISTRY.set_front(
         "udaf_weighted_avg",
         "csv_roundtrip_stats",
         "multimodal_resize_features",
-        "skew_salted_agg",
     )
 )

@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreduce_sm_spark.registry import REGISTRY
 
@@ -325,3 +326,85 @@ def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING ingest scrub — the Bloom filter family's production shape,
+# actually streaming: yesterday's key filter (here: BUILDING-segment
+# customers) broadcast into TODAY'S event stream; every micro-batch row
+# pays one codegen'd map probe, only probe SURVIVORS reach the exact
+# broadcast re-check join, and the per-type rollup is exact because the
+# re-check is (Bloom's no-false-negative theorem makes the prune
+# lossless; its false positives are killed by the join). The full-hash
+# oracle is the plain batch semi-join — equality proves the streamed
+# prune+verify pipeline dropped and double-counted nothing under
+# whatever micro-batch split availableNow chose.
+#
+# 100 TB posture: the stream side never shuffles on the join key (both
+# the 1-row filter attach and the re-check are broadcast joins); state
+# is the complete-mode rollup's <=|event_type| rows.
+# ---------------------------------------------------------------------------
+
+_STREAM_BLOOM_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS member_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS member_value_cents
+FROM events
+WHERE user_id IN (SELECT c_custkey FROM customer
+                  WHERE c_mktsegment = 'BUILDING')
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@REGISTRY.register(
+    "stream_bloom_scrub_events",
+    oracle=_STREAM_BLOOM_ORACLE,
+    description="streaming ingest scrub: broadcast Bloom probe + exact re-check inside the stream equals the batch semi-join",
+    tags=("streaming", "sketch", "bloom", "join", "scale"),
+)
+def stream_bloom_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, (member_events, member_value_cents) of the
+    scrubbed stream — exact, hash-checked against the batch semi-join
+    (distinct aggregates are unsupported in streaming, so the second
+    exact column is the integer-cents value total)."""
+    from mapreduce_sm_spark.functions.bloom import bloom_build, bloom_might_contain
+    from mapreduce_sm_spark.session import table
+    from mapreduce_sm_spark.streaming.windows import run_streaming_query
+
+    dim = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    # "yesterday's" filter: built once, batch-side, 1 row + geometry
+    bloom = bloom_build(dim, "c_custkey").withColumn("one", F.lit(1))
+    dim_b = F.broadcast(dim.withColumnRenamed("c_custkey", "k"))
+
+    def plan(stream: DataFrame) -> DataFrame:
+        probed = (
+            stream.withColumn("one", F.lit(1))
+            # stream-static broadcast equi-join on a constant key: the
+            # supported way to attach the 1-row filter to every stream row
+            .join(F.broadcast(bloom), "one")
+            .filter(
+                bloom_might_contain(
+                    F.col("user_id"),
+                    F.col("bloom"),
+                    stored_geometry=(F.col("m_bits"), F.col("seeds")),
+                )
+            )
+        )
+        verified = probed.join(dim_b, probed.user_id == F.col("k"), "inner")
+        return verified.groupBy("event_type").agg(
+            F.count("*").alias("member_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "member_value_cents"
+            ),
+        )
+
+    qname = _sink_name("bloom_scrub_", sf_dir)
+    return run_streaming_query(
+        spark, sf_dir, plan, qname, glob="events.parquet"
+    ).orderBy("event_type")
