@@ -106,16 +106,22 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     folded = merged.agg(
         F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bloom")
     )
-    return folded.crossJoin(geom).select(
-        "bloom",
-        F.when(F.col("n_geom") == 1, F.col("m_bits"))
-        .otherwise(
+    # The guard rides EVERY output column, not just m_bits: a consumer that
+    # selects only 'bloom' (or probes without stored_geometry) would let
+    # Catalyst column-prune an m_bits-only guard away, silently admitting a
+    # merge of differently-built filters — the exact false-negative case the
+    # guard exists to prevent (ADVICE r09).
+    def _guarded(col: Column, typ: str) -> Column:
+        return F.when(F.col("n_geom") == 1, col).otherwise(
             F.raise_error(
                 F.lit("bloom_merge: filters were built with different geometry (m_bits/seeds)")
-            ).cast("long")
+            ).cast(typ)
         )
-        .alias("m_bits"),
-        "seeds",
+
+    return folded.crossJoin(geom).select(
+        _guarded(F.col("bloom"), "map<bigint,bigint>").alias("bloom"),
+        _guarded(F.col("m_bits"), "bigint").alias("m_bits"),
+        _guarded(F.col("seeds"), "array<bigint>").alias("seeds"),
     )
 
 

@@ -190,9 +190,14 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_shipdate", "l_quantity", "l_extendedprice"
     )
-    # shared (per-process) dir: every write is mode("overwrite"), so bench's
-    # cold+3-trial protocol reuses ONE on-disk copy instead of four (ADVICE r08)
-    d = os.path.join(shared_tmpdir("orc_rt_"), "lineitem_orc")
+    # shared (per-process, per-sf) dir: every write is mode("overwrite"), so
+    # bench's cold+3-trial protocol reuses ONE on-disk copy instead of four
+    # (ADVICE r08); keyed by sf_dir so two scale factors never share a store
+    # that the lazy return DataFrame would read after a swap (ADVICE r09)
+    d = os.path.join(
+        shared_tmpdir("orc_rt_", os.path.basename(sf_dir.rstrip("/"))),
+        "lineitem_orc",
+    )
     li.write.mode("overwrite").orc(d)
 
     back = spark.read.orc(d).filter(F.col("l_shipdate") >= F.lit("1995-06-01").cast("date"))

@@ -191,7 +191,11 @@ top AS (
   FROM q
   QUALIFY rnk <= {_PRIO_K + 1}
 ),
-tau AS (SELECT min(q) AS tau FROM top),
+-- DLT: with n <= k every item is sampled and tau is defined as 0, making
+-- the estimator sum(max(w, 0)) = sum(w) EXACT; min(q) here would be >= w
+-- for every sampled row and strictly overestimate (ADVICE r09)
+tau AS (SELECT CASE WHEN count(*) <= {_PRIO_K} THEN 0::HUGEINT
+               ELSE min(q) END AS tau FROM top),
 samp AS (SELECT doc_id, w, rnk FROM top WHERE rnk <= {_PRIO_K}),
 tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS exact_total_weight FROM documents),
 est AS (
@@ -217,11 +221,17 @@ def priority_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-64 priority sample of documents weighted by n_chars:
     (rank, doc_id, weight, est_total_weight, exact_total_weight) — the
     DLT estimate rides along so the sample is self-describing."""
-    from pyspark.sql import Window
-
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").alias("w")
     )
+    return priority_sample(docs)
+
+
+def priority_sample(docs: DataFrame, k: int = _PRIO_K) -> DataFrame:
+    """DLT priority sample of a (doc_id, w) frame — the registered query's
+    core, split out so the n <= k exact mode is unit-testable."""
+    from pyspark.sql import Window
+
     key = F.concat(F.lit(_PRIO_SALT + "|"), F.col("doc_id").cast("string"))
     q = F.expr(
         f"CAST(w AS DECIMAL(38,0)) * CAST({_PRIO_M} AS DECIMAL(38,0))"
@@ -232,14 +242,25 @@ def priority_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "w", hash60(key).alias("h"))
         .select("doc_id", "w", q.alias("q"))
         .orderBy(F.col("q").desc(), "doc_id")
-        .limit(_PRIO_K + 1)
+        .limit(k + 1)
     )
     win = Window.orderBy(F.col("q").desc(), "doc_id")  # 65 rows: safe window
     ranked = top.select(
         "doc_id", "w", "q", F.row_number().over(win).cast("long").alias("rank")
     )
-    tau = ranked.agg(F.min("q").alias("tau"))  # the (k+1)-th priority
-    samp = ranked.filter(F.col("rank") <= _PRIO_K)
+    # tau = the (k+1)-th priority — except when the corpus has <= k rows:
+    # then ALL rows are sampled and DLT prescribes tau = 0, so the
+    # estimator collapses to sum(w) exactly (ADVICE r09; mirrors the KMV
+    # exact-mode branch). q >= w always, so a min-of-sample tau would
+    # strictly overestimate on tiny inputs.
+    tau = ranked.agg(
+        F.when(
+            F.count("*") <= k, F.lit(0).cast("decimal(38,0)")
+        )
+        .otherwise(F.min("q"))
+        .alias("tau")
+    )
+    samp = ranked.filter(F.col("rank") <= k)
     est = (
         samp.crossJoin(F.broadcast(tau))
         .agg(

@@ -679,8 +679,13 @@ def bloom_reuse_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     # phase 1 (the "yesterday" job): build and PERSIST the 1-row filter.
-    # shared per-process dir + overwrite: bench's 4 trials reuse one copy.
-    store = os.path.join(shared_tmpdir("bloom_store_"), "ingest_filter")
+    # shared per-(process, sf) dir + overwrite: bench's 4 trials reuse one
+    # copy, and two scale factors can never swap each other's persisted
+    # filter under a lazy reader (ADVICE r09).
+    store = os.path.join(
+        shared_tmpdir("bloom_store_", os.path.basename(sf_dir.rstrip("/"))),
+        "ingest_filter",
+    )
     bloom_build(dim, "c_custkey").write.mode("overwrite").parquet(store)
 
     # phase 2 (the "today" job): reload, re-broadcast, prune, re-check.
@@ -742,7 +747,11 @@ def bloom_reuse_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     sketch. Theorem (see above); oracle literal TRUE.
 # ---------------------------------------------------------------------------
 
-_STREAM_CM_ORACLE = """
+# The hash-row VALUES list is GENERATED from the same _CM_D constant the
+# engine plan uses (VERDICT r09): a hand-written (0),(1),(2),(3) would let a
+# geometry change drift the oracle and the engine apart in a way the
+# fixed-shape allowlist could mask. tests/test_sketches.py pins d alignment.
+_STREAM_CM_ORACLE = f"""
 WITH toks AS (
   SELECT unnest(regexp_extract_all(upper(text), '[A-Z][A-Z'']*')) AS token
   FROM documents
@@ -751,7 +760,7 @@ WITH toks AS (
 )
 SELECT CAST(t.j AS BIGINT) AS j, n.n AS row_mass,
        true AS cells_within_w, true AS stream_equals_batch
-FROM (VALUES (0), (1), (2), (3)) AS t(j), n
+FROM (VALUES {", ".join(f"({j})" for j in range(_CM_D))}) AS t(j), n
 ORDER BY j
 """
 
@@ -911,10 +920,13 @@ m_{tag} AS (
   ORDER BY h LIMIT {k}
 ),
 s_{tag} AS (
+  -- COALESCE: on an empty merge, sum() is NULL but the engine side emits
+  -- count('hb') = 0 — count semantics, matched here so the contract holds
+  -- on empty fixtures too (ADVICE r09)
   SELECT count(*) AS n_merged, max(h) AS tau,
-         CAST(sum(CASE WHEN h IN (SELECT h FROM sk_{aset})
+         CAST(COALESCE(sum(CASE WHEN h IN (SELECT h FROM sk_{aset})
                         AND h IN (SELECT h FROM sk_{bset})
-                  THEN 1 ELSE 0 END) AS BIGINT) AS kappa
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS kappa
   FROM m_{tag}
 ),
 e_{tag} AS (

@@ -230,14 +230,23 @@ def session_tmpdir(prefix: str) -> str:
 
 
 @functools.lru_cache(maxsize=None)
-def shared_tmpdir(prefix: str) -> str:
-    """One session_tmpdir per (process, prefix).
+def shared_tmpdir(prefix: str, scope: str = "") -> str:
+    """One session_tmpdir per (process, prefix, scope).
 
     For queries that rewrite the same detour data with mode("overwrite")
     on every invocation: bench's cold+3-trial protocol would otherwise
     accumulate four full copies on disk for the process lifetime
-    (ADVICE r08). Safe exactly because every write through it overwrites."""
-    return session_tmpdir(prefix)
+    (ADVICE r08). Safe exactly because every write through it overwrites.
+
+    scope: callers that persist per-scale-factor data (the ORC roundtrip,
+    the Bloom store) MUST pass the sf_dir basename — a prefix-only key
+    would hand two scale factors the same on-disk store, and because the
+    returned DataFrames read it LAZILY, invoking the operator for sf B
+    before collecting sf A's result would silently swap A's persisted
+    data for B's (ADVICE r09: wrong customer set pruned before the
+    exact re-check). One cached dir per (prefix, scope) closes that."""
+    safe = "".join(c if c.isalnum() or c in "._-" else "_" for c in scope)
+    return session_tmpdir(f"{prefix}{safe}_" if safe else prefix)
 
 
 # Fixture tables materialized by the test-data driver (TESTDATA.md).

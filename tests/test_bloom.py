@@ -96,6 +96,26 @@ def test_bloom_merge_geometry_mismatch_raises(spark):
         bloom_merge(a, b).collect()
 
 
+def test_bloom_merge_guard_survives_column_pruning(spark):
+    """Pins the ADVICE r09 fix: the mismatch guard must ride the 'bloom'
+    column itself, not only m_bits — a consumer that selects just the
+    filter map (the normal probe-without-stored-geometry shape) must
+    still hit the raise, or Catalyst column-prunes the guard away and a
+    merge of differently-built filters silently succeeds."""
+    import pytest
+
+    from mapreduce_sm_spark.functions.bloom import bloom_build, bloom_merge
+
+    keys = spark.range(0, 100).select(F.col("id").alias("k"))
+    a = bloom_build(keys, "k")
+    b = bloom_build(keys, "k", m_bits=1024)
+    with pytest.raises(Exception, match="geometry"):
+        bloom_merge(a, b).select("bloom").collect()
+    # matching geometry still passes through every projection
+    ok = bloom_merge(a, bloom_build(keys, "k")).select("bloom").collect()
+    assert len(ok) == 1 and ok[0]["bloom"]
+
+
 def test_bloom_probe_geometry_mismatch_raises(spark):
     import pytest
 

@@ -56,3 +56,34 @@ def test_all_batch_queries_survive_empty_inputs(spark, empty_sf_dir):
         except Exception as e:  # noqa: BLE001
             failures.append((name, str(e).splitlines()[0][:120]))
     assert not failures, f"queries crashed on empty inputs: {failures}"
+
+
+def test_kmv_empty_fixture_value_parity(spark, empty_sf_dir):
+    """Pins the ADVICE r09 fix at VALUE level (the blanket empty-input test
+    above is rows-only): on empty sets the engine emits count semantics
+    (kappa = 0, est_inter = 0) and the oracle's sum() must be COALESCEd
+    to match — a NULL-vs-0 divergence here is exactly what the row-count
+    check cannot see."""
+    import duckdb
+
+    from mapreduce_sm_spark.registry import load_all_operators
+    from mapreduce_sm_spark.session import TABLES
+
+    registry = load_all_operators()
+    q = registry.all()["kmv_audience_overlap"]
+    got = {
+        r["set_pair"]: (r["kappa"], r["est_inter"], r["n_merged"])
+        for r in q.fn(spark, empty_sf_dir).collect()
+    }
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{empty_sf_dir}/{t}.parquet/*.parquet'")
+    cur = con.execute(q.oracle)
+    cols = [d[0] for d in cur.description]
+    want = {}
+    for row in cur.fetchall():
+        d = dict(zip(cols, row))
+        want[d["set_pair"]] = (d["kappa"], d["est_inter"], d["n_merged"])
+    assert got == want, (got, want)
+    for kappa, est_inter, n_merged in got.values():
+        assert (kappa, est_inter, n_merged) == (0, 0, 0)

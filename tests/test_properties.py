@@ -223,3 +223,30 @@ def test_priority_sample_estimator_and_bias(spark, duck):
     (mean_w,) = duck.execute("SELECT avg(n_chars) FROM documents").fetchone()
     sample_mean = sum(r["weight"] for r in rows) / len(rows)
     assert sample_mean > mean_w, "sample is not weight-biased"
+
+
+def test_priority_sample_exact_when_corpus_fits(spark):
+    """Pins the ADVICE r09 fix: with n <= k every item is sampled, DLT
+    defines tau = 0, and the subset-sum estimate must equal the exact
+    total — not the strict overestimate a min-of-sample tau gives
+    (q = w*2^60/(h+1) >= w always)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.operators.sampling import priority_sample
+
+    weights = [3, 17, 101, 999, 42]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, w long"
+    )
+    rows = priority_sample(docs, k=64).collect()
+    assert len(rows) == len(weights)
+    assert rows[0]["est_total_weight"] == sum(weights)
+    assert rows[0]["exact_total_weight"] == sum(weights)
+    # boundary: n == k+1 leaves the normal tau path intact (est >= 0, all
+    # k rows emitted, tau from the (k+1)-th priority — just sanity here)
+    docs2 = spark.createDataFrame(
+        [(i, 10 + i) for i in range(6)], "doc_id long, w long"
+    )
+    rows2 = priority_sample(docs2, k=5).collect()
+    assert len(rows2) == 5
+    assert rows2[0]["exact_total_weight"] == sum(10 + i for i in range(6))

@@ -77,6 +77,24 @@ def test_shared_tmpdir_reuses_one_dir_per_prefix():
     assert session_tmpdir("t_fresh_") != session_tmpdir("t_fresh_")
 
 
+def test_shared_tmpdir_scoped_per_sf(tmp_path):
+    """Pins the ADVICE r09 fix: a persisted detour store (bloom filter, ORC
+    copy) must be keyed by (prefix, sf_dir) — one shared dir across scale
+    factors would let a later invocation overwrite the store a prior
+    LAZY result still reads, silently swapping its data."""
+    from mapreduce_sm_spark.session import shared_tmpdir
+
+    a = shared_tmpdir("t_scoped_", "sf0.001")
+    b = shared_tmpdir("t_scoped_", "sf0.01")
+    assert a != b
+    # same (prefix, scope) still reuses one dir
+    assert shared_tmpdir("t_scoped_", "sf0.001") == a
+    # scope lands in the dir name so a human can tell the stores apart
+    import os
+
+    assert "sf0.001" in os.path.basename(a)
+
+
 def test_orc_roundtrip_reuses_detour_dir(spark):
     from mapreduce_sm_spark.operators.formats import orc_roundtrip_stats
     from mapreduce_sm_spark.session import shared_tmpdir
@@ -85,7 +103,10 @@ def test_orc_roundtrip_reuses_detour_dir(spark):
     from tests.conftest import SF_DIR
 
     orc_roundtrip_stats(spark, SF_DIR).collect()
-    d = os.path.join(shared_tmpdir("orc_rt_"), "lineitem_orc")
+    d = os.path.join(
+        shared_tmpdir("orc_rt_", os.path.basename(SF_DIR.rstrip("/"))),
+        "lineitem_orc",
+    )
     before = sorted(os.listdir(d))
     orc_roundtrip_stats(spark, SF_DIR).collect()
     # same directory, overwritten in place — no second copy anywhere

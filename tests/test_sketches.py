@@ -186,6 +186,18 @@ def test_cm_contract_booleans_and_exact_side(spark, duck):
     assert all(r["exact_count"] == exact[r["token"]] for r in rows)
 
 
+def test_stream_cm_oracle_hash_rows_track_geometry():
+    """Pins VERDICT r09 item 3: the streaming-CM oracle's VALUES list is
+    generated from the same _CM_D constant the engine plan uses, so a
+    geometry change cannot drift the contract's row set."""
+    from mapreduce_sm_spark.operators.sketches import _CM_D, _STREAM_CM_ORACLE
+
+    values = [f"({j})" for j in range(_CM_D)]
+    assert ", ".join(values) in _STREAM_CM_ORACLE
+    # and no hash row beyond the geometry sneaks in
+    assert f"({_CM_D})" not in _STREAM_CM_ORACLE
+
+
 def test_kmv_merge_law_and_exact_mode(spark):
     """KMV mergeability theorem: the k smallest of (KMV(A) u KMV(B)) equals
     KMV(A u B) — computable from the per-set synopses without the raw
