@@ -46,6 +46,72 @@ def main() -> None:
         load1 = _load1()
     settled = load1 is not None and load1 < 1.0
 
+    # Contamination detector (VERDICT r09): load1 alone cannot flag a
+    # contaminated trial MID-bench, because the bench's own 32-core bursts
+    # drive load1 to 10+ even on an otherwise idle machine (measured in the
+    # settled r09 run). The separable signal is FOREIGN user-space CPU:
+    # per-process cpu deltas of every process that is (a) outside this
+    # process tree (python driver + local-mode JVM + pyspark workers),
+    # (b) not a kernel thread (kworkers do OUR writeback/shuffle flushes),
+    # and (c) alive at both ends of the trial — a genuine contaminating
+    # job (another Spark JVM, a test run) is long-lived, while
+    # total-minus-tree accounting falsely charges exited pyspark workers
+    # and kernel threads to "external" (measured: up to 2.6 phantom cores
+    # on an idle box). A trial with > _EXT_CORES_MAX average foreign cores
+    # is stamped contaminated and re-run (bounded), so a reader of the
+    # JSON alone can tell settled numbers from polluted ones.
+    _CLK_TCK = os.sysconf("SC_CLK_TCK")
+
+    def _proc_snapshot() -> dict[int, tuple[int, float]] | None:
+        """pid -> (ppid, utime+stime seconds) for every process."""
+        try:
+            snap: dict[int, tuple[int, float]] = {}
+            for d in os.listdir("/proc"):
+                if not d.isdigit():
+                    continue
+                try:
+                    with open(f"/proc/{d}/stat") as fh:
+                        rest = fh.read().rsplit(")", 1)[1].split()
+                except (OSError, IndexError):
+                    continue  # raced a process exit
+                snap[int(d)] = (
+                    int(rest[1]),
+                    (int(rest[11]) + int(rest[12])) / _CLK_TCK,
+                )
+            return snap
+        except OSError:
+            return None
+
+    def _descendants(snap: dict[int, tuple[int, float]], root: int) -> set[int]:
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _) in snap.items():
+            kids.setdefault(ppid, []).append(pid)
+        out: set[int] = set()
+        stack = [root]
+        while stack:
+            pid = stack.pop()
+            if pid in out:
+                continue
+            out.add(pid)
+            stack.extend(kids.get(pid, ()))
+        return out
+
+    def _foreign_cpu(
+        s0: dict[int, tuple[int, float]], s1: dict[int, tuple[int, float]]
+    ) -> float:
+        me = os.getpid()
+        ours = _descendants(s0, me) | _descendants(s1, me)
+        kernel = _descendants(s0, 2) | _descendants(s1, 2)
+        total = 0.0
+        for pid, (_, cpu1) in s1.items():
+            if pid in ours or pid in kernel or pid == 1 or pid not in s0:
+                continue
+            total += max(0.0, cpu1 - s0[pid][1])
+        return total
+
+    _EXT_CORES_MAX = 0.5  # avg external cores during a trial before we flag it
+    _MAX_EXTRA_TRIALS = 2  # bounded re-runs per query when trials come back dirty
+
     registry = load_all_operators()
     spark = get_spark("bench")
 
@@ -70,14 +136,29 @@ def main() -> None:
     cold: dict[str, float] = {}
     raw_trials: dict[str, list[float]] = {}
     per_query_load1: dict[str, float | None] = {}
+    ext_cores: dict[str, list[float | None]] = {}
+    contaminated: dict[str, bool | None] = {}
     for q in registry.headline():
         per_query_load1[q.name] = _load1()
         trials: list[float] = []
-        for trial in range(3):
+        dirty: list[bool | None] = []
+        cores_seen: list[float | None] = []
+
+        def _one_trial() -> None:
+            s0 = _proc_snapshot()
             t0 = time.time()
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            trials.append(round(time.time() - t0, 3))
+            wall = time.time() - t0
+            s1 = _proc_snapshot()
+            trials.append(round(wall, 3))
+            if s0 is None or s1 is None or wall <= 0:
+                cores_seen.append(None)
+                dirty.append(None)  # detector unavailable: unknown, not clean
+            else:
+                ext = _foreign_cpu(s0, s1) / wall
+                cores_seen.append(round(ext, 2))
+                dirty.append(ext > _EXT_CORES_MAX)
             # drop anything the query persisted: later runs must re-read
             # and re-shuffle everything (protocol), and without this the
             # BlockManager accumulates every cached frame across the whole
@@ -88,9 +169,37 @@ def main() -> None:
             # driver-side RDD is garbage collected — force that so one
             # query's checkpoint blocks never squeeze the next query
             jvm_gc()
+
+        for trial in range(3):
+            _one_trial()
+        # auto-rerun (bounded): if every warm trial was externally polluted,
+        # buy up to _MAX_EXTRA_TRIALS clean ones before settling for the
+        # contaminated minimum — and say so either way.
+        extra = 0
+        while (
+            extra < _MAX_EXTRA_TRIALS
+            and not any(d is False for d in dirty[1:])
+            and any(dirty[1:])
+        ):
+            extra += 1
+            _one_trial()
         cold[q.name] = trials[0]
-        times[q.name] = min(trials[1:])
+        warm = [
+            (t, d) for t, d in zip(trials[1:], dirty[1:], strict=True)
+        ]
+        clean_warm = [t for t, d in warm if d is False]
+        times[q.name] = min(clean_warm) if clean_warm else min(t for t, _ in warm)
         raw_trials[q.name] = trials
+        ext_cores[q.name] = cores_seen
+        # contaminated = the recorded headline number itself is suspect:
+        # no clean warm trial existed (True), detector unreadable (None),
+        # else False. Flagged per query so the driver tail is self-describing.
+        if clean_warm:
+            contaminated[q.name] = False
+        elif any(d is None for d in dirty[1:]):
+            contaminated[q.name] = None
+        else:
+            contaminated[q.name] = True
 
     total = round(sum(times.values()), 3)
     doc = {
@@ -107,6 +216,16 @@ def main() -> None:
                 # re-run. trials[0] is the cold run; the headline value
                 # stays best-of-trials-2..3.
                 "trials": raw_trials,
+                # VERDICT r09 "What's wrong" 1: per-trial avg FOREIGN cores
+                # (cpu deltas of live user-space processes outside this
+                # process tree) and a per-query contaminated flag — True
+                # means every warm trial, including bounded re-runs, ran
+                # against > 0.5 foreign cores and the recorded number is
+                # suspect; None means the /proc detector was unreadable.
+                # The headline value prefers the fastest CLEAN warm trial
+                # when one exists.
+                "external_cores_by_trial": ext_cores,
+                "contaminated": contaminated,
                 "load1_before_query": per_query_load1,
                 "protocol": "warm: best of runs 2-3 of 3/query, data uncached, "
                 + "inter-trial GC, "
