@@ -504,17 +504,7 @@ def _minhash_verified_pairs(
     release_caches(tag)  # one-generation discipline
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     track_caches(tag, docs)
-    sig = _minhash_sigs(docs)
-    banded = sig.select("doc_id", *_band_cols_spark())
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(i).alias("band_idx"), F.col(f"b{i}").alias("bh"))
-            for i in range(_MH_BANDS)
-        ]
-    )
-    bands = banded.select("doc_id", F.explode(band_structs).alias("e")).select(
-        "doc_id", "e.band_idx", "e.bh"
-    )
+    bands = _band_rows(_minhash_sigs(docs))
     probe = bands
     if new_min is not None:
         # incremental: probe side = NEW docs only (1-row broadcast
@@ -524,8 +514,37 @@ def _minhash_verified_pairs(
             .filter(F.col("doc_id") >= F.col("new_min"))
             .drop("new_min")
         )
-    a, b = bands.alias("a"), probe.alias("b")
-    cand = (
+    cand = _band_candidates(bands, probe)
+    sets = docs.select(
+        "doc_id", F.size("h60").alias("n"), F.col("h60").alias("hs")
+    )
+    return _exact_verify(cand, sets)
+
+
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, bh) — the LSH band index rows of a signature
+    frame, one row per (doc, band). This IS the storable index: persisting
+    this frame to parquet and probing it later is the cross-job reuse path
+    (dedup_minhash_persisted)."""
+    banded = sig.select("doc_id", *_band_cols_spark())
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(i).alias("band_idx"), F.col(f"b{i}").alias("bh"))
+            for i in range(_MH_BANDS)
+        ]
+    )
+    return banded.select("doc_id", F.explode(band_structs).alias("e")).select(
+        "doc_id", "e.band_idx", "e.bh"
+    )
+
+
+def _band_candidates(build: DataFrame, probe: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from a band-bucket equality join of
+    two (doc_id, band_idx, bh) frames, doc_a < doc_b, deduped across
+    bands. Asymmetric by design: the probe side can be a small NEW batch
+    against a big stored build index."""
+    a, b = build.alias("a"), probe.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -537,9 +556,11 @@ def _minhash_verified_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sets = docs.select(
-        "doc_id", F.size("h60").alias("n"), F.col("h60").alias("hs")
-    )
+
+
+def _exact_verify(cand: DataFrame, sets: DataFrame) -> DataFrame:
+    """Join candidate pairs back to their shingle-hash sets (doc_id, n,
+    hs) and keep exact integer-pm4 Jaccard >= threshold."""
     pairs = (
         cand.join(
             sets.select(
@@ -621,6 +642,96 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_verified_pairs(
         spark, sf_dir, tag="dedup.minhash_incr", new_min=new_min
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Persisted-index incremental near-dedup (VERDICT r09 item 4) — the shape
+# daily ingest ACTUALLY takes at 100 TB: yesterday's job left the band
+# index (and the shingle-hash sets the exact verify needs) as parquet
+# tables; today's job loads them, computes bands for the NEW batch only,
+# and probes loaded-index + new-bands with the new batch. The OLD corpus
+# is never re-shingled, never re-signed, and OLD-OLD pairs are
+# structurally impossible: the probe side contains only NEW doc_ids, so
+# every emitted pair has its larger id in the new batch.
+#
+# dedup_minhash_incremental (above) proves the asymmetric-probe SEMANTICS
+# but rebuilds its index in-job; this operator proves the CYCLE —
+# build -> parquet -> reload -> probe — the same way bloom_reuse_
+# prune_orders does for the Bloom filter. The oracle is the full
+# recompute (pairs whose larger id is NEW), so oracle equality IS the
+# proof that the round-tripped index lost nothing: a dropped index row
+# could only ever LOSE a candidate pair (one-sided), and any lost pair
+# with J >= t would show as a missing oracle row.
+#
+# Fixture caveat (same as bloom_reuse): phase 1 is rebuilt here because
+# fixtures are stateless; in production it is yesterday's phase-2 output.
+# ---------------------------------------------------------------------------
+
+
+@REGISTRY.register(
+    "dedup_minhash_persisted",
+    oracle=_MINHASH_INCR_ORACLE,
+    description="persisted MinHash band index: build->parquet->reload->probe with the new batch",
+    tags=("dedup", "lsh", "incremental", "persist", "scale"),
+)
+def dedup_minhash_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from mapreduce_sm_spark.session import shared_tmpdir
+
+    docs = fan_out(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(char_shingles("text", _JACCARD_K)),
+            lambda s: hash60(s),
+        ).alias("h60"),
+    )
+    release_caches("dedup.minhash_persist")
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    track_caches("dedup.minhash_persist", docs)
+    thr = docs.agg(
+        F.expr("4 * max(doc_id) div 5").cast("long").alias("new_min")
+    )
+
+    # phase 1 (the "yesterday" job): shingle, sign, and band the OLD
+    # corpus; persist its band index and shingle-hash sets. Both writes
+    # are mode("overwrite") into a per-(process, sf) store, so bench's
+    # trials reuse one copy and scale factors never collide.
+    old = (
+        docs.crossJoin(F.broadcast(thr))
+        .filter(F.col("doc_id") < F.col("new_min"))
+        .drop("new_min")
+    )
+    store = shared_tmpdir(
+        "mh_index_", os.path.basename(sf_dir.rstrip("/"))
+    )
+    idx_path = os.path.join(store, "band_index")
+    sets_path = os.path.join(store, "shingle_sets")
+    _band_rows(_minhash_sigs(old)).write.mode("overwrite").parquet(idx_path)
+    old.write.mode("overwrite").parquet(sets_path)
+
+    # phase 2 (the "today" job): reload the index, band ONLY the new
+    # batch, probe. Build side = loaded index UNION new bands (so
+    # NEW-NEW pairs form too); probe side = new bands only (so OLD-OLD
+    # pairs cannot).
+    loaded_idx = spark.read.parquet(idx_path)
+    loaded_sets = spark.read.parquet(sets_path)
+    new = (
+        docs.crossJoin(F.broadcast(thr))
+        .filter(F.col("doc_id") >= F.col("new_min"))
+        .drop("new_min")
+    )
+    new_bands = _band_rows(_minhash_sigs(new))
+    cand = _band_candidates(loaded_idx.unionByName(new_bands), new_bands)
+    # exact verify: OLD sets come from the store (the old corpus is not
+    # re-shingled), NEW sets from the in-job frame
+    sets = (
+        loaded_sets.unionByName(new)
+        .select("doc_id", F.size("h60").alias("n"), F.col("h60").alias("hs"))
+    )
+    return _exact_verify(cand, sets).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------

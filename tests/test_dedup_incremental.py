@@ -32,3 +32,50 @@ def test_incremental_equals_full_minus_old_old(spark):
     # the split is non-degenerate on the fixtures: some pairs touch the
     # new batch and some are OLD-OLD (otherwise the test proves nothing)
     assert 0 < len(incr) < len(full)
+
+
+def test_persisted_index_equals_incremental_and_reloads(spark):
+    """dedup_minhash_persisted must produce EXACTLY the in-job incremental
+    result — the build->parquet->reload->probe cycle may lose nothing
+    (a dropped index row can only LOSE a pair, so set equality is the
+    no-loss proof) and invent nothing (probe side is new-batch only, so
+    OLD-OLD pairs are structurally impossible)."""
+    import os
+
+    from mapreduce_sm_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        dedup_minhash_persisted,
+    )
+    from mapreduce_sm_spark.session import shared_tmpdir
+
+    got = {tuple(r) for r in dedup_minhash_persisted(spark, SF_DIR).collect()}
+    want = {
+        tuple(r) for r in dedup_minhash_incremental(spark, SF_DIR).collect()
+    }
+    assert got == want and got
+
+    # the store exists, is per-sf, and holds both halves of the state a
+    # production daily job would reload (band index + shingle sets)
+    store = shared_tmpdir("mh_index_", os.path.basename(SF_DIR.rstrip("/")))
+    assert os.path.isdir(os.path.join(store, "band_index"))
+    assert os.path.isdir(os.path.join(store, "shingle_sets"))
+
+    # second invocation overwrites in place (no copy accumulation) and
+    # still matches
+    again = {tuple(r) for r in dedup_minhash_persisted(spark, SF_DIR).collect()}
+    assert again == want
+
+
+def test_persisted_index_plan_probes_reloaded_parquet(spark):
+    """Plan shape: the probe plan must SCAN the reloaded band-index
+    parquet (the old corpus is not re-shingled — no second shingling
+    subtree for old docs), and the probe side must carry the new-batch
+    id filter so OLD-OLD pairs can never form after reload."""
+    from mapreduce_sm_spark.operators.dedup import dedup_minhash_persisted
+
+    df = dedup_minhash_persisted(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "band_index" in plan, "probe does not scan the persisted index"
+    assert "shingle_sets" in plan, "verify does not read the persisted sets"
+    # the new-batch restriction survives into the physical plan
+    assert "new_min" in plan or ">= " in plan
