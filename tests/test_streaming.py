@@ -575,3 +575,88 @@ def test_stream_countmin_multibatch_fold_equals_batch(spark, tmp_path):
     got = {(r["j"], r["b"]): r["cnt"] for r in streamed.collect()}
     want = {(r["j"], r["b"]): r["cnt"] for r in batch.collect()}
     assert got == want
+
+
+def test_stream_bitmap_equality_contract(spark, duck):
+    from mapreduce_sm_spark.operators.sketches import stream_bitmap_equality
+
+    df = stream_bitmap_equality(spark, SF_DIR)
+    assert df.columns == [
+        "event_type", "n_buckets", "exact_users",
+        "stream_equals_batch", "bitmap_count_ok",
+    ]
+    rows = df.collect()
+    exact = dict(
+        duck.execute(
+            "SELECT event_type, count(DISTINCT user_id)"
+            " FROM events GROUP BY event_type"
+        ).fetchall()
+    )
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["exact_users"] == exact[r["event_type"]]
+        assert r["stream_equals_batch"] and r["bitmap_count_ok"]
+
+
+def test_stream_bitmap_multibatch_or_equals_batch(spark, tmp_path):
+    """Force >= 2 micro-batches (split the events fixture, maxFilesPer
+    Trigger=1) and check the streamed bitmap cells still equal the batch
+    cells — the cross-batch OR fold through RocksDB binary state, not a
+    single-batch degenerate run. Splitting by user parity guarantees the
+    SAME (event_type, bucket) keys receive bits from BOTH batches."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.session import table
+    from mapreduce_sm_spark.streaming.bitmap_stream import (
+        BITMAP_BITS,
+        bits_md5_py,
+        run_stream_bitmap,
+    )
+
+    ev = table(spark, SF_DIR, "events").select("event_type", "user_id")
+    split_dir = str(tmp_path / "ev_split")
+    os.makedirs(split_dir)
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(split_dir, "even.d")
+    )
+    ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(split_dir, "odd.d")
+    )
+    flat = str(tmp_path / "ev_flat")
+    os.makedirs(flat)
+    i = 0
+    for sub in ("even.d", "odd.d"):
+        for f in os.listdir(os.path.join(split_dir, sub)):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(split_dir, sub, f),
+                    os.path.join(flat, f"part-{i}.parquet"),
+                )
+                i += 1
+    assert i >= 2
+
+    streamed = run_stream_bitmap(
+        spark, flat, query_name="t_stream_bm_split",
+        glob="*.parquet", max_files_per_trigger=1,
+    )
+    batch = (
+        ev.select(
+            "event_type",
+            F.expr(f"user_id div {BITMAP_BITS}").cast("long").alias("bucket"),
+            F.pmod("user_id", F.lit(BITMAP_BITS)).cast("long").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sort_array(F.collect_set("pos")).alias("ps"))
+        .collect()
+    )
+    want = {
+        (r["event_type"], r["bucket"]): (len(r["ps"]), bits_md5_py(r["ps"]))
+        for r in batch
+    }
+    got = {
+        (r["event_type"], r["bucket"]): (r["n_bits"], r["bits_md5"])
+        for r in streamed.collect()
+    }
+    assert got == want
