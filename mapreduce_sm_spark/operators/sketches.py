@@ -1157,3 +1157,175 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pair_row("building_customers_x", bldg))
         .orderBy("set_pair")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k RANK sketch — the QUANTILE member of the sketch family
+# (VERDICT r09 item 7). Catalyst's approx_percentile is a quantile
+# sketch, but an engine-internal one: not persistable, not inspectable,
+# not oracle-replayable. This synopsis is all three, on the same terms
+# as KMV/CM/Bloom: keep the k rows whose hash60(key) is smallest — a
+# uniform-without-replacement row sample that is MERGEABLE exactly like
+# KMV (the bottom-k of a union is computable from per-shard bottom-k
+# synopses: any row in bottom-k(A u B) is in bottom-k of its own shard),
+# persistable as a k-row parquet table, and — because DuckDB computes
+# hash60 bit-for-bit — replayed WHOLE by the oracle, every emitted value
+# hash-checked. Public literature: Cohen & Kaplan, "Summarizing data
+# using bottom-k sketches" (PODC 2007); the quantile read-out is the
+# classical sample-quantile estimator (rank ceil(q*k) of the sorted
+# sample estimates the rank-ceil(q*n) order statistic with rank error
+# O(n/sqrt(k)) w.h.p.).
+#
+# Contract columns (one row per quantile level, all exact integers):
+#   level_ppm   — the quantile level in parts-per-million
+#   est_cents   — sketch estimate: sample value at rank ceil(q*k_used)
+#   exact_cents — true order statistic at rank ceil(q*n) (rank-based,
+#                 no interpolation, so it is an exact integer)
+#   est_rank    — |{x : x <= est_cents}| in the FULL data: the reader
+#                 can see the rank error est_rank/n - q directly
+#   n_rows, k_used — the sizes that parameterize both estimators
+#
+# Scale posture: the SKETCH path is a TakeOrdered(k) (per-partition
+# bottom-k + one tiny reduce — the KMV plan) plus O(k)-row windows; the
+# est_rank column is one partial-aggregable conditional count per scan.
+# The exact_cents column is the one corpus-sorted cost and exists only
+# to serve the oracle contract — the same explicitly-stated trade the
+# KMV exact columns make.
+# ---------------------------------------------------------------------------
+
+from mapreduce_sm_spark.functions.hashing import hash60, hash60_sql  # noqa: E402
+
+_QSK_K = 256
+_QSK_SALT = "qsketch"
+_QSK_LEVELS_PPM = (100000, 250000, 500000, 750000, 900000, 990000)
+
+
+def _qsk_bottom_k(vals: DataFrame, k: int = _QSK_K) -> DataFrame:
+    """The persistable synopsis: k rows of (key, cents, h) with smallest
+    h = hash60('qsketch|' || key), total-ordered by (h, key). Merge law:
+    bottom-k(A u B) == bottom-k(bottom-k(A) u bottom-k(B)) on distinct
+    keys — pinned in tests/test_sketches.py."""
+    key = F.concat(F.lit(_QSK_SALT + "|"), F.col("key").cast("string"))
+    return (
+        vals.select("key", "cents", hash60(key).alias("h"))
+        .orderBy("h", "key")
+        .limit(k)
+    )
+
+
+_QSK_ORACLE = f"""
+WITH v AS (
+  SELECT o_orderkey AS key, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM v),
+sk AS (
+  SELECT key, cents,
+         {hash60_sql("key::VARCHAR", salt=_QSK_SALT)} AS h
+  FROM v
+  ORDER BY h, key
+  LIMIT {_QSK_K}
+),
+ks AS (SELECT CAST(count(*) AS BIGINT) AS k_used FROM sk),
+sv AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, key) AS rs FROM sk
+),
+fv AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, key) AS rn FROM v
+),
+lv AS (
+  SELECT unnest([{", ".join(str(p) for p in _QSK_LEVELS_PPM)}]) AS level_ppm
+),
+est AS (
+  SELECT l.level_ppm,
+         (SELECT sv.cents FROM sv, ks
+          WHERE sv.rs = (l.level_ppm * ks.k_used + 999999) // 1000000) AS est_cents,
+         (SELECT fv.cents FROM fv, n
+          WHERE fv.rn = (l.level_ppm * n.n_rows + 999999) // 1000000) AS exact_cents
+  FROM lv l
+)
+SELECT CAST(e.level_ppm AS BIGINT) AS level_ppm, e.est_cents, e.exact_cents,
+       (SELECT CAST(count(*) AS BIGINT) FROM v WHERE v.cents <= e.est_cents)
+           AS est_rank,
+       n.n_rows, ks.k_used
+FROM est e, n, ks
+ORDER BY level_ppm
+"""
+
+
+@REGISTRY.register(
+    "quantile_sketch_order_price",
+    oracle=_QSK_ORACLE,
+    description="bottom-k rank sketch: mergeable quantile synopsis with exact-rank contract, oracle replays the sketch",
+    tags=("sketch", "quantile", "contract", "scale"),
+)
+def quantile_sketch_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per level: (level_ppm, est_cents, exact_cents, est_rank, n_rows,
+    k_used) over orders' total price in cents."""
+    from pyspark.sql import Window
+
+    vals = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    sk = _qsk_bottom_k(vals)  # TakeOrdered(k): the sketch path
+    ks = sk.agg(F.count("*").cast("long").alias("k_used"))
+    n = vals.agg(F.count("*").cast("long").alias("n_rows"))
+
+    levels = F.array(*[F.lit(int(p)) for p in _QSK_LEVELS_PPM])
+    lv = (
+        spark.range(1)
+        .select(F.explode(levels).alias("p"))
+        .select(F.col("p").cast("long").alias("level_ppm"))
+    )
+
+    # sample read-out: rank within the <= k-row synopsis (safe window)
+    sw = Window.orderBy("cents", "key")
+    sv = sk.select("cents", F.row_number().over(sw).cast("long").alias("rs"))
+    est = (
+        lv.crossJoin(F.broadcast(ks))
+        .withColumn(
+            "target_rs",
+            F.expr("(level_ppm * k_used + 999999) div 1000000").cast("long"),
+        )
+        .join(F.broadcast(sv), F.col("rs") == F.col("target_rs"))
+        .select("level_ppm", "k_used", F.col("cents").alias("est_cents"))
+    )
+
+    # exact order statistic — corpus-sorted, an oracle-service cost (see
+    # section comment); single-partition window is the documented price
+    fw = Window.orderBy("cents", "key")
+    fv = vals.select(
+        "cents", F.row_number().over(fw).cast("long").alias("rn")
+    )
+    exact = (
+        lv.crossJoin(F.broadcast(n))
+        .withColumn(
+            "target_rn",
+            F.expr("(level_ppm * n_rows + 999999) div 1000000").cast("long"),
+        )
+        .join(fv, F.col("rn") == F.col("target_rn"))
+        .select("level_ppm", "n_rows", F.col("cents").alias("exact_cents"))
+    )
+
+    # est_rank: one partial-aggregable conditional count per scan — the
+    # 6-row est frame broadcasts onto the fact scan, no shuffle of vals
+    ranks = (
+        vals.crossJoin(F.broadcast(est.select("level_ppm", "est_cents")))
+        .groupBy("level_ppm")
+        .agg(
+            F.sum(F.when(F.col("cents") <= F.col("est_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("est_rank")
+        )
+    )
+
+    return (
+        est.join(exact, "level_ppm")
+        .join(ranks, "level_ppm")
+        .select(
+            "level_ppm", "est_cents", "exact_cents", "est_rank",
+            "n_rows", "k_used",
+        )
+        .orderBy("level_ppm")
+    )

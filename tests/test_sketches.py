@@ -237,3 +237,70 @@ def test_kmv_estimates_within_theory_bounds(spark):
             assert abs(r["est_inter"] - r["exact_inter"]) <= max(
                 0.5 * r["exact_inter"], 20
             )
+
+
+def test_qsketch_merge_law_across_shard_partials(spark):
+    """Bottom-k rank-sketch merge law (VERDICT r09 item 7): the bottom-k
+    of a union is computable from per-shard bottom-k synopses — sketch
+    two disjoint shards separately, merge the two k-row partials, and
+    the result must equal the sketch built over the whole table in one
+    pass. Same theorem class as KMV (any row in bottom-k(A u B) is in
+    the bottom-k of its own shard)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.operators.sketches import _QSK_K, _qsk_bottom_k
+
+    vals = spark.range(0, 5000).select(
+        F.col("id").alias("key"), (F.col("id") * 37 % 9973).alias("cents")
+    )
+    a = vals.filter(F.col("key") % 2 == 0)
+    b = vals.filter(F.col("key") % 2 == 1)
+    merged = _qsk_bottom_k(
+        _qsk_bottom_k(a).unionAll(_qsk_bottom_k(b))
+    )
+    direct = _qsk_bottom_k(vals)
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in direct.collect()
+    )
+    assert direct.count() == _QSK_K
+
+    # exact mode: fewer rows than k -> the synopsis IS the data
+    tiny = vals.limit(50)
+    assert _qsk_bottom_k(tiny).count() == 50
+
+
+def test_qsketch_contract_rank_error_and_exact_side(spark, duck):
+    """The contract's own columns must expose a sane estimator: per
+    level, the exact side matches DuckDB's rank-based order statistic,
+    and the sketch estimate's TRUE rank (est_rank/n) sits within a
+    5/sqrt(k) envelope of the requested level (k=256 -> ~31%... use the
+    measured-deterministic tighter 4 sigma ~ 25%; estimates are
+    deterministic for fixed data + hash so this pins sanity, not luck)."""
+    from mapreduce_sm_spark.operators.sketches import (
+        _QSK_K,
+        quantile_sketch_order_price,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = quantile_sketch_order_price(spark, SF_DIR).collect()
+    assert [r["level_ppm"] for r in rows] == [
+        100000, 250000, 500000, 750000, 900000, 990000,
+    ]
+    for r in rows:
+        (exact,) = duck.execute(
+            f"""
+            WITH v AS (SELECT o_orderkey AS key,
+                              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                       FROM orders),
+            fv AS (SELECT cents, row_number() OVER (ORDER BY cents, key) AS rn
+                   FROM v)
+            SELECT cents FROM fv, (SELECT count(*) AS n FROM v)
+            WHERE rn = ({r["level_ppm"]} * n + 999999) // 1000000
+            """
+        ).fetchone()
+        assert r["exact_cents"] == exact
+        level = r["level_ppm"] / 1e6
+        got_rank = r["est_rank"] / r["n_rows"]
+        assert abs(got_rank - level) <= 4.0 / (_QSK_K ** 0.5), (
+            r["level_ppm"], got_rank,
+        )
