@@ -49,91 +49,82 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
 
 from mapreduce_sm_spark.registry import REGISTRY
 
-# Round-9 driver window: the external correctness gate verifies the first 50
-# entries of queries(). r08 went 50/50 green; per VERDICT r08 item 1 this
-# round FINISHES the staleness rotation the r07 verdict started:
-# (1) the 3 operators that landed after r08's committed evidence refresh
-#     and therefore have NO driver row at all (countmin_token_freq,
-#     bloom_semi_prune_orders, orc_roundtrip_stats — judge-verified 3/3
-#     at sf0.01 but never driver-seen; a never-driver-seen row outranks
-#     everything else).
-# (2) the queries NEW this round: bloom_reuse_prune_orders (VERDICT item
-#     4 — the persisted-filter build->parquet->reload->probe cycle; the
-#     oracle equality IS the round-trip's no-false-negative proof) and
-#     stream_countmin_equality (VERDICT item 5 — Count-Min built as a
-#     RocksDB stateful stream, asserted cell-for-cell equal to the batch
-#     sketch; the sketch family's mergeability claim, measured).
-# (3) ALL 31 rows last driver-seen in r04 — the full remainder the r08
-#     note promised would rotate here (q1/q2/q3/q5/q10/q11/q15/q18, the
-#     join/setop/olap block, json_schema_parse_events,
-#     funnel_view_click_purchase, etc.). After this window, no registered
-#     query's freshest driver row predates r06.
-# (4) the remaining 11 slots go to the OLDEST third of the r06 cohort,
-#     riskiest oracles first (graph kernel, banded dedup miners, the ANN
-#     recall contract, streaming session windows, the UDAF surface).
-#     tfidf_top_terms, pipe_syntax_rollup and skew_salted_agg yielded
-#     their slots to the three late-round new queries
-#     (kmv_audience_overlap, priority_sample_documents,
-#     stream_bloom_scrub_events) — never-driver-seen outranks stale.
-# Dropped to make room: everything green in r07/r08 under its current
-# output shape. Still out after this round: 26 r06 rows + the r07/r08
-# cohorts — all stay covered by tests/test_oracle_parity.py (sf0.001)
-# and the sf0.01 pandas-path local gate; they rotate in r10.
+# Round-10 driver window: the external correctness gate verifies the first
+# 50 entries of queries(). r09 finished the r04-stale rotation (histogram
+# after r09: 29 x r06, 49 x r07, 50 x r08, 50 x r09 — no row older than
+# r06); VERDICT r09 item 1 asks this round to front the full r06 remnant
+# plus the oldest r07 rows. Composition:
+# (1) the 3 queries NEW this round, never driver-seen (never-seen
+#     outranks stale): dedup_minhash_persisted (VERDICT item 4 — the
+#     band index's build->parquet->reload->probe cycle),
+#     stream_bitmap_equality (item 6 — bitmap OR proven across RocksDB
+#     micro-batches, completing the provable half of the streaming
+#     trilogy), quantile_sketch_order_price (item 7 — mergeable bottom-k
+#     rank sketch, oracle replays the whole synopsis).
+# (2) ALL 29 rows whose freshest driver row is r06 (the complete
+#     remnant; VERDICT said 26 but three r06 rows that yielded slots to
+#     late-r09 arrivals are counted here too — after this window no
+#     registered query's freshest driver row predates r07).
+# (3) the remaining 18 slots go to the riskiest-oracle r07 rows:
+#     streaming/stateful ops, CDC/IVM, the graph kernel, sparse cosine,
+#     the edit-distance miner, source/sink round trips, UDTF surface.
+# Still out after this round: 31 r07 rows + the r08/r09 cohorts — all
+# covered every pytest run by tests/test_oracle_parity.py (sf0.001) and
+# by the sf0.01 pandas-path local gate; they rotate in r11.
 REGISTRY.set_front(
     (
-        # --- (1) never driver-seen (landed after the r08 evidence refresh) ---
-        "countmin_token_freq",
-        "bloom_semi_prune_orders",
-        "orc_roundtrip_stats",
-        # --- (2) new this round ---
-        "bloom_reuse_prune_orders",
-        "stream_countmin_equality",
-        "kmv_audience_overlap",
-        "priority_sample_documents",
-        "stream_bloom_scrub_events",
-        # --- (3) all 31 rows last driver-seen r04 ---
-        "q1_pricing_summary",
-        "q2_min_per_group",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "q10_top_lost_revenue",
-        "q11_revenue_concentration",
-        "q15_top_supplier",
-        "q18_large_quantity_orders",
-        "agg_distinct_segments",
-        "collect_set_statuses",
-        "cube_orders",
-        "dataset_mixture_weights",
-        "date_arithmetic_orders",
-        "dedup_cluster_size_histogram",
-        "exists_discounted_orders",
-        "funnel_view_click_purchase",
-        "fuzzy_source_names",
-        "grouping_sets_orders",
-        "inverted_index_topdocs",
-        "join_anti_no_orders",
-        "join_outer_order_counts",
-        "join_semi_big_spenders",
-        "json_schema_parse_events",
-        "lateral_top2_orders",
-        "mode_event_type_per_user",
-        "null_semantics_outer",
-        "or_predicate_revenue",
-        "pivot_orders_by_priority",
-        "profile_orders_columns",
-        "recursive_month_spine",
-        "stratified_sample_quota",
-        # --- (4) oldest r06 rows, riskiest oracles first ---
-        "graph_triangle_count",
-        "corpus_near_dedup",
-        "dedup_minhash",
-        "dedup_ngram_jaccard",
-        "ann_ivf_recall_check",
-        "ann_bruteforce_topk",
-        "ann_lsh_topk",
-        "stream_session_windows",
-        "udaf_weighted_avg",
-        "csv_roundtrip_stats",
-        "multimodal_resize_features",
+        # --- (1) new this round, never driver-seen ---
+        "dedup_minhash_persisted",
+        "stream_bitmap_equality",
+        "quantile_sketch_order_price",
+        # --- (2) the complete r06 remnant (29 rows) ---
+        "anomaly_zscore_events",
+        "array_functions_surface",
+        "arrow_doc_stats",
+        "arrow_grouped_event_stats",
+        "chunk_documents_plan",
+        "collation_token_counts",
+        "doc_length_deciles",
+        "embedding_norm_quantiles",
+        "embedding_similar_pairs",
+        "histogram_event_values",
+        "key_skew_diagnostics",
+        "percentiles_order_price",
+        "pipe_syntax_rollup",
+        "pmi_collocations",
+        "promo_revenue_ratio",
+        "q17_small_quantity_revenue",
+        "rollup_lineitem",
+        "scalar_functions",
+        "scalar_subquery_part_avg",
+        "skew_salted_agg",
+        "stats_moments_lineitem",
+        "text_quality_stats",
+        "tfidf_top_terms",
+        "training_shard_manifest",
+        "window_distribution_funcs",
+        "window_lag_lead_events",
+        "window_rank_top_orders",
+        "window_running_total",
+        "zorder_bucket_stats",
+        # --- (3) 18 riskiest-oracle r07 rows ---
+        "pagerank_supply_graph",
+        "dedup_edit_distance",
+        "tf_cosine_pairs",
+        "corpus_curation_report",
+        "stream_dedup_events",
+        "stream_sink_roundtrip",
+        "stream_static_enrich",
+        "session_window_events",
+        "incremental_agg_maintenance",
+        "scd2_point_in_time_join",
+        "custom_source_roundtrip",
+        "schema_evolution_stats",
+        "xml_roundtrip_stats",
+        "number_format_roundtrip",
+        "udtf_dynamic_kv",
+        "udtf_table_arg_reduce",
+        "pandas_api_rollup",
+        "variant_props_stats",
     )
 )
