@@ -54,18 +54,20 @@ from mapreduce_sm_spark.registry import REGISTRY
 # after r09: 29 x r06, 49 x r07, 50 x r08, 50 x r09 — no row older than
 # r06); VERDICT r09 item 1 asks this round to front the full r06 remnant
 # plus the oldest r07 rows. Composition:
-# (1) the 3 queries NEW this round, never driver-seen (never-seen
+# (1) the 4 queries NEW this round, never driver-seen (never-seen
 #     outranks stale): dedup_minhash_persisted (VERDICT item 4 — the
 #     band index's build->parquet->reload->probe cycle),
 #     stream_bitmap_equality (item 6 — bitmap OR proven across RocksDB
-#     micro-batches, completing the provable half of the streaming
-#     trilogy), quantile_sketch_order_price (item 7 — mergeable bottom-k
-#     rank sketch, oracle replays the whole synopsis).
+#     micro-batches), quantile_sketch_order_price (item 7 — mergeable
+#     bottom-k rank sketch, oracle replays the whole synopsis), and
+#     stream_quantile_equality (the trilogy's third proven member:
+#     bottom-k is a min-structure, streamed == batch bit-for-bit).
 # (2) ALL 29 rows whose freshest driver row is r06 (the complete
 #     remnant; VERDICT said 26 but three r06 rows that yielded slots to
 #     late-r09 arrivals are counted here too — after this window no
 #     registered query's freshest driver row predates r07).
-# (3) the remaining 18 slots go to the riskiest-oracle r07 rows:
+# (3) the remaining 17 slots go to the riskiest-oracle r07 rows
+#     (variant_props_stats yielded its slot to the late new query):
 #     streaming/stateful ops, CDC/IVM, the graph kernel, sparse cosine,
 #     the edit-distance miner, source/sink round trips, UDTF surface.
 # Still out after this round: 31 r07 rows + the r08/r09 cohorts — all
@@ -77,6 +79,7 @@ REGISTRY.set_front(
         "dedup_minhash_persisted",
         "stream_bitmap_equality",
         "quantile_sketch_order_price",
+        "stream_quantile_equality",
         # --- (2) the complete r06 remnant (29 rows) ---
         "anomaly_zscore_events",
         "array_functions_surface",
@@ -125,6 +128,5 @@ REGISTRY.set_front(
         "udtf_dynamic_kv",
         "udtf_table_arg_reduce",
         "pandas_api_rollup",
-        "variant_props_stats",
     )
 )

@@ -1329,3 +1329,108 @@ def quantile_sketch_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming bottom-k equality — the trilogy's third PROVEN member.
+# Count-Min proved "counts add"; the bitmap proved "bitmaps OR"; this
+# proves "bottom-k is a min-structure": merging per-batch bottom-k's and
+# truncating to k is associative/commutative/idempotent, so the synopsis
+# a RocksDB stateful stream maintains (streaming/bottomk_stream.py) must
+# be BIT-IDENTICAL to the batch sketch quantile_sketch_order_price reads
+# quantiles from — under whatever batch split availableNow chose. That
+# is the operational claim behind serving quantiles from a continuously
+# maintained k-row table at 100 TB. (Misra-Gries remains the documented
+# bound-only exception — see the asymmetry note at the MG section.)
+#
+# Contract columns (one row): n_kept, tau_h (the k-th smallest hash —
+# the synopsis' threshold, exactly KMV's tau), sum_cents (content
+# checksum the oracle recomputes), stream_equals_batch (full digest
+# equality vs the batch sketch — theorem; oracle literal TRUE).
+# ---------------------------------------------------------------------------
+
+_STREAM_QSK_ORACLE = f"""
+WITH v AS (
+  SELECT o_orderkey AS key, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+sk AS (
+  SELECT key, cents,
+         {hash60_sql("key::VARCHAR", salt=_QSK_SALT)} AS h
+  FROM v
+  ORDER BY h, key
+  LIMIT {_QSK_K}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       max(h) AS tau_h,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       true AS stream_equals_batch
+FROM sk
+"""
+
+
+@REGISTRY.register(
+    "stream_quantile_equality",
+    oracle=_STREAM_QSK_ORACLE,
+    description="bottom-k rank sketch maintained as a RocksDB stateful stream equals the batch synopsis bit-for-bit",
+    tags=("streaming", "sketch", "quantile", "stateful", "contract", "scale"),
+)
+def stream_quantile_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_kept, tau_h, sum_cents, stream_equals_batch)."""
+    import os
+
+    from mapreduce_sm_spark.streaming.bottomk_stream import run_stream_bottomk
+
+    vals = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    # batch synopsis digest, computed in pure Spark SQL with the same
+    # canonical form the Python fold emits (sort by (h, key), join
+    # 'h:key:cents' with commas, md5)
+    batch = (
+        _qsk_bottom_k(vals)
+        .agg(
+            F.count("*").cast("long").alias("b_n"),
+            F.max("h").alias("b_tau"),
+            F.sum("cents").cast("long").alias("b_sum"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("h", "key", "cents"))
+                        ),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s["h"].cast("string"),
+                            s["key"].cast("string"),
+                            s["cents"].cast("string"),
+                        ),
+                    ),
+                    ",",
+                )
+            ).alias("b_md5"),
+        )
+    )
+
+    qname = "stream_qsk_" + os.path.basename(sf_dir.rstrip("/")).replace(
+        ".", "_"
+    )
+    streamed = run_stream_bottomk(
+        spark, sf_dir, _QSK_K, _QSK_SALT, query_name=qname
+    )
+
+    return (
+        streamed.crossJoin(F.broadcast(batch))
+        .select(
+            "n_kept",
+            "tau_h",
+            "sum_cents",
+            (
+                (F.col("n_kept") == F.col("b_n"))
+                & F.col("tau_h").eqNullSafe(F.col("b_tau"))
+                & (F.col("sum_cents") == F.col("b_sum"))
+                & (F.col("sketch_md5") == F.col("b_md5"))
+            ).alias("stream_equals_batch"),
+        )
+    )

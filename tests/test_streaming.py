@@ -660,3 +660,77 @@ def test_stream_bitmap_multibatch_or_equals_batch(spark, tmp_path):
         for r in streamed.collect()
     }
     assert got == want
+
+
+def test_stream_quantile_equality_contract(spark, duck):
+    from mapreduce_sm_spark.operators.sketches import stream_quantile_equality
+
+    df = stream_quantile_equality(spark, SF_DIR)
+    assert df.columns == ["n_kept", "tau_h", "sum_cents", "stream_equals_batch"]
+    (r,) = df.collect()
+    assert r["stream_equals_batch"]
+    (n_orders,) = duck.execute("SELECT count(*) FROM orders").fetchone()
+    assert r["n_kept"] == min(256, n_orders)
+
+
+def test_stream_bottomk_multibatch_min_fold_equals_batch(spark, tmp_path):
+    """Force >= 2 micro-batches over the orders fixture and check the
+    streamed bottom-k digest still equals the batch synopsis — the
+    cross-batch merge-and-truncate through RocksDB array state. Key
+    parity split: both batches contribute rows to the final k set with
+    overwhelming probability (uniform hashes)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.operators.sketches import (
+        _QSK_K,
+        _QSK_SALT,
+        _qsk_bottom_k,
+    )
+    from mapreduce_sm_spark.session import table
+    from mapreduce_sm_spark.streaming.bottomk_stream import (
+        run_stream_bottomk,
+        sketch_md5_py,
+    )
+
+    orders = table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    split_dir = str(tmp_path / "ord_split")
+    os.makedirs(split_dir)
+    orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(split_dir, "even.d")
+    )
+    orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(split_dir, "odd.d")
+    )
+    flat = str(tmp_path / "ord_flat")
+    os.makedirs(flat)
+    i = 0
+    for sub in ("even.d", "odd.d"):
+        for f in os.listdir(os.path.join(split_dir, sub)):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(split_dir, sub, f),
+                    os.path.join(flat, f"part-{i}.parquet"),
+                )
+                i += 1
+    assert i >= 2
+
+    streamed = run_stream_bottomk(
+        spark, flat, _QSK_K, _QSK_SALT, query_name="t_stream_qsk_split",
+        glob="*.parquet", max_files_per_trigger=1,
+    ).collect()
+    vals = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    batch = sorted(
+        (r["h"], r["key"], r["cents"]) for r in _qsk_bottom_k(vals).collect()
+    )
+    (s,) = streamed
+    assert s["n_kept"] == len(batch)
+    assert s["tau_h"] == batch[-1][0]
+    assert s["sum_cents"] == sum(r[2] for r in batch)
+    assert s["sketch_md5"] == sketch_md5_py(batch)
+    # both parities actually reached the final synopsis (non-degenerate)
+    assert {k % 2 for _, k, _ in batch} == {0, 1}
