@@ -40,7 +40,20 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
         right = spark.range(0, 50).select(
             F.col("id").alias("k"), F.lit("dim").alias("tag")
         )
-        j = left.join(right, "k").groupBy("tag").count()
+        # the aggregate must CONSUME payload: a count-only agg lets column
+        # pruning strip the incompressible sha2 column from the left
+        # shuffle, and the remaining 396k near-constant key longs LZ4-
+        # compress to UNDER the 64KB skew threshold — AQE then correctly
+        # declines to mark the join skewed and the test pinned a
+        # compressed-size boundary, not the skew mechanism (it flipped
+        # between sittings in r10). Keeping payload in the shuffle makes
+        # the hot partition ~27MB of incompressible bytes, far above any
+        # threshold drift.
+        j = (
+            left.join(right, "k")
+            .groupBy("tag")
+            .agg(F.count("*").alias("count"), F.max("payload").alias("pmax"))
+        )
         rows = j.collect()
         assert rows and rows[0]["count"] == 400_000
         plan = j._jdf.queryExecution().executedPlan().toString()
