@@ -852,7 +852,11 @@ def stream_countmin_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_BITMAP_ORACLE = """
 SELECT event_type,
-       CAST(count(DISTINCT user_id // 32768) AS BIGINT) AS n_buckets,
+       -- floor-division bucket (DuckDB's integer // TRUNCATES toward
+       -- zero, unlike its float //): pmod-normalize, subtract, divide —
+       -- matches the engine's bucket_and_pos exactly, negative ids too
+       CAST(count(DISTINCT (user_id - ((user_id % 32768) + 32768) % 32768)
+                           // 32768) AS BIGINT) AS n_buckets,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
        true AS stream_equals_batch,
        true AS bitmap_count_ok
@@ -874,16 +878,15 @@ def stream_bitmap_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from mapreduce_sm_spark.streaming.bitmap_stream import (
-        BITMAP_BITS,
+        bucket_and_pos,
         run_stream_bitmap,
     )
 
     ev = table(spark, sf_dir, "events").select("event_type", "user_id")
-    pos_rows = ev.select(
-        "event_type",
-        F.expr(f"user_id div {BITMAP_BITS}").cast("long").alias("bucket"),
-        F.pmod("user_id", F.lit(BITMAP_BITS)).cast("long").alias("pos"),
-    )
+    # floor-div bucketing (bucket_and_pos): consistent with pmod for
+    # negative ids and with the oracle's floor `//` — a truncating div
+    # here would collide id -5 with id 32763
+    pos_rows = ev.select("event_type", *bucket_and_pos("user_id"))
     batch = pos_rows.groupBy("event_type", "bucket").agg(
         F.size(F.collect_set("pos")).cast("long").alias("n_bits"),
         F.md5(

@@ -55,6 +55,20 @@ BITMAP_BITS = BITMAP_BYTES * 8  # 32768 positions per bucket
 
 BITMAP_STATE_SCHEMA = StructType([StructField("bm", BinaryType())])
 
+
+def bucket_and_pos(col: str):
+    """(bucket, pos) columns with FLOOR-division semantics so that
+    bucket * BITMAP_BITS + pos == id for NEGATIVE ids too. A truncating
+    `div` paired with the always-non-negative pmod is inconsistent below
+    zero — id -5 would land in (bucket 0, pos 32763) and collide with
+    id 32763 — and diverges from the DuckDB oracle's floor `//`.
+    (id - pmod(id, B)) is an exact multiple of B, so the div is exact."""
+    pos = F.pmod(col, F.lit(BITMAP_BITS)).cast("long")
+    bucket = F.expr(
+        f"({col} - pmod({col}, {BITMAP_BITS})) div {BITMAP_BITS}"
+    ).cast("long")
+    return bucket.alias("bucket"), pos.alias("pos")
+
 BITMAP_OUTPUT_SCHEMA = StructType(
     [
         StructField("event_type", StringType()),
@@ -148,20 +162,17 @@ def run_stream_bitmap(
     fixture; returns the final (event_type, bucket, n_bits, bits_md5)
     cell table.
 
-    Bucketing is user_id div/mod 32768 — the same split the contract's
-    batch side and DuckDB oracle use, so every layer computes identical
-    cells (Spark's own bitmap_bucket_number is 1-based and is checked
-    separately via bitmap_count on the batch side)."""
+    Bucketing is floor-div/mod 32768 (bucket_and_pos — floor semantics
+    match the DuckDB oracle's // and stay collision-free for negative
+    ids), the same split the contract's batch side uses; Spark's own
+    1-based bitmap_bucket_number is checked separately via bitmap_count
+    on the batch side."""
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     stream = events_user_stream(spark, sf_dir, glob, max_files_per_trigger)
-    cells = stream.select(
-        "event_type",
-        F.expr(f"user_id div {BITMAP_BITS}").cast("long").alias("bucket"),
-        F.pmod("user_id", F.lit(BITMAP_BITS)).cast("long").alias("pos"),
-    )
+    cells = stream.select("event_type", *bucket_and_pos("user_id"))
     out = cells.groupBy("event_type", "bucket").applyInPandasWithState(
         _fold_bucket_bitmap,
         outputStructType=BITMAP_OUTPUT_SCHEMA,
@@ -198,4 +209,5 @@ __all__ = [
     "bits_md5_py",
     "events_user_stream",
     "run_stream_bitmap",
+    "bucket_and_pos",
 ]

@@ -610,8 +610,8 @@ def test_stream_bitmap_multibatch_or_equals_batch(spark, tmp_path):
 
     from mapreduce_sm_spark.session import table
     from mapreduce_sm_spark.streaming.bitmap_stream import (
-        BITMAP_BITS,
         bits_md5_py,
+        bucket_and_pos,
         run_stream_bitmap,
     )
 
@@ -642,11 +642,7 @@ def test_stream_bitmap_multibatch_or_equals_batch(spark, tmp_path):
         glob="*.parquet", max_files_per_trigger=1,
     )
     batch = (
-        ev.select(
-            "event_type",
-            F.expr(f"user_id div {BITMAP_BITS}").cast("long").alias("bucket"),
-            F.pmod("user_id", F.lit(BITMAP_BITS)).cast("long").alias("pos"),
-        )
+        ev.select("event_type", *bucket_and_pos("user_id"))
         .groupBy("event_type", "bucket")
         .agg(F.sort_array(F.collect_set("pos")).alias("ps"))
         .collect()
@@ -734,3 +730,41 @@ def test_stream_bottomk_multibatch_min_fold_equals_batch(spark, tmp_path):
     assert s["sketch_md5"] == sketch_md5_py(batch)
     # both parities actually reached the final synopsis (non-degenerate)
     assert {k % 2 for _, k, _ in batch} == {0, 1}
+
+
+def test_bitmap_bucketing_floor_semantics_negative_ids(spark):
+    """bucket_and_pos must be a BIJECTION on negative ids too: a
+    truncating div paired with pmod would send id -5 to (bucket 0,
+    pos 32763) — colliding with id 32763 — and diverge from the
+    oracle's floor //. Floor semantics keep bucket*B + pos == id."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.streaming.bitmap_stream import (
+        BITMAP_BITS,
+        bucket_and_pos,
+    )
+
+    ids = [-5, -1, 0, 1, 32763, 32767, 32768, -32768, -32769, 70000]
+    df = spark.createDataFrame([(i,) for i in ids], "user_id long").select(
+        "user_id", *bucket_and_pos("user_id")
+    )
+    rows = df.collect()
+    seen = set()
+    for r in rows:
+        assert 0 <= r["pos"] < BITMAP_BITS
+        assert r["bucket"] * BITMAP_BITS + r["pos"] == r["user_id"], r
+        assert (r["bucket"], r["pos"]) not in seen
+        seen.add((r["bucket"], r["pos"]))
+    # floor parity with DuckDB's // on the same ids
+    import duckdb
+
+    # NB: DuckDB's integer // TRUNCATES toward zero, so the floor form
+    # below is what the registered oracle uses too
+    want = {
+        i: b
+        for i, b in duckdb.sql(
+            "SELECT i, (i - ((i % 32768) + 32768) % 32768) // 32768"
+            " FROM (SELECT unnest(" + str(ids) + ") AS i)"
+        ).fetchall()
+    }
+    assert {r["user_id"]: r["bucket"] for r in rows} == want
