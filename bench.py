@@ -46,68 +46,14 @@ def main() -> None:
         load1 = _load1()
     settled = load1 is not None and load1 < 1.0
 
-    # Contamination detector (VERDICT r09): load1 alone cannot flag a
-    # contaminated trial MID-bench, because the bench's own 32-core bursts
-    # drive load1 to 10+ even on an otherwise idle machine (measured in the
-    # settled r09 run). The separable signal is FOREIGN user-space CPU:
-    # per-process cpu deltas of every process that is (a) outside this
-    # process tree (python driver + local-mode JVM + pyspark workers),
-    # (b) not a kernel thread (kworkers do OUR writeback/shuffle flushes),
-    # and (c) alive at both ends of the trial — a genuine contaminating
-    # job (another Spark JVM, a test run) is long-lived, while
-    # total-minus-tree accounting falsely charges exited pyspark workers
-    # and kernel threads to "external" (measured: up to 2.6 phantom cores
-    # on an idle box). A trial with > _EXT_CORES_MAX average foreign cores
-    # is stamped contaminated and re-run (bounded), so a reader of the
-    # JSON alone can tell settled numbers from polluted ones.
-    _CLK_TCK = os.sysconf("SC_CLK_TCK")
-
-    def _proc_snapshot() -> dict[int, tuple[int, float]] | None:
-        """pid -> (ppid, utime+stime seconds) for every process."""
-        try:
-            snap: dict[int, tuple[int, float]] = {}
-            for d in os.listdir("/proc"):
-                if not d.isdigit():
-                    continue
-                try:
-                    with open(f"/proc/{d}/stat") as fh:
-                        rest = fh.read().rsplit(")", 1)[1].split()
-                except (OSError, IndexError):
-                    continue  # raced a process exit
-                snap[int(d)] = (
-                    int(rest[1]),
-                    (int(rest[11]) + int(rest[12])) / _CLK_TCK,
-                )
-            return snap
-        except OSError:
-            return None
-
-    def _descendants(snap: dict[int, tuple[int, float]], root: int) -> set[int]:
-        kids: dict[int, list[int]] = {}
-        for pid, (ppid, _) in snap.items():
-            kids.setdefault(ppid, []).append(pid)
-        out: set[int] = set()
-        stack = [root]
-        while stack:
-            pid = stack.pop()
-            if pid in out:
-                continue
-            out.add(pid)
-            stack.extend(kids.get(pid, ()))
-        return out
-
-    def _foreign_cpu(
-        s0: dict[int, tuple[int, float]], s1: dict[int, tuple[int, float]]
-    ) -> float:
-        me = os.getpid()
-        ours = _descendants(s0, me) | _descendants(s1, me)
-        kernel = _descendants(s0, 2) | _descendants(s1, 2)
-        total = 0.0
-        for pid, (_, cpu1) in s1.items():
-            if pid in ours or pid in kernel or pid == 1 or pid not in s0:
-                continue
-            total += max(0.0, cpu1 - s0[pid][1])
-        return total
+    # Contamination detector (VERDICT r09): per-trial FOREIGN user-space
+    # CPU accounting — see mapreduce_sm_spark/benchwatch.py for why load1
+    # cannot do this job and why kernel threads / exited pyspark workers
+    # must be excluded. A trial with > _EXT_CORES_MAX average foreign
+    # cores is stamped contaminated and re-run (bounded), so a reader of
+    # the JSON alone can tell settled numbers from polluted ones.
+    from mapreduce_sm_spark.benchwatch import foreign_cpu as _foreign_cpu
+    from mapreduce_sm_spark.benchwatch import snapshot as _proc_snapshot
 
     _EXT_CORES_MAX = 0.5  # avg external cores during a trial before we flag it
     _MAX_EXTRA_TRIALS = 2  # bounded re-runs per query when trials come back dirty

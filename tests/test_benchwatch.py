@@ -1,0 +1,84 @@
+"""Pins the bench contamination detector's accounting (benchwatch.py):
+which CPU counts as FOREIGN is the whole protocol — a miscount either
+flags clean sittings (the 2.6-phantom-core total-minus-tree failure
+measured in r10) or waves contaminated ones through."""
+
+from __future__ import annotations
+
+import os
+
+
+def _mk(pid, ppid, cpu):
+    return pid, (ppid, float(cpu))
+
+
+def test_foreign_cpu_synthetic_accounting():
+    from mapreduce_sm_spark.benchwatch import foreign_cpu
+
+    me = 100
+    s0 = dict([
+        _mk(1, 0, 50.0),      # init: always excluded
+        _mk(2, 0, 5.0),       # kthreadd
+        _mk(30, 2, 10.0),     # kworker: OUR writeback, excluded
+        _mk(100, 1, 1.0),     # "me"
+        _mk(101, 100, 2.0),   # my child (JVM)
+        _mk(102, 101, 0.5),   # grandchild (pyspark daemon)
+        _mk(500, 1, 7.0),     # foreign long-lived job
+        _mk(600, 1, 3.0),     # foreign job that will EXIT mid-trial
+    ])
+    s1 = dict([
+        _mk(1, 0, 51.0),
+        _mk(2, 0, 5.5),
+        _mk(30, 2, 30.0),     # kworker burned 20s on our flushes
+        _mk(100, 1, 2.0),
+        _mk(101, 100, 40.0),  # JVM burned 38s
+        _mk(102, 101, 9.5),
+        _mk(103, 102, 4.0),   # NEW pyspark worker born mid-trial: ours
+        _mk(500, 1, 19.0),    # foreign burned 12s
+        _mk(700, 1, 2.0),     # foreign born mid-trial: not in s0, skipped
+    ])
+    # only pid 500's 12 foreign seconds count
+    assert foreign_cpu(s0, s1, me=me) == 12.0
+
+
+def test_foreign_cpu_counter_never_negative():
+    from mapreduce_sm_spark.benchwatch import foreign_cpu
+
+    s0 = dict([_mk(1, 0, 0.0), _mk(100, 1, 0.0), _mk(500, 1, 9.0)])
+    s1 = dict([_mk(1, 0, 0.0), _mk(100, 1, 0.0), _mk(500, 1, 3.0)])
+    # a (theoretical) backwards counter clamps to 0, never subtracts
+    assert foreign_cpu(s0, s1, me=100) == 0.0
+
+
+def test_descendants_walks_live_tree():
+    from mapreduce_sm_spark.benchwatch import descendants, snapshot
+
+    snap = snapshot()
+    assert snap is not None and os.getpid() in snap
+    tree = descendants(snap, os.getpid())
+    assert os.getpid() in tree
+    # our parent is NOT in our subtree
+    assert os.getppid() not in tree or os.getppid() == os.getpid()
+
+
+def test_own_busy_child_is_not_foreign():
+    """Burn CPU in a CHILD process: its time must be charged to our tree,
+    not to the foreign column — the exact false positive the naive
+    accounting produced via pyspark workers."""
+    import subprocess
+
+    from mapreduce_sm_spark.benchwatch import foreign_cpu, snapshot
+
+    s0 = snapshot()
+    subprocess.run(
+        ["python3", "-c",
+         "t=0\nfor i in range(4_000_000): t+=i*i\nprint(t)"],
+        check=True, capture_output=True,
+    )
+    # NB: the child has EXITED by the time of s1 — it is in neither
+    # snapshot's tree, and in s0 it never existed: contributes nothing.
+    s1 = snapshot()
+    assert s0 is not None and s1 is not None
+    # our own burned CPU (parent+exited child) must not read as foreign;
+    # allow a small epsilon for unrelated system daemons ticking over
+    assert foreign_cpu(s0, s1) < 0.5
