@@ -304,3 +304,33 @@ def test_qsketch_contract_rank_error_and_exact_side(spark, duck):
         assert abs(got_rank - level) <= 4.0 / (_QSK_K ** 0.5), (
             r["level_ppm"], got_rank,
         )
+
+
+def test_qsketch_persist_reload_merge_roundtrip(spark, tmp_path):
+    """The 'persistable' half of the bottom-k synopsis claim: write two
+    per-shard synopses to parquet (the k-row tables a daily job would
+    keep), RELOAD them, merge, and get exactly the direct whole-table
+    sketch — values included (h/key/cents survive the round trip
+    bit-for-bit; they are all int64)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.operators.sketches import _qsk_bottom_k
+
+    vals = spark.range(0, 5000).select(
+        F.col("id").alias("key"), (F.col("id") * 37 % 9973).alias("cents")
+    )
+    a = vals.filter(F.col("key") % 2 == 0)
+    b = vals.filter(F.col("key") % 2 == 1)
+    pa, pb = str(tmp_path / "sk_a"), str(tmp_path / "sk_b")
+    _qsk_bottom_k(a).write.parquet(pa)
+    _qsk_bottom_k(b).write.parquet(pb)
+    merged = _qsk_bottom_k(
+        spark.read.parquet(pa).unionAll(spark.read.parquet(pb))
+    )
+    direct = _qsk_bottom_k(vals)
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in direct.collect()
+    )
+    assert os.path.isdir(pa) and os.path.isdir(pb)
