@@ -166,6 +166,24 @@ FIVE = (
     "bucketed_join_sales_by_segment",
     "tf_cosine_pairs",
     "dedup_edit_distance",
+    # r10 additions — the r09/r10 sketch & sampling family, all of whose
+    # emissions are exact integers or md5-replayed synopses by
+    # construction; probed on the half-cent/ns-jitter fixtures so a
+    # regression into a tie-fragile form (a stray round(), a float
+    # estimator, a trunc-vs-floor div) fails here first. The persisted /
+    # streaming variants additionally push the cents and hash emissions
+    # through parquet round trips and RocksDB state.
+    "priority_sample_documents",
+    "kmv_audience_overlap",
+    "bloom_semi_prune_orders",
+    "bloom_reuse_prune_orders",
+    "stream_bloom_scrub_events",
+    "stream_countmin_equality",
+    "dedup_minhash_incremental",
+    "dedup_minhash_persisted",
+    "quantile_sketch_order_price",
+    "stream_bitmap_equality",
+    "stream_quantile_equality",
 )
 
 
