@@ -1388,32 +1388,8 @@ def stream_quantile_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("key"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    # batch synopsis digest, computed in pure Spark SQL with the same
-    # canonical form the Python fold emits (sort by (h, key), join
-    # 'h:key:cents' with commas, md5)
-    batch = (
-        _qsk_bottom_k(vals)
-        .agg(
-            F.count("*").cast("long").alias("b_n"),
-            F.max("h").alias("b_tau"),
-            F.sum("cents").cast("long").alias("b_sum"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("h", "key", "cents"))
-                        ),
-                        lambda s: F.concat_ws(
-                            ":",
-                            s["h"].cast("string"),
-                            s["key"].cast("string"),
-                            s["cents"].cast("string"),
-                        ),
-                    ),
-                    ",",
-                )
-            ).alias("b_md5"),
-        )
+    batch = _qsk_bottom_k(vals).select(
+        "h", "key", "cents", F.lit(1).alias("in_ba")
     )
 
     qname = "stream_qsk_" + os.path.basename(sf_dir.rstrip("/")).replace(
@@ -1421,19 +1397,26 @@ def stream_quantile_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     streamed = run_stream_bottomk(
         spark, sf_dir, _QSK_K, _QSK_SALT, query_name=qname
-    )
+    ).withColumn("in_st", F.lit(1))
 
-    return (
-        streamed.crossJoin(F.broadcast(batch))
-        .select(
-            "n_kept",
-            "tau_h",
-            "sum_cents",
-            (
-                (F.col("n_kept") == F.col("b_n"))
-                & F.col("tau_h").eqNullSafe(F.col("b_tau"))
-                & (F.col("sum_cents") == F.col("b_sum"))
-                & (F.col("sketch_md5") == F.col("b_md5"))
-            ).alias("stream_equals_batch"),
-        )
+    # row-for-row equality of the two k-row synopses (stronger than a
+    # digest compare: every (h, key, cents) triple must appear on BOTH
+    # sides of a full outer join), plus the replayable readout columns
+    # the oracle recomputes from its own copy of the sketch
+    cmp = streamed.join(batch, ["h", "key", "cents"], "full")
+    return cmp.agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("h").alias("tau_h"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("in_st").isNull() | F.col("in_ba").isNull(), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            == 0
+        ).alias("stream_equals_batch"),
     )

@@ -133,22 +133,25 @@ def events_user_stream(
     footer read (no frozen schema, the r03 rule)."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    from mapreduce_sm_spark.streaming._source import resolve_stream_path
+
+    path, g = resolve_stream_path(sf_dir, glob)
     try:
-        schema = (
-            spark.read.option("pathGlobFilter", glob)
-            .parquet(sf_dir)
-            .select("event_type", "user_id")
-            .schema
-        )
+        rd = spark.read
+        if g is not None:
+            rd = rd.option("pathGlobFilter", g)
+        schema = rd.parquet(path).select("event_type", "user_id").schema
     except AnalysisException as e:
         cond = e.getCondition() or ""
         if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
         schema = "event_type string, user_id long"
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    reader = spark.readStream.schema(schema)
+    if g is not None:
+        reader = reader.option("pathGlobFilter", g)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(sf_dir)
+    return reader.parquet(path)
 
 
 def run_stream_bitmap(

@@ -11,17 +11,22 @@ per-batch bottom-k's and truncating to k reaches the same synopsis as
 one batch pass, so streamed == batch is a theorem and the contract
 query (operators/sketches.py::stream_quantile_equality) measures the
 machinery: array-valued state round-trips through RocksDB, update-mode
-emission, final-state extraction. This closes the loop on the batch
-quantile synopsis (quantile_sketch_order_price): the sketch a stream
-maintains incrementally is BIT-IDENTICAL to the one a batch job builds,
-which is what lets a 100 TB pipeline serve quantiles from a
+emission, final-state extraction, shard merge. This closes the loop on
+the batch quantile synopsis (quantile_sketch_order_price): the sketch a
+stream maintains incrementally is BIT-IDENTICAL to the one a batch job
+builds, which is what lets a 100 TB pipeline serve quantiles from a
 continuously-maintained k-row table.
 
-Scale posture: state is <= k rows of three int64s no matter how many
-rows stream through (geometry-bounded, like CM's d*w cells and the
-bitmap's 4096 bytes). The fold is a single global group here — honest
-fixture shape; a production stream would pre-reduce per-shard bottom-k
-partials (the merge law makes that sound) before the global truncate.
+SHARDED fold (the merge law put to work, not just asserted): a single
+global state group would funnel every row through one stateful
+partition — measured 3.0x wall for 10x rows in the first cut. Instead
+the stream keys state by h % BOTTOMK_SHARDS; each shard keeps its own
+bottom-k, and the k smallest over the union of the final shard
+synopses IS the global bottom-k (any row in the global bottom-k is in
+the bottom-k of its own shard — the identical argument that makes the
+sketch per-node mergeable in batch). State is <= SHARDS * k rows of
+three int64s regardless of volume; the fold parallelizes across the
+state-store partitions.
 """
 
 from __future__ import annotations
@@ -38,10 +43,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
+
+BOTTOMK_SHARDS = 32
 
 BOTTOMK_STATE_SCHEMA = StructType(
     [
@@ -52,14 +58,16 @@ BOTTOMK_STATE_SCHEMA = StructType(
     ]
 )
 
+# per-shard emission: the shard's current synopsis ROWS (not a digest —
+# the global merge needs the rows; digests are computed after the merge,
+# identically on the streamed and batch sides, in pure Spark SQL)
 BOTTOMK_OUTPUT_SCHEMA = StructType(
     [
         StructField("grp", LongType()),
         StructField("batch_seq", LongType()),
-        StructField("n_kept", LongType()),
-        StructField("tau_h", LongType()),
-        StructField("sum_cents", LongType()),
-        StructField("sketch_md5", StringType()),
+        StructField("hs", ArrayType(LongType())),
+        StructField("ks", ArrayType(LongType())),
+        StructField("cs", ArrayType(LongType())),
     ]
 )
 
@@ -67,17 +75,17 @@ BOTTOMK_OUTPUT_SCHEMA = StructType(
 def sketch_md5_py(rows) -> str:
     """Canonical content hash of a bottom-k synopsis: md5 over the
     comma-joined 'h:key:cents' triples in (h, key) ascending order —
-    computable identically by this fold and by pure Spark SQL on the
-    batch sketch (sort_array over structs, array_join, md5)."""
+    computable identically in Python and in pure Spark SQL (sort_array
+    over structs, array_join, md5)."""
     return hashlib.md5(
         ",".join(f"{int(h)}:{int(k)}:{int(c)}" for h, k, c in rows).encode()
     ).hexdigest()
 
 
 def make_bottomk_fold(k: int):
-    """State transition for the single sketch group: merge this batch's
-    (h, key, cents) rows into the kept set, truncate to the k smallest
-    by (h, key). Dedup by full triple first — min-structures are
+    """State transition for ONE SHARD: merge this batch's (h, key, cents)
+    rows into the shard's kept set, truncate to the k smallest by
+    (h, key). Dedup by full triple first — min-structures are
     idempotent, so a replayed row cannot perturb the synopsis."""
 
     def _fold(
@@ -112,10 +120,9 @@ def make_bottomk_fold(k: int):
             {
                 "grp": [int(key[0])],
                 "batch_seq": [seq],
-                "n_kept": [len(kept)],
-                "tau_h": [kept[-1][0] if kept else None],
-                "sum_cents": [sum(r[2] for r in kept)],
-                "sketch_md5": [sketch_md5_py(kept)],
+                "hs": [[r[0] for r in kept]],
+                "ks": [[r[1] for r in kept]],
+                "cs": [[r[2] for r in kept]],
             }
         )
 
@@ -129,25 +136,30 @@ def orders_price_stream(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming source over the orders fixture (key + price only);
-    schema from a one-off batch footer read (no frozen schema)."""
+    schema from a one-off batch footer read (no frozen schema). Path
+    resolution handles both the single-file fixture layout and a
+    directory-valued orders.parquet (see streaming/_source.py)."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    from mapreduce_sm_spark.streaming._source import resolve_stream_path
+
+    path, g = resolve_stream_path(sf_dir, glob)
     try:
-        schema = (
-            spark.read.option("pathGlobFilter", glob)
-            .parquet(sf_dir)
-            .select("o_orderkey", "o_totalprice")
-            .schema
-        )
+        rd = spark.read
+        if g is not None:
+            rd = rd.option("pathGlobFilter", g)
+        schema = rd.parquet(path).select("o_orderkey", "o_totalprice").schema
     except AnalysisException as e:
         cond = e.getCondition() or ""
         if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
         schema = "o_orderkey long, o_totalprice double"
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    reader = spark.readStream.schema(schema)
+    if g is not None:
+        reader = reader.option("pathGlobFilter", g)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(sf_dir)
+    return reader.parquet(path)
 
 
 def run_stream_bottomk(
@@ -159,9 +171,9 @@ def run_stream_bottomk(
     glob: str = "orders.parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Maintain the bottom-k rank sketch by STREAMING the orders fixture;
-    returns the final 1-row (n_kept, tau_h, sum_cents, sketch_md5)
-    digest. The stream-side (h, key, cents) derivation mirrors
+    """Maintain the sharded bottom-k rank sketch by STREAMING the orders
+    fixture; returns the merged GLOBAL synopsis as k rows of
+    (h, key, cents). The stream-side derivation mirrors
     operators/sketches.py::_qsk_bottom_k expression-for-expression."""
     from mapreduce_sm_spark.functions.hashing import hash60
 
@@ -172,10 +184,14 @@ def run_stream_bottomk(
     stream = orders_price_stream(spark, sf_dir, glob, max_files_per_trigger)
     hkey = F.concat(F.lit(salt + "|"), F.col("o_orderkey").cast("string"))
     rows = stream.select(
-        F.lit(1).cast("long").alias("grp"),
         hash60(hkey).alias("h"),
         F.col("o_orderkey").cast("long").alias("key"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).select(
+        F.pmod("h", F.lit(BOTTOMK_SHARDS)).cast("long").alias("grp"),
+        "h",
+        "key",
+        "cents",
     )
     out = rows.groupBy("grp").applyInPandasWithState(
         make_bottomk_fold(k),
@@ -195,16 +211,35 @@ def run_stream_bottomk(
 
     _await_or_raise(q, query_name, 180)
     sink = spark.table(query_name)
-    # update mode: one digest row per touching batch; batch_seq counts
-    # folds, so the final state is unambiguously the max-seq row.
-    last = sink.agg(F.max("batch_seq").alias("batch_seq"))
-    return sink.join(F.broadcast(last), "batch_seq").select(
-        "n_kept", "tau_h", "sum_cents", "sketch_md5"
+    # update mode: one synopsis row per (shard, touching batch); per
+    # shard the final state is unambiguously the max-seq row. Selected
+    # with a window rather than a sink-vs-aggregate self-join: joining a
+    # memory-sink view to an aggregate of itself trips Catalyst's
+    # conflicting-reference check (both sides carry the same attribute
+    # ids). The window is over <= SHARDS * n_batches digest rows.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy(F.col("batch_seq").desc())
+    final = (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
+    # global merge: k smallest over the union of shard synopses — exact
+    # by the bottom-k merge law (module docstring)
+    exploded = final.select(
+        F.explode(F.arrays_zip("hs", "ks", "cs")).alias("e")
+    ).select(
+        F.col("e.hs").alias("h"),
+        F.col("e.ks").alias("key"),
+        F.col("e.cs").alias("cents"),
+    )
+    return exploded.orderBy("h", "key").limit(k)
 
 
 __all__ = [
     "BOTTOMK_OUTPUT_SCHEMA",
+    "BOTTOMK_SHARDS",
     "BOTTOMK_STATE_SCHEMA",
     "make_bottomk_fold",
     "orders_price_stream",

@@ -79,13 +79,14 @@ def documents_text_stream(
     multi-batch split and exercise the cross-batch state fold."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    from mapreduce_sm_spark.streaming._source import resolve_stream_path
+
+    path, g = resolve_stream_path(sf_dir, glob)
     try:
-        schema = (
-            spark.read.option("pathGlobFilter", glob)
-            .parquet(sf_dir)
-            .select("text")
-            .schema
-        )
+        rd = spark.read
+        if g is not None:
+            rd = rd.option("pathGlobFilter", g)
+        schema = rd.parquet(path).select("text").schema
     except AnalysisException as e:
         # Only a genuinely empty source may fall back (events_stream's
         # ADVICE r04 rule): the stream starts empty on the canonical
@@ -94,10 +95,12 @@ def documents_text_stream(
         if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
         schema = "text string"
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    reader = spark.readStream.schema(schema)
+    if g is not None:
+        reader = reader.option("pathGlobFilter", g)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(sf_dir)
+    return reader.parquet(path)
 
 
 def run_stream_countmin(

@@ -50,11 +50,15 @@ def events_stream(
     scan of the same files (driver-side footer read, no data scan) and
     apply the nanos->micros conversion only when the scanned dtype really
     is nanos-as-long — the exact guard the batch path uses."""
+    from mapreduce_sm_spark.streaming._source import resolve_stream_path
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path, g = resolve_stream_path(events_parquet_dir, glob)
     try:
-        batch = (
-            spark.read.option("pathGlobFilter", glob).parquet(events_parquet_dir)
-        )
+        rd = spark.read
+        if g is not None:
+            rd = rd.option("pathGlobFilter", g)
+        batch = rd.parquet(path)
         schema, ts_dtype = batch.schema, dict(batch.dtypes).get("ts")
     except AnalysisException as e:
         # Only an empty source is a legitimate "no files yet" state (an
@@ -74,10 +78,12 @@ def events_stream(
             "event_type string, value double, props string"
         )
         ts_dtype = "timestamp"
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    reader = spark.readStream.schema(schema)
+    if g is not None:
+        reader = reader.option("pathGlobFilter", g)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(events_parquet_dir)
+    stream = reader.parquet(path)
     if ts_dtype == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     elif ts_dtype == "timestamp_ntz":

@@ -712,10 +712,13 @@ def test_stream_bottomk_multibatch_min_fold_equals_batch(spark, tmp_path):
                 i += 1
     assert i >= 2
 
-    streamed = run_stream_bottomk(
-        spark, flat, _QSK_K, _QSK_SALT, query_name="t_stream_qsk_split",
-        glob="*.parquet", max_files_per_trigger=1,
-    ).collect()
+    streamed = sorted(
+        (r["h"], r["key"], r["cents"])
+        for r in run_stream_bottomk(
+            spark, flat, _QSK_K, _QSK_SALT, query_name="t_stream_qsk_split",
+            glob="*.parquet", max_files_per_trigger=1,
+        ).collect()
+    )
     vals = orders.select(
         F.col("o_orderkey").alias("key"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
@@ -723,11 +726,10 @@ def test_stream_bottomk_multibatch_min_fold_equals_batch(spark, tmp_path):
     batch = sorted(
         (r["h"], r["key"], r["cents"]) for r in _qsk_bottom_k(vals).collect()
     )
-    (s,) = streamed
-    assert s["n_kept"] == len(batch)
-    assert s["tau_h"] == batch[-1][0]
-    assert s["sum_cents"] == sum(r[2] for r in batch)
-    assert s["sketch_md5"] == sketch_md5_py(batch)
+    # ROW-level equality of the merged shard synopses vs the batch sketch
+    # (and so digest equality too)
+    assert streamed == batch
+    assert sketch_md5_py(streamed) == sketch_md5_py(batch)
     # both parities actually reached the final synopsis (non-degenerate)
     assert {k % 2 for _, k, _ in batch} == {0, 1}
 
