@@ -160,6 +160,7 @@ def run_stream_bitmap(
     query_name: str,
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    checkpoint_location: str | None = None,
 ) -> DataFrame:
     """Build per-(event_type, bucket) user bitmaps by STREAMING the events
     fixture; returns the final (event_type, bucket, n_bits, bits_md5)
@@ -183,17 +184,37 @@ def run_stream_bitmap(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
     from mapreduce_sm_spark.streaming.windows import _await_or_raise
 
-    _await_or_raise(q, query_name, 180)
-    sink = spark.table(query_name)
+    if checkpoint_location is None:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, query_name, 180)
+        sink = spark.table(query_name)
+    else:
+        # restartable path — see bottomk_stream.py for why foreachBatch
+        # replaces the memory sink here (no checkpoint recovery there)
+        import os as _os
+
+        sink_dir = _os.path.join(checkpoint_location, "sink")
+
+        def _write_batch(df: DataFrame, _epoch: int) -> None:
+            df.write.mode("append").parquet(sink_dir)
+
+        q = (
+            out.writeStream.foreachBatch(_write_batch)
+            .option("checkpointLocation", checkpoint_location)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, query_name, 180)
+        sink = spark.read.parquet(sink_dir)
     # update mode: one row per cell per touching batch. A bitmap only
     # gains bits, so the final state is the row with max n_bits — and on
     # an n_bits tie the SETS are equal (monotone growth: superset with

@@ -170,6 +170,7 @@ def run_stream_bottomk(
     query_name: str,
     glob: str = "orders.parquet",
     max_files_per_trigger: int | None = None,
+    checkpoint_location: str | None = None,
 ) -> DataFrame:
     """Maintain the sharded bottom-k rank sketch by STREAMING the orders
     fixture; returns the merged GLOBAL synopsis as k rows of
@@ -200,17 +201,43 @@ def run_stream_bottomk(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
     from mapreduce_sm_spark.streaming.windows import _await_or_raise
 
-    _await_or_raise(q, query_name, 180)
-    sink = spark.table(query_name)
+    if checkpoint_location is None:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, query_name, 180)
+        sink = spark.table(query_name)
+    else:
+        # restartable path: the memory sink does NOT support checkpoint
+        # recovery ("This query does not support recovering from
+        # checkpoint location"), so persist each micro-batch's emissions
+        # via foreachBatch instead — RocksDB state + source offsets
+        # resume from checkpoint_location, and because the parquet sink
+        # ACCUMULATES across runs, the per-shard max-seq row is the
+        # final state even for shards a later run never touches.
+        # tests/test_streaming.py proves the fold survives stop/resume.
+        import os as _os
+
+        sink_dir = _os.path.join(checkpoint_location, "sink")
+
+        def _write_batch(df: DataFrame, _epoch: int) -> None:
+            df.write.mode("append").parquet(sink_dir)
+
+        q = (
+            out.writeStream.foreachBatch(_write_batch)
+            .option("checkpointLocation", checkpoint_location)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, query_name, 180)
+        sink = spark.read.parquet(sink_dir)
     # update mode: one synopsis row per (shard, touching batch); per
     # shard the final state is unambiguously the max-seq row. Selected
     # with a window rather than a sink-vs-aggregate self-join: joining a

@@ -770,3 +770,149 @@ def test_bitmap_bucketing_floor_semantics_negative_ids(spark):
         ).fetchall()
     }
     assert {r["user_id"]: r["bucket"] for r in rows} == want
+
+
+def test_stream_bottomk_state_survives_restart(spark, tmp_path):
+    """Exactly-once for the sharded bottom-k fold: run 1 consumes half
+    the orders through a CHECKPOINTED availableNow query; run 2 (same
+    checkpoint, same query name) consumes the other half and must
+    produce the bottom-k of the WHOLE table — possible only if every
+    shard's RocksDB state was restored (a lost state would drop run-1
+    rows; ignored source offsets would double-fold run 1's file, which
+    the idempotent min-structure would mask, so the row-equality is the
+    sharper check on state restoration).
+
+    The restartable path persists per-batch emissions via foreachBatch
+    (the memory sink refuses checkpoint recovery), so the sink
+    accumulates across runs; the precondition below — every one of the
+    32 shards receives rows in BOTH halves — keeps the cross-run state
+    RESTORE (not just the sink union) load-bearing for the equality."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.operators.sketches import (
+        _QSK_K,
+        _QSK_SALT,
+        _qsk_bottom_k,
+    )
+    from mapreduce_sm_spark.session import table
+    from mapreduce_sm_spark.streaming.bottomk_stream import (
+        BOTTOMK_SHARDS,
+        run_stream_bottomk,
+    )
+    from mapreduce_sm_spark.functions.hashing import hash60
+
+    orders = table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    # precondition: each half feeds every shard
+    shard = F.pmod(
+        hash60(F.concat(F.lit(_QSK_SALT + "|"), F.col("o_orderkey").cast("string"))),
+        F.lit(BOTTOMK_SHARDS),
+    )
+    for half in (0, 1):
+        n = (
+            orders.filter(F.col("o_orderkey") % 2 == half)
+            .select(shard.alias("g")).distinct().count()
+        )
+        assert n == BOTTOMK_SHARDS, f"half {half} misses shards ({n})"
+
+    src = str(tmp_path / "ord_restart")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def add(half, name):
+        d = str(tmp_path / f"w{half}")
+        orders.filter(F.col("o_orderkey") % 2 == half).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(d, f), os.path.join(src, name))
+
+    add(0, "a.parquet")
+    run_stream_bottomk(
+        spark, src, _QSK_K, _QSK_SALT, query_name="t_qsk_restart",
+        glob="*.parquet", checkpoint_location=ckpt,
+    ).collect()
+
+    add(1, "b.parquet")
+    got = sorted(
+        tuple(r)
+        for r in run_stream_bottomk(
+            spark, src, _QSK_K, _QSK_SALT, query_name="t_qsk_restart",
+            glob="*.parquet", checkpoint_location=ckpt,
+        ).collect()
+    )
+    vals = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    want = sorted(
+        (r["h"], r["key"], r["cents"]) for r in _qsk_bottom_k(vals).collect()
+    )
+    assert got == want
+    # both halves genuinely contribute to the final synopsis
+    assert {k % 2 for _, k, _ in want} == {0, 1}
+
+
+def test_stream_bitmap_state_survives_restart(spark, tmp_path):
+    """Exactly-once for the bitmap OR fold: run 1 consumes the even-user
+    half of events through a checkpointed availableNow query; run 2
+    (same checkpoint) consumes the odd half and the per-cell max-popcount
+    rows across the accumulated sink must equal the batch cells over ALL
+    events — requiring the 4096-byte binary state to round-trip through
+    the RocksDB checkpoint between runs."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.session import table
+    from mapreduce_sm_spark.streaming.bitmap_stream import (
+        bits_md5_py,
+        bucket_and_pos,
+        run_stream_bitmap,
+    )
+
+    ev = table(spark, SF_DIR, "events").select("event_type", "user_id")
+    src = str(tmp_path / "ev_restart")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def add(parity, name):
+        d = str(tmp_path / f"w{parity}")
+        ev.filter(F.col("user_id") % 2 == parity).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(d, f), os.path.join(src, name))
+
+    add(0, "a.parquet")
+    run_stream_bitmap(
+        spark, src, query_name="t_bm_restart",
+        glob="*.parquet", checkpoint_location=ckpt,
+    ).collect()
+
+    add(1, "b.parquet")
+    got = {
+        (r["event_type"], r["bucket"]): (r["n_bits"], r["bits_md5"])
+        for r in run_stream_bitmap(
+            spark, src, query_name="t_bm_restart",
+            glob="*.parquet", checkpoint_location=ckpt,
+        ).collect()
+    }
+    batch = (
+        ev.select("event_type", *bucket_and_pos("user_id"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sort_array(F.collect_set("pos")).alias("ps"))
+        .collect()
+    )
+    want = {
+        (r["event_type"], r["bucket"]): (len(r["ps"]), bits_md5_py(r["ps"]))
+        for r in batch
+    }
+    assert got == want
+    # the merge was cross-run: every cell holds bits from both parities
+    # (positions of even and odd users differ mod 2 within a bucket)
+    any_cell = batch[0]["ps"]
+    assert {p % 2 for p in any_cell} == {0, 1}
