@@ -1191,9 +1191,21 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale posture: the SKETCH path is a TakeOrdered(k) (per-partition
 # bottom-k + one tiny reduce — the KMV plan) plus O(k)-row windows; the
 # est_rank column is one partial-aggregable conditional count per scan.
-# The exact_cents column is the one corpus-sorted cost and exists only
-# to serve the oracle contract — the same explicitly-stated trade the
-# KMV exact columns make.
+# The exact_cents column is computed DISTRIBUTIVELY (VERDICT r10 item 1
+# retired the old single-partition row_number over the corpus):
+# range-partition on (cents, key), count rows per range partition (a
+# <=_QSK_EXACT_PARTS-row frame), cumulative offsets via a window over
+# that tiny frame only, then global rank = offset + row_number
+# partitioned BY partition id — the sort work stays spread across all
+# range partitions and no stage ever holds the whole corpus. Same
+# cumsum-over-a-bounded-frame idiom as doc_length_deciles
+# (sharding.py). Every window in this query is either partitioned or
+# over a bounded (<=k rows / <=parts rows) frame.
+#
+# Empty-input contract (ADVICE r10): the 6 level rows are emitted
+# unconditionally — est_cents/exact_cents NULL, est_rank 0, n_rows 0,
+# k_used 0 on an empty corpus, matching the oracle's scalar-subquery
+# semantics (tests/test_empty_inputs.py pins this at value level).
 # ---------------------------------------------------------------------------
 
 from mapreduce_sm_spark.functions.hashing import hash60, hash60_sql  # noqa: E402
@@ -1201,6 +1213,9 @@ from mapreduce_sm_spark.functions.hashing import hash60, hash60_sql  # noqa: E40
 _QSK_K = 256
 _QSK_SALT = "qsketch"
 _QSK_LEVELS_PPM = (100000, 250000, 500000, 750000, 900000, 990000)
+# range partitions for the distributed exact order statistic; each holds
+# ~n/parts rows so the per-partition sort is local and bounded
+_QSK_EXACT_PARTS = 32
 
 
 def _qsk_bottom_k(vals: DataFrame, k: int = _QSK_K) -> DataFrame:
@@ -1282,39 +1297,67 @@ def quantile_sketch_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p").cast("long").alias("level_ppm"))
     )
 
+    # the 6 level rows exist unconditionally (empty-input contract): each
+    # carries the corpus sizes so the target ranks are computable even
+    # when they are 0
+    base = lv.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ks))
+
     # sample read-out: rank within the <= k-row synopsis (safe window)
     sw = Window.orderBy("cents", "key")
     sv = sk.select("cents", F.row_number().over(sw).cast("long").alias("rs"))
     est = (
-        lv.crossJoin(F.broadcast(ks))
-        .withColumn(
+        base.withColumn(
             "target_rs",
             F.expr("(level_ppm * k_used + 999999) div 1000000").cast("long"),
         )
-        .join(F.broadcast(sv), F.col("rs") == F.col("target_rs"))
-        .select("level_ppm", "k_used", F.col("cents").alias("est_cents"))
+        .join(F.broadcast(sv), F.col("rs") == F.col("target_rs"), "left")
+        .select("level_ppm", F.col("cents").alias("est_cents"))
     )
 
-    # exact order statistic — corpus-sorted, an oracle-service cost (see
-    # section comment); single-partition window is the documented price
-    fw = Window.orderBy("cents", "key")
-    fv = vals.select(
-        "cents", F.row_number().over(fw).cast("long").alias("rn")
+    # exact order statistic — DISTRIBUTED (see section comment): range-
+    # partition the corpus on the sort key, derive each partition's row
+    # count from its max local row_number (one shared range exchange),
+    # turn the <=_QSK_EXACT_PARTS-row count frame into cumulative
+    # offsets, and read global rank = offset + local rank. No stage ever
+    # sorts more than one range partition's slice.
+    rv = vals.repartitionByRange(
+        _QSK_EXACT_PARTS, "cents", "key"
+    ).withColumn("pid", F.spark_partition_id())
+    wloc = Window.partitionBy("pid").orderBy("cents", "key")
+    loc = rv.withColumn("lrn", F.row_number().over(wloc).cast("long"))
+    # per-partition counts: a <=_QSK_EXACT_PARTS-row frame; the offset
+    # cumsum window below runs over THAT frame only (bounded, like the
+    # doc_length_deciles histogram window), never over the corpus
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        loc.groupBy("pid")
+        .agg(F.max("lrn").alias("pcnt"))
+        .withColumn(
+            "off", F.coalesce(F.sum("pcnt").over(woff), F.lit(0)).cast("long")
+        )
+        .select("pid", "off")
+    )
+    fv = loc.join(F.broadcast(offs), "pid").select(
+        "cents", (F.col("off") + F.col("lrn")).cast("long").alias("rn")
+    )
+    # inner join fv against the BROADCAST 6-row target frame (<=6 hits);
+    # the final assembly's left join by level_ppm supplies the NULL rows
+    # on an empty corpus — a left join here would force shuffling fv
+    targets = base.select(
+        "level_ppm",
+        F.expr("(level_ppm * n_rows + 999999) div 1000000")
+        .cast("long")
+        .alias("target_rn"),
     )
     exact = (
-        lv.crossJoin(F.broadcast(n))
-        .withColumn(
-            "target_rn",
-            F.expr("(level_ppm * n_rows + 999999) div 1000000").cast("long"),
-        )
-        .join(fv, F.col("rn") == F.col("target_rn"))
-        .select("level_ppm", "n_rows", F.col("cents").alias("exact_cents"))
+        fv.join(F.broadcast(targets), F.col("rn") == F.col("target_rn"))
+        .select("level_ppm", F.col("cents").alias("exact_cents"))
     )
 
     # est_rank: one partial-aggregable conditional count per scan — the
     # 6-row est frame broadcasts onto the fact scan, no shuffle of vals
     ranks = (
-        vals.crossJoin(F.broadcast(est.select("level_ppm", "est_cents")))
+        vals.crossJoin(F.broadcast(est))
         .groupBy("level_ppm")
         .agg(
             F.sum(F.when(F.col("cents") <= F.col("est_cents"), 1).otherwise(0))
@@ -1324,11 +1367,16 @@ def quantile_sketch_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return (
-        est.join(exact, "level_ppm")
-        .join(ranks, "level_ppm")
+        base.join(F.broadcast(est), "level_ppm", "left")
+        .join(F.broadcast(exact), "level_ppm", "left")
+        .join(F.broadcast(ranks), "level_ppm", "left")
         .select(
-            "level_ppm", "est_cents", "exact_cents", "est_rank",
-            "n_rows", "k_used",
+            "level_ppm",
+            "est_cents",
+            "exact_cents",
+            F.coalesce("est_rank", F.lit(0).cast("long")).alias("est_rank"),
+            "n_rows",
+            "k_used",
         )
         .orderBy("level_ppm")
     )

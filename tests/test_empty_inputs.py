@@ -50,6 +50,9 @@ def test_all_batch_queries_survive_empty_inputs(spark, empty_sf_dir):
                 "profile_orders_columns",
                 # fixed 2-row report: one row per compared set pair
                 "kmv_audience_overlap",
+                # fixed 6-row report: one row per quantile level, NULL
+                # estimates on an empty corpus (ADVICE r10)
+                "quantile_sketch_order_price",
             ), f"{name} returned {len(rows)} rows on empty input"
         except AssertionError:
             raise
@@ -87,3 +90,44 @@ def test_kmv_empty_fixture_value_parity(spark, empty_sf_dir):
     assert got == want, (got, want)
     for kappa, est_inter, n_merged in got.values():
         assert (kappa, est_inter, n_merged) == (0, 0, 0)
+
+
+def test_qsketch_empty_fixture_value_parity(spark, empty_sf_dir):
+    """Pins the ADVICE r10 fix at VALUE level: on an empty corpus both the
+    engine and the DuckDB oracle emit the 6 level rows with NULL
+    est_cents/exact_cents, est_rank 0, n_rows 0, k_used 0 — the engine's
+    old inner joins emitted 0 rows, a divergence the rows-only blanket
+    test above cannot see."""
+    import duckdb
+
+    from mapreduce_sm_spark.registry import load_all_operators
+    from mapreduce_sm_spark.session import TABLES
+
+    registry = load_all_operators()
+    q = registry.all()["quantile_sketch_order_price"]
+    got = {
+        r["level_ppm"]: (
+            r["est_cents"], r["exact_cents"], r["est_rank"],
+            r["n_rows"], r["k_used"],
+        )
+        for r in q.fn(spark, empty_sf_dir).collect()
+    }
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{empty_sf_dir}/{t}.parquet/*.parquet'"
+        )
+    cur = con.execute(q.oracle)
+    cols = [d[0] for d in cur.description]
+    want = {}
+    for row in cur.fetchall():
+        d = dict(zip(cols, row))
+        want[d["level_ppm"]] = (
+            d["est_cents"], d["exact_cents"], d["est_rank"],
+            d["n_rows"], d["k_used"],
+        )
+    assert got == want, (got, want)
+    assert len(got) == 6
+    for est_c, exact_c, est_rank, n_rows, k_used in got.values():
+        assert (est_c, exact_c) == (None, None)
+        assert (est_rank, n_rows, k_used) == (0, 0, 0)

@@ -290,3 +290,33 @@ def test_tf_cosine_join_is_equality_on_term(spark):
     plan = _plan(tf_cosine_pairs(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_exact_rank_is_distributed(spark):
+    """VERDICT r10 item 1: the exact order statistic must never move the
+    corpus to one partition. The ranking window over orders is partitioned
+    by the range-partition id; the only unpartitioned windows left are
+    over bounded frames (the <=k-row synopsis read-out and the
+    <=_QSK_EXACT_PARTS-row offset cumsum)."""
+    import re
+
+    from mapreduce_sm_spark.operators.sketches import (
+        quantile_sketch_order_price,
+    )
+
+    plan = _plan(quantile_sketch_order_price(spark, SF_DIR))
+    # corpus ranking: row_number PARTITIONED by pid, fed by a range
+    # exchange on the sort key
+    assert re.search(r"row_number\(\) windowspecdefinition\(pid#\d+,", plan)
+    assert "Exchange rangepartitioning(cents" in plan
+    # every remaining unpartitioned window sits directly above a bounded
+    # subtree: TakeOrderedAndProject (the k-row synopsis) or the
+    # per-partition-count aggregate keyed by pid (<=_QSK_EXACT_PARTS rows)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "windowspecdefinition(" not in line:
+            continue
+        if re.search(r"windowspecdefinition\(pid#\d+,", line):
+            continue  # the partitioned corpus window
+        below = "\n".join(lines[i : i + 10])
+        assert "TakeOrderedAndProject" in below or "keys=[pid" in below, line
