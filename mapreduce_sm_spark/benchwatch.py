@@ -10,10 +10,15 @@ of per-process cpu-time deltas over processes that are
   (b) not kernel threads (kworkers perform OUR writeback and shuffle
       flushes; charging them to "external" showed up to 2.6 phantom
       cores on an idle box under the naive total-minus-tree accounting),
-  (c) alive at BOTH ends of the trial — a genuine contaminating job
-      (another Spark JVM, a test run) is long-lived, while short-lived
-      exited pyspark workers would otherwise leak self-CPU into the
-      foreign column.
+  (c) accounted WITHOUT a both-ends blind spot: pids alive at both ends
+      contribute their cpu-time delta; a pid present only in s1 whose
+      recorded /proc starttime proves it was BORN after s0 was taken (a
+      LATE-STARTING contaminator, ADVICE r10) contributes its full
+      lifetime CPU — near-identical to its in-trial CPU by construction.
+      Short-lived exited pyspark workers still contribute nothing (they
+      are in `ours` or gone by s1), and an s0 read race on a long-lived
+      pid cannot charge its lifetime CPU to one trial: without the
+      starttime proof, an s1-only pid is skipped.
 
 bench.py uses snapshot()/foreign_cpu() around every trial and stamps a
 per-query `contaminated` flag into its JSON; tests/test_benchwatch.py
@@ -26,14 +31,26 @@ import os
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK")
 
-Snapshot = dict[int, tuple[int, float]]  # pid -> (ppid, utime+stime sec)
+
+class Snapshot(dict):
+    """pid -> (ppid, utime+stime sec[, start sec]) plus `uptime`: the
+    boot-relative moment the snapshot was taken (None when unknown —
+    e.g. the plain dicts the synthetic tests build)."""
+
+    uptime: float | None = None
 
 
 def snapshot() -> Snapshot | None:
-    """One pass over /proc: pid -> (ppid, cpu seconds) for every process.
-    Returns None when /proc is unreadable (detector unavailable)."""
+    """One pass over /proc: pid -> (ppid, cpu seconds, start seconds)
+    for every process. Returns None when /proc is unreadable (detector
+    unavailable)."""
     try:
-        snap: Snapshot = {}
+        snap = Snapshot()
+        try:
+            with open("/proc/uptime") as fh:
+                snap.uptime = float(fh.read().split()[0])
+        except (OSError, ValueError):
+            snap.uptime = None
         for d in os.listdir("/proc"):
             if not d.isdigit():
                 continue
@@ -46,6 +63,7 @@ def snapshot() -> Snapshot | None:
             snap[int(d)] = (
                 int(rest[1]),
                 (int(rest[11]) + int(rest[12])) / _CLK_TCK,
+                int(rest[19]) / _CLK_TCK,  # starttime, boot-relative
             )
         return snap
     except OSError:
@@ -55,8 +73,8 @@ def snapshot() -> Snapshot | None:
 def descendants(snap: Snapshot, root: int) -> set[int]:
     """root plus every transitive child pid present in the snapshot."""
     kids: dict[int, list[int]] = {}
-    for pid, (ppid, _) in snap.items():
-        kids.setdefault(ppid, []).append(pid)
+    for pid, ent in snap.items():
+        kids.setdefault(ent[0], []).append(pid)
     out: set[int] = set()
     stack = [root]
     while stack:
@@ -69,18 +87,24 @@ def descendants(snap: Snapshot, root: int) -> set[int]:
 
 
 def foreign_cpu(s0: Snapshot, s1: Snapshot, me: int | None = None) -> float:
-    """CPU seconds consumed between the snapshots by live user-space
+    """CPU seconds consumed between the snapshots by user-space
     processes outside `me`'s tree (default: this process). Kernel
-    threads (descendants of kthreadd, pid 2) and pid 1 are excluded;
-    processes missing from either snapshot contribute nothing."""
+    threads (descendants of kthreadd, pid 2) and pid 1 are excluded.
+    Both-ends pids contribute their delta; s1-only pids contribute
+    their full lifetime CPU iff their starttime proves they were born
+    after s0 (the late-starter rule — see the module docstring)."""
     me = os.getpid() if me is None else me
     ours = descendants(s0, me) | descendants(s1, me)
     kernel = descendants(s0, 2) | descendants(s1, 2)
+    t0 = getattr(s0, "uptime", None)
     total = 0.0
-    for pid, (_, cpu1) in s1.items():
-        if pid in ours or pid in kernel or pid == 1 or pid not in s0:
+    for pid, ent in s1.items():
+        if pid in ours or pid in kernel or pid == 1:
             continue
-        total += max(0.0, cpu1 - s0[pid][1])
+        if pid in s0:
+            total += max(0.0, ent[1] - s0[pid][1])
+        elif t0 is not None and len(ent) > 2 and ent[2] > t0:
+            total += ent[1]  # provably born mid-trial: all CPU is in-trial
     return total
 
 

@@ -704,9 +704,7 @@ def dedup_minhash_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < F.col("new_min"))
         .drop("new_min")
     )
-    store = shared_tmpdir(
-        "mh_index_", os.path.basename(sf_dir.rstrip("/"))
-    )
+    store = shared_tmpdir("mh_index_", sf_dir)
     idx_path = os.path.join(store, "band_index")
     sets_path = os.path.join(store, "shingle_sets")
     _band_rows(_minhash_sigs(old)).write.mode("overwrite").parquet(idx_path)

@@ -195,7 +195,7 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ADVICE r08); keyed by sf_dir so two scale factors never share a store
     # that the lazy return DataFrame would read after a swap (ADVICE r09)
     d = os.path.join(
-        shared_tmpdir("orc_rt_", os.path.basename(sf_dir.rstrip("/"))),
+        shared_tmpdir("orc_rt_", sf_dir),
         "lineitem_orc",
     )
     li.write.mode("overwrite").orc(d)

@@ -696,7 +696,7 @@ def bloom_reuse_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copy, and two scale factors can never swap each other's persisted
     # filter under a lazy reader (ADVICE r09).
     store = os.path.join(
-        shared_tmpdir("bloom_store_", os.path.basename(sf_dir.rstrip("/"))),
+        shared_tmpdir("bloom_store_", sf_dir),
         "ingest_filter",
     )
     bloom_build(dim, "c_custkey").write.mode("overwrite").parquet(store)

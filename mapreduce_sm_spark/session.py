@@ -229,7 +229,6 @@ def session_tmpdir(prefix: str) -> str:
     return d
 
 
-@functools.lru_cache(maxsize=None)
 def shared_tmpdir(prefix: str, scope: str = "") -> str:
     """One session_tmpdir per (process, prefix, scope).
 
@@ -239,14 +238,28 @@ def shared_tmpdir(prefix: str, scope: str = "") -> str:
     (ADVICE r08). Safe exactly because every write through it overwrites.
 
     scope: callers that persist per-scale-factor data (the ORC roundtrip,
-    the Bloom store) MUST pass the sf_dir basename — a prefix-only key
-    would hand two scale factors the same on-disk store, and because the
-    returned DataFrames read it LAZILY, invoking the operator for sf B
-    before collecting sf A's result would silently swap A's persisted
-    data for B's (ADVICE r09: wrong customer set pruned before the
-    exact re-check). One cached dir per (prefix, scope) closes that."""
-    safe = "".join(c if c.isalnum() or c in "._-" else "_" for c in scope)
-    return session_tmpdir(f"{prefix}{safe}_" if safe else prefix)
+    the Bloom store, the MinHash band index) MUST pass the FULL sf_dir
+    path — a prefix-only key would hand two scale factors the same
+    on-disk store, and because the returned DataFrames read it LAZILY,
+    invoking the operator for sf B before collecting sf A's result would
+    silently swap A's persisted data for B's (ADVICE r09: wrong customer
+    set pruned before the exact re-check). The dir name carries the
+    basename for readability plus a hash of the WHOLE path: keying on
+    the basename alone would still collide /a/sf0.01 with /b/sf0.01
+    (ADVICE r10)."""
+    return _shared_tmpdir_cached(prefix, scope.rstrip("/") if scope else "")
+
+
+@functools.lru_cache(maxsize=None)
+def _shared_tmpdir_cached(prefix: str, scope: str) -> str:
+    import hashlib
+
+    if not scope:
+        return session_tmpdir(prefix)
+    base = os.path.basename(scope) or "root"
+    safe = "".join(c if c.isalnum() or c in "._-" else "_" for c in base)
+    digest = hashlib.md5(scope.encode("utf-8")).hexdigest()[:8]
+    return session_tmpdir(f"{prefix}{safe}_{digest}_")
 
 
 # Fixture tables materialized by the test-data driver (TESTDATA.md).

@@ -82,3 +82,37 @@ def test_own_busy_child_is_not_foreign():
     # our own burned CPU (parent+exited child) must not read as foreign;
     # allow a small epsilon for unrelated system daemons ticking over
     assert foreign_cpu(s0, s1) < 0.5
+
+
+def test_foreign_cpu_counts_provable_late_starters():
+    """Pins the ADVICE r10 fix: a contaminating job that starts MID-trial
+    (present only in s1) counts its full lifetime CPU when its starttime
+    proves it was born after s0 — and is still skipped when that proof
+    is unavailable (plain-dict snapshots / an s0 read race), so a
+    long-lived pid raced at s0 can never charge its lifetime CPU to one
+    trial."""
+    from mapreduce_sm_spark.benchwatch import Snapshot, foreign_cpu
+
+    me = 100
+    s0 = Snapshot([
+        (1, (0, 50.0, 1.0)),
+        (100, (1, 1.0, 900.0)),    # "me"
+        (101, (100, 2.0, 901.0)),  # my child
+    ])
+    s0.uptime = 1000.0
+    s1 = Snapshot([
+        (1, (0, 50.0, 1.0)),
+        (100, (1, 2.0, 900.0)),
+        (101, (100, 9.0, 901.0)),
+        (103, (101, 7.0, 1002.0)),  # OUR worker born mid-trial: ours
+        (700, (1, 6.0, 1003.0)),    # foreign born AFTER s0: counts fully
+        (800, (1, 99.0, 500.0)),    # s0 read race: born BEFORE s0, not
+                                    # in s0 -> must contribute nothing
+    ])
+    s1.uptime = 1010.0
+    assert foreign_cpu(s0, s1, me=me) == 6.0
+    # without the starttime/uptime proof (plain dicts), s1-only pids are
+    # skipped — the pre-fix conservative behavior
+    p0 = {1: (0, 50.0), 100: (1, 1.0)}
+    p1 = {1: (0, 50.0), 100: (1, 2.0), 700: (1, 6.0)}
+    assert foreign_cpu(p0, p1, me=me) == 0.0

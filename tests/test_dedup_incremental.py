@@ -56,7 +56,7 @@ def test_persisted_index_equals_incremental_and_reloads(spark):
 
     # the store exists, is per-sf, and holds both halves of the state a
     # production daily job would reload (band index + shingle sets)
-    store = shared_tmpdir("mh_index_", os.path.basename(SF_DIR.rstrip("/")))
+    store = shared_tmpdir("mh_index_", SF_DIR)
     assert os.path.isdir(os.path.join(store, "band_index"))
     assert os.path.isdir(os.path.join(store, "shingle_sets"))
 

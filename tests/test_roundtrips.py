@@ -95,6 +95,22 @@ def test_shared_tmpdir_scoped_per_sf(tmp_path):
     assert "sf0.001" in os.path.basename(a)
 
 
+def test_shared_tmpdir_scoped_by_full_path():
+    """Pins the ADVICE r10 fix: two sf dirs with the SAME basename under
+    different parents must not share a store (the key carries a hash of
+    the whole path, not just the basename); trailing slashes normalize
+    to the same store."""
+    import os
+
+    from mapreduce_sm_spark.session import shared_tmpdir
+
+    a = shared_tmpdir("t_fullpath_", "/tmp/gen_a/sf0.01")
+    b = shared_tmpdir("t_fullpath_", "/tmp/gen_b/sf0.01")
+    assert a != b
+    assert shared_tmpdir("t_fullpath_", "/tmp/gen_a/sf0.01/") == a
+    assert "sf0.01" in os.path.basename(a)
+
+
 def test_orc_roundtrip_reuses_detour_dir(spark):
     from mapreduce_sm_spark.operators.formats import orc_roundtrip_stats
     from mapreduce_sm_spark.session import shared_tmpdir
@@ -103,10 +119,7 @@ def test_orc_roundtrip_reuses_detour_dir(spark):
     from tests.conftest import SF_DIR
 
     orc_roundtrip_stats(spark, SF_DIR).collect()
-    d = os.path.join(
-        shared_tmpdir("orc_rt_", os.path.basename(SF_DIR.rstrip("/"))),
-        "lineitem_orc",
-    )
+    d = os.path.join(shared_tmpdir("orc_rt_", SF_DIR), "lineitem_orc")
     before = sorted(os.listdir(d))
     orc_roundtrip_stats(spark, SF_DIR).collect()
     # same directory, overwritten in place — no second copy anywhere
