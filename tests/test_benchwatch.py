@@ -116,3 +116,84 @@ def test_foreign_cpu_counts_provable_late_starters():
     p0 = {1: (0, 50.0), 100: (1, 1.0)}
     p1 = {1: (0, 50.0), 100: (1, 2.0), 700: (1, 6.0)}
     assert foreign_cpu(p0, p1, me=me) == 0.0
+
+
+def test_foreign_cpu_detects_recycled_pid():
+    """Pins the ADVICE r11 fix: a pid present at both ends whose
+    starttime CHANGED was recycled mid-trial (the old process exited, a
+    foreign job reused the pid). The naive delta max(0, new-old)
+    undercounts — the new occupant's full lifetime CPU is in-trial, so
+    it is charged like a late starter; without an in-trial starttime
+    proof it still contributes nothing."""
+    from mapreduce_sm_spark.benchwatch import Snapshot, foreign_cpu
+
+    me = 100
+    s0 = Snapshot([
+        (1, (0, 50.0, 1.0)),
+        (100, (1, 1.0, 900.0)),
+        (500, (1, 9.0, 100.0)),   # old foreign occupant of pid 500
+    ])
+    s0.uptime = 1000.0
+    s1 = Snapshot([
+        (1, (0, 50.0, 1.0)),
+        (100, (1, 2.0, 900.0)),
+        # pid 500 RECYCLED: new starttime, burned 3s — the old delta
+        # rule would read max(0, 3.0 - 9.0) = 0
+        (500, (1, 3.0, 1005.0)),
+    ])
+    s1.uptime = 1010.0
+    assert foreign_cpu(s0, s1, me=me) == 3.0
+    # recycled but with a PRE-s0 starttime (clock skew / bad parse):
+    # no in-trial proof -> contributes nothing
+    s1b = Snapshot(s1)
+    s1b[500] = (1, 3.0, 500.0)
+    s1b.uptime = 1010.0
+    assert foreign_cpu(s0, s1b, me=me) == 0.0
+    # both-ends pid with UNCHANGED starttime still takes the delta
+    s1c = Snapshot(s1)
+    s1c[500] = (1, 12.5, 100.0)
+    s1c.uptime = 1010.0
+    assert foreign_cpu(s0, s1c, me=me) == 3.5
+
+
+def test_subreaper_keeps_orphans_in_our_tree():
+    """Pins the ADVICE r11 orphan mitigation: after become_subreaper(),
+    a grandchild whose parent exits reparents to US (not pid 1), so the
+    snapshot's descendants(me) still contains it and its CPU can never
+    be charged as foreign."""
+    import subprocess
+    import sys
+    import time
+
+    from mapreduce_sm_spark.benchwatch import (
+        become_subreaper,
+        descendants,
+        snapshot,
+    )
+
+    assert become_subreaper()  # Linux CI box: prctl must succeed
+    # child prints its grandchild's pid, then exits immediately —
+    # orphaning the sleeping grandchild onto the nearest subreaper (us)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import subprocess, sys\n"
+         "p = subprocess.Popen([sys.executable, '-c',"
+         " 'import time; time.sleep(15)'])\n"
+         "print(p.pid)"],
+        check=True, capture_output=True, text=True,
+    )
+    orphan = int(out.stdout.strip())
+    try:
+        for _ in range(50):  # reparenting is immediate; snapshot races aren't
+            snap = snapshot()
+            assert snap is not None
+            if orphan in snap and snap[orphan][0] == os.getpid():
+                break
+            time.sleep(0.1)
+        assert orphan in descendants(snap, os.getpid())
+    finally:
+        try:
+            os.kill(orphan, 9)
+            os.waitpid(orphan, 0)  # we are its reaper now
+        except OSError:
+            pass

@@ -297,21 +297,34 @@ def test_quantile_exact_rank_is_distributed(spark):
     corpus to one partition. The ranking window over orders is partitioned
     by the range-partition id; the only unpartitioned windows left are
     over bounded frames (the <=k-row synopsis read-out and the
-    <=_QSK_EXACT_PARTS-row offset cumsum)."""
+    <=parts-row offset cumsum)."""
     import re
 
     from mapreduce_sm_spark.operators.sketches import (
         quantile_sketch_order_price,
     )
 
-    plan = _plan(quantile_sketch_order_price(spark, SF_DIR))
+    df = quantile_sketch_order_price(spark, SF_DIR)
+    plan = _plan(df)
     # corpus ranking: row_number PARTITIONED by pid, fed by a range
     # exchange on the sort key
     assert re.search(r"row_number\(\) windowspecdefinition\(pid#\d+,", plan)
     assert "Exchange rangepartitioning(cents" in plan
+    # ADVICE r11: global rank = offset + local rank is only sound if the
+    # offs and fv branches read THE SAME materialized range exchange —
+    # RangePartitioner samples bounds per materialization, so two
+    # independently materialized exchanges could assign rows different
+    # pids. AQE dedupes by canonicalized stage; pin that it did: in the
+    # executed FINAL plan the cents range exchange materializes exactly
+    # once, the second consumer riding a ReusedExchange/reused stage.
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==")[0]
+    assert final.count("Exchange rangepartitioning(cents") == 1
+    assert "ReusedExchange" in final
     # every remaining unpartitioned window sits directly above a bounded
     # subtree: TakeOrderedAndProject (the k-row synopsis) or the
-    # per-partition-count aggregate keyed by pid (<=_QSK_EXACT_PARTS rows)
+    # per-partition-count aggregate keyed by pid (<=parts rows)
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "windowspecdefinition(" not in line:

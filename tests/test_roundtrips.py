@@ -108,6 +108,32 @@ def test_shared_tmpdir_scoped_by_full_path():
     b = shared_tmpdir("t_fullpath_", "/tmp/gen_b/sf0.01")
     assert a != b
     assert shared_tmpdir("t_fullpath_", "/tmp/gen_a/sf0.01/") == a
+
+
+def test_shared_tmpdir_scope_spelling_variants_key_one_store():
+    """Pins the ADVICE r11 fix: equivalent spellings of one sf_dir
+    (doubled slashes, dot segments, relative vs absolute, a symlinked
+    parent) must key the SAME persisted store — mixed spellings would
+    otherwise silently duplicate stores and defeat reuse."""
+    import os
+
+    from mapreduce_sm_spark.session import shared_tmpdir
+
+    a = shared_tmpdir("t_spelling_", "/tmp/gen_c/sf0.01")
+    assert shared_tmpdir("t_spelling_", "/tmp/gen_c//sf0.01") == a
+    assert shared_tmpdir("t_spelling_", "/tmp/gen_c/./sf0.01") == a
+    assert shared_tmpdir("t_spelling_", "/tmp/gen_c/x/../sf0.01") == a
+    # relative spelling of an absolute path (resolved against cwd)
+    rel = os.path.relpath("/tmp/gen_c/sf0.01")
+    assert shared_tmpdir("t_spelling_", rel) == a
+    # a symlinked parent resolves to the real store
+    os.makedirs("/tmp/gen_c/sf0.01", exist_ok=True)
+    link = "/tmp/gen_c_link"
+    if not os.path.islink(link):
+        os.symlink("/tmp/gen_c", link)
+    assert shared_tmpdir("t_spelling_", link + "/sf0.01") == a
+    # scope='/' keys as a real scope, not the unscoped branch
+    assert shared_tmpdir("t_spelling_", "/") != shared_tmpdir("t_spelling_")
     assert "sf0.01" in os.path.basename(a)
 
 
