@@ -49,84 +49,82 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
 
 from mapreduce_sm_spark.registry import REGISTRY
 
-# Round-10 driver window: the external correctness gate verifies the first
-# 50 entries of queries(). r09 finished the r04-stale rotation (histogram
-# after r09: 29 x r06, 49 x r07, 50 x r08, 50 x r09 — no row older than
-# r06); VERDICT r09 item 1 asks this round to front the full r06 remnant
-# plus the oldest r07 rows. Composition:
-# (1) the 4 queries NEW this round, never driver-seen (never-seen
-#     outranks stale): dedup_minhash_persisted (VERDICT item 4 — the
-#     band index's build->parquet->reload->probe cycle),
-#     stream_bitmap_equality (item 6 — bitmap OR proven across RocksDB
-#     micro-batches), quantile_sketch_order_price (item 7 — mergeable
-#     bottom-k rank sketch, oracle replays the whole synopsis), and
-#     stream_quantile_equality (the trilogy's third proven member:
-#     bottom-k is a min-structure, streamed == batch bit-for-bit).
-# (2) ALL 29 rows whose freshest driver row is r06 (the complete
-#     remnant; VERDICT said 26 but three r06 rows that yielded slots to
-#     late-r09 arrivals are counted here too — after this window no
-#     registered query's freshest driver row predates r07).
-# (3) the remaining 17 slots go to the riskiest-oracle r07 rows
-#     (variant_props_stats yielded its slot to the late new query):
-#     streaming/stateful ops, CDC/IVM, the graph kernel, sparse cosine,
-#     the edit-distance miner, source/sink round trips, UDTF surface.
-# Still out after this round: 31 r07 rows + the r08/r09 cohorts — all
-# covered every pytest run by tests/test_oracle_parity.py (sf0.001) and
-# by the sf0.01 pandas-path local gate; they rotate in r11.
+# Round-12 driver window: the external correctness gate verifies the first
+# 50 entries of queries(). The r11 driver window duplicated r10's set
+# instead of rotating (VERDICT r11 demerit 1), so the r07 cohort is now
+# four rounds stale at the driver — this window retires it completely.
+# Composition (1 + 32 + 17 = 50):
+# (1) the 1 query NEW this round, never driver-seen (never-seen
+#     outranks stale): dedup_minhash_compaction (VERDICT r11 item 3 —
+#     the band-index compaction law: merge(stored index, delta index)
+#     rewritten to parquet == from-scratch rebuild, exact multiset
+#     audit + digest the oracle recomputes in DuckDB).
+# (2) ALL 32 rows whose freshest driver row is r07 (computed from the
+#     CORRECTNESS_r*.json union at the start of r12) — after this
+#     window no registered query's freshest driver row predates r08.
+# (3) the remaining 17 slots go to the riskiest-oracle r08 rows:
+#     stateful/interval streaming, the multimodal decode trio, CDC +
+#     MERGE upsert, cogrouped as-of, connected components, the
+#     incremental/simhash60 dedup rungs, UDTF + SQL-UDF surface, the
+#     MG/HLL sketches, grouped-map, and the sparse-cosine prefix miner.
+# Still out after this round: the remaining 33 r08 rows + the r09/r11
+# cohorts — all covered every pytest run by tests/test_oracle_parity.py
+# (sf0.001) and by the sf0.01 pandas-path local gate; the r08 remnant
+# fronts in r13.
 REGISTRY.set_front(
     (
         # --- (1) new this round, never driver-seen ---
-        "dedup_minhash_persisted",
-        "stream_bitmap_equality",
-        "quantile_sketch_order_price",
-        "stream_quantile_equality",
-        # --- (2) the complete r06 remnant (29 rows) ---
-        "anomaly_zscore_events",
-        "array_functions_surface",
-        "arrow_doc_stats",
-        "arrow_grouped_event_stats",
-        "chunk_documents_plan",
-        "collation_token_counts",
-        "doc_length_deciles",
-        "embedding_norm_quantiles",
-        "embedding_similar_pairs",
-        "histogram_event_values",
-        "key_skew_diagnostics",
-        "percentiles_order_price",
-        "pipe_syntax_rollup",
-        "pmi_collocations",
-        "promo_revenue_ratio",
-        "q17_small_quantity_revenue",
-        "rollup_lineitem",
-        "scalar_functions",
-        "scalar_subquery_part_avg",
-        "skew_salted_agg",
-        "stats_moments_lineitem",
-        "text_quality_stats",
-        "tfidf_top_terms",
-        "training_shard_manifest",
-        "window_distribution_funcs",
-        "window_lag_lead_events",
-        "window_rank_top_orders",
-        "window_running_total",
-        "zorder_bucket_stats",
-        # --- (3) 18 riskiest-oracle r07 rows ---
-        "pagerank_supply_graph",
-        "dedup_edit_distance",
-        "tf_cosine_pairs",
-        "corpus_curation_report",
-        "stream_dedup_events",
-        "stream_sink_roundtrip",
-        "stream_static_enrich",
-        "session_window_events",
-        "incremental_agg_maintenance",
-        "scd2_point_in_time_join",
-        "custom_source_roundtrip",
-        "schema_evolution_stats",
-        "xml_roundtrip_stats",
-        "number_format_roundtrip",
-        "udtf_dynamic_kv",
-        "udtf_table_arg_reduce",
-        "pandas_api_rollup",
+        "dedup_minhash_compaction",
+        # --- (2) the complete r07 remnant (32 rows) ---
+        "bitmap_distinct_users",
+        "bucketed_join_sales_by_segment",
+        "calendar_spine_orders",
+        "dedup_events_time_window",
+        "doc_repetition_stats",
+        "filter_clause_group_by_all",
+        "listagg_order_statuses",
+        "mask_pii_shapes",
+        "parameterized_sql_revenue",
+        "partition_pruned_event_stats",
+        "q12_late_shipment_priority",
+        "q20_volume_suppliers",
+        "q21_waiting_suppliers",
+        "q22_dormant_customers",
+        "q4_order_priority",
+        "q8_market_share",
+        "q9_product_profit",
+        "quality_prune_per_source",
+        "sample_documents_hashmod",
+        "setops_multiset",
+        "setops_nations",
+        "sql_scripting_rollup",
+        "string_functions_extended",
+        "topk_orders",
+        "train_val_test_split",
+        "try_arithmetic_surface",
+        "union_by_name_contacts",
+        "unpivot_lineitem_measures",
+        "variant_props_stats",
+        "window_moving_avg",
+        "window_time_range_frame",
+        "winsorized_price_stats",
+        # --- (3) 17 riskiest-oracle r08 rows ---
+        "stream_interval_join",
+        "stream_stateful_user_totals",
+        "multimodal_audio_meta",
+        "multimodal_frame_sample",
+        "multimodal_image_meta",
+        "cdc_merge_audit",
+        "merge_upsert_orders",
+        "cogrouped_asof_gap",
+        "dedup_connected_components",
+        "dedup_minhash_incremental",
+        "dedup_simhash60_pairs",
+        "udtf_sentence_split",
+        "sql_interface_udf",
+        "mg_heavy_hitters",
+        "hll_user_reach",
+        "grouped_map_top2_docs",
+        "tf_cosine_pairs_prefix",
     )
 )
