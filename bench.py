@@ -19,6 +19,50 @@ from mapreduce_sm_spark.registry import load_all_operators  # noqa: E402
 from mapreduce_sm_spark.session import get_spark  # noqa: E402
 
 
+def compact_line(
+    times: dict[str, float],
+    cold: dict[str, float],
+    contaminated: dict[str, bool | None],
+    settled: bool,
+    load1: float | None,
+    sf: object,
+) -> str:
+    """The ONE stdout line: totals + per-query warm times + the
+    contamination verdict, guaranteed under the driver's 2000-char tail
+    (VERDICT r11 "What's wrong" 3 — the full per-trial document is ~6 KB
+    and was truncated into `parsed: null` four rounds running). If the
+    headline set ever grows the line past the budget, the queries dict
+    degrades to the top-10 slowest with an explicit truncation marker —
+    the totals always survive. Pinned by tests/test_benchwatch.py."""
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "cold_total": round(sum(cold.values()), 2),
+        # names only — all-false is the common case and prints as []
+        "contaminated_queries": sorted(
+            k for k, v in contaminated.items() if v is not False
+        ),
+        "settled_start": settled,
+        "load1_at_start": load1,
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never hand the driver an unparseable tail
+        compact["queries"] = {
+            k: round(v, 2)
+            for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:10]
+        }
+        compact["queries_truncated_to_top10"] = True
+        # the flagged-name list can itself blow the budget when many
+        # queries are dirty; keep the count exact, the names capped
+        compact["n_contaminated"] = len(compact["contaminated_queries"])
+        compact["contaminated_queries"] = compact["contaminated_queries"][:10]
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -198,28 +242,7 @@ def main() -> None:
         with open(out_file, "w") as fh:
             json.dump(doc, fh, indent=1, sort_keys=True)
             fh.write("\n")
-    compact = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in times.items()},
-        "cold_total": round(sum(cold.values()), 2),
-        # names only — all-false is the common case and prints as []
-        "contaminated_queries": sorted(
-            k for k, v in contaminated.items() if v is not False
-        ),
-        "settled_start": settled,
-        "load1_at_start": load1,
-        "sf": sf,
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # never hand the driver an unparseable tail
-        compact["queries"] = dict(
-            sorted(times.items(), key=lambda kv: -kv[1])[:10]
-        )
-        compact["queries_truncated_to_top10"] = True
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(compact_line(times, cold, contaminated, settled, load1, sf))
 
 
 if __name__ == "__main__":

@@ -156,6 +156,39 @@ def test_foreign_cpu_detects_recycled_pid():
     assert foreign_cpu(s0, s1c, me=me) == 3.5
 
 
+def test_bench_compact_line_fits_driver_tail_and_parses():
+    """Pins VERDICT r11 'What's wrong' 3: the driver records only the
+    LAST 2000 chars of bench stdout and parses the final line as JSON —
+    the compact line must fit with margin at the real headline-set size
+    and carry the verdict-usable fields; an oversized set degrades to
+    top-10 with an explicit marker instead of an unparseable tail."""
+    import json
+
+    from bench import compact_line
+
+    times = {f"some_operator_name_{i:02d}": 1.234 for i in range(30)}
+    cold = {k: 2.5 for k in times}
+    contaminated: dict = {k: False for k in times}
+    line = compact_line(times, cold, contaminated, True, 0.42, 0.1)
+    assert len(line) <= 1900
+    doc = json.loads(line)
+    assert doc["value"] == round(sum(times.values()), 3)
+    assert doc["contaminated_queries"] == []
+    assert len(doc["queries"]) == 30 and doc["settled_start"] is True
+
+    # pathological growth: 200 queries cannot fit — totals still survive
+    big = {f"q_{'x' * 40}_{i:03d}": float(i) for i in range(200)}
+    contaminated2: dict = {k: (None if i == 0 else i == 1) for i, k in enumerate(big)}
+    line2 = compact_line(big, big, contaminated2, False, None, "x")
+    assert len(line2) <= 2000
+    doc2 = json.loads(line2)
+    assert doc2["queries_truncated_to_top10"] is True
+    assert len(doc2["queries"]) == 10
+    assert doc2["value"] == round(sum(big.values()), 3)
+    # flagged + unknown names both surface
+    assert len(doc2["contaminated_queries"]) == 2
+
+
 def test_subreaper_keeps_orphans_in_our_tree():
     """Pins the ADVICE r11 orphan mitigation: after become_subreaper(),
     a grandchild whose parent exits reparents to US (not pid 1), so the

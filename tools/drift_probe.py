@@ -184,6 +184,11 @@ FIVE = (
     "quantile_sketch_order_price",
     "stream_bitmap_equality",
     "stream_quantile_equality",
+    # r12 addition: the band-index compaction law — mod-sum digests and
+    # multiset counts are exact integers by construction; probed so the
+    # merge/rebuild comparison stays engine-exact on hostile unicode
+    # text (shingles through the md5 hash60 path) too
+    "dedup_minhash_compaction",
 )
 
 
