@@ -244,6 +244,30 @@ def pagerank_int(
         .select(F.col("src").alias("od_node"), "od")
     )
 
+    # r12 iteration-shape rework: the loop's ONLY edge-sized input is
+    # materialized ONCE, outdeg fused in and hash-partitioned on src —
+    # the cached InMemoryTableScan reports that partitioning, so the
+    # per-iteration join against r satisfies its src-side distribution
+    # requirement for free and the per-iteration exchanges are all
+    # NODE-sized (r to src-hash, the partially-aggregated in_sum). The
+    # previous shape re-shuffled the edge set every iteration (edges
+    # joined a derived contrib frame) and ran a second node join inside
+    # the loop. At 100 TB this is the difference between iterations x
+    # |E| and one |E| exchange total.
+    edges_od = (
+        edges.join(outdeg, F.col("src") == F.col("od_node"))
+        .select("src", "dst", "od")
+        .repartition("src")
+        .cache()
+    )
+    edges_od.count()
+    # nodes with no out-edge are a STATIC set; only their rank sum
+    # changes per iteration
+    dang_nodes = nodes.join(
+        outdeg, F.col("node") == F.col("od_node"), "left_anti"
+    ).cache()
+    dang_nodes.count()
+
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"{mass} div n").alias("rank")
     )
@@ -259,22 +283,15 @@ def pagerank_int(
         if prev_r is not None:
             prev_r.unpersist()
         prev_r = r
-        contrib = (
-            r.join(outdeg, F.col("node") == F.col("od_node"))
-            .select(
-                F.col("od_node").alias("contrib_src"),
-                F.expr("rank div od").alias("c"),
-            )
-        )
         in_sum = (
-            edges.join(contrib, F.col("src") == F.col("contrib_src"))
+            edges_od.join(r, F.col("src") == F.col("node"))
+            .select("dst", F.expr("rank div od").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
             .withColumnRenamed("dst", "node")
         )
-        dang = (
-            r.join(outdeg, F.col("node") == F.col("od_node"), "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dang"))
+        dang = r.join(dang_nodes, "node", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("dang")
         )
         r = (
             nodes.crossJoin(F.broadcast(nn))
@@ -290,10 +307,12 @@ def pagerank_int(
                 ).alias("rank"),
             )
         )
-    # the LAST iteration's cached frame plus edges/nodes stay live for the
-    # caller's collect over the returned lazy plan; the next invocation
-    # reclaims them (one-generation cache discipline, session.py)
-    track_caches("graph.pagerank", edges, nodes, prev_r)
+    # the LAST iteration's cached frame plus edges/nodes/edges_od stay
+    # live for the caller's collect over the returned lazy plan; the next
+    # invocation reclaims them (one-generation cache discipline)
+    track_caches(
+        "graph.pagerank", edges, nodes, edges_od, dang_nodes, prev_r
+    )
     return r
 
 
