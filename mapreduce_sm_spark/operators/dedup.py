@@ -1248,9 +1248,17 @@ def _cc_labels(pairs: DataFrame) -> DataFrame:
     edges = checkpoint_df(
         pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        ).unionAll(
+        )
+        .unionAll(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
+        # hash-partition on src BEFORE the checkpoint: the checkpointed
+        # frame reports that partitioning, so every hop's join against
+        # the label frame satisfies its edge-side distribution
+        # requirement for free and only the vertex-sized label frame
+        # moves per hop (same r12 rework as pagerank_int — without this
+        # the edge frame re-shuffled up to hops x rounds times)
+        .repartition("src")
     )  # mine pairs once; iterations re-read the checkpointed blocks
 
     def propagate(lbl: DataFrame) -> DataFrame:
