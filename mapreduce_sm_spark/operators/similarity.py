@@ -360,6 +360,19 @@ def _kmeans_centroids(
             "driver-resident state; raise the env ceiling deliberately or "
             "use a hierarchical/minibatch scheme (see SCALING.md)"
         )
+    # r12: hash-partition the point set on vec_id ONCE and cache it —
+    # the per-iteration argmin groupBy(vec_id) then finds its required
+    # distribution already satisfied (crossJoin against the broadcast
+    # centroid frame preserves the left side's partitioning), so Lloyd
+    # iterations move only the k*dim partial means, never the N points;
+    # the cache also stops each iteration re-reading the parquet scan.
+    from pyspark import StorageLevel
+
+    from mapreduce_sm_spark.session import release_caches, track_caches
+
+    release_caches("similarity.kmeans")
+    vecs = vecs.repartition("vec_id").persist(StorageLevel.MEMORY_AND_DISK)
+    track_caches("similarity.kmeans", vecs)
     init = vecs.orderBy("vec_id").limit(k).select("v").collect()
     cents = [(i, list(r.v)) for i, r in enumerate(init)]
     for _ in range(iters):
