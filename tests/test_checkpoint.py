@@ -45,3 +45,36 @@ def test_reliable_checkpoint_dir(spark, monkeypatch, tmp_path):
         for f in fs
     ]
     assert files, "no reliable checkpoint files written under SPARKSM_CHECKPOINT_DIR"
+
+
+def test_checkpoint_preserves_hash_partitioning(spark):
+    """Pins the load-bearing assumption behind the r12 co-partitioned
+    label loop (_cc_labels) and pagerank edge frame: a frame
+    repartition()ed on a key and THEN checkpointed still reports that
+    hash partitioning, so a later equi-join on the key adds no exchange
+    on the checkpointed side. If a Spark upgrade ever drops the
+    partitioning across checkpoint, the iterative loops silently regress
+    to re-shuffling their edge frames every hop — this test fails first."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_sm_spark.session import checkpoint_df
+
+    e = spark.range(10000).select(
+        (F.col("id") % 100).alias("src"), (F.col("id") % 77).alias("dst")
+    )
+    ck = checkpoint_df(e.repartition("src"))
+    lbl = spark.range(100).select(
+        F.col("id").alias("src"), F.col("id").alias("comp")
+    )
+    j = ck.join(lbl, "src").groupBy("dst").agg(F.min("comp").alias("m"))
+    j.collect()
+    plan = (
+        j._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # the checkpointed side must NOT be re-exchanged on the join key;
+    # the only hash exchange left is the dst aggregate's
+    assert "Exchange hashpartitioning(src" not in plan, plan
+    assert "Exchange hashpartitioning(dst" in plan

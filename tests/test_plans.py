@@ -333,3 +333,23 @@ def test_quantile_exact_rank_is_distributed(spark):
             continue  # the partitioned corpus window
         below = "\n".join(lines[i : i + 10])
         assert "TakeOrderedAndProject" in below or "keys=[pid" in below, line
+
+
+def test_pagerank_loop_exchanges_are_node_sized(spark):
+    """r12 iteration-shape rework: the per-iteration join against the
+    rank frame must consume the cached, src-partitioned edge frame
+    without re-exchanging it — the final iteration layer's executed plan
+    carries NO hash exchange on src; every exchange is on a node-sized
+    frame (the rank/in_sum side)."""
+    from mapreduce_sm_spark.operators.graph import pagerank_supply_graph
+
+    df = pagerank_supply_graph(spark, SF_DIR)
+    df.collect()
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "InMemoryTableScan" in plan
+    assert "Exchange hashpartitioning(src" not in plan, plan
