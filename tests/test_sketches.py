@@ -334,3 +334,20 @@ def test_qsketch_persist_reload_merge_roundtrip(spark, tmp_path):
         tuple(r) for r in direct.collect()
     )
     assert os.path.isdir(pa) and os.path.isdir(pb)
+
+
+def test_qsketch_exact_rank_invariant_under_parts_count(spark, monkeypatch):
+    """The exact-order-statistic fan-out is derived from the session's
+    defaultParallelism (r12, VERDICT r11 item 4) — so pin that the
+    emitted contract is IDENTICAL under wildly different parts counts:
+    partition boundaries shift, global rank = offset + local rank must
+    not. Guards both the offset arithmetic and the ReusedExchange
+    assumption against a parts-dependent bug."""
+    import mapreduce_sm_spark.operators.sketches as sk
+    from tests.conftest import SF_DIR
+
+    base = [tuple(r) for r in sk.quantile_sketch_order_price(spark, SF_DIR).collect()]
+    for parts in (3, 7):
+        monkeypatch.setattr(sk, "_qsk_exact_parts", lambda _s, p=parts: p)
+        got = [tuple(r) for r in sk.quantile_sketch_order_price(spark, SF_DIR).collect()]
+        assert got == base, f"contract drifted at parts={parts}"
