@@ -53,21 +53,25 @@ from mapreduce_sm_spark.registry import REGISTRY
 # 50 entries of queries(). The r11 driver window duplicated r10's set
 # instead of rotating (VERDICT r11 demerit 1), so the r07 cohort is now
 # four rounds stale at the driver — this window retires it completely.
-# Composition (1 + 32 + 17 = 50):
-# (1) the 1 query NEW this round, never driver-seen (never-seen
+# Composition (2 + 32 + 16 = 50):
+# (1) the 2 queries NEW this round, never driver-seen (never-seen
 #     outranks stale): dedup_minhash_compaction (VERDICT r11 item 3 —
 #     the band-index compaction law: merge(stored index, delta index)
 #     rewritten to parquet == from-scratch rebuild, exact multiset
-#     audit + digest the oracle recomputes in DuckDB).
+#     audit + digest the oracle recomputes in DuckDB) and
+#     stream_minhash_index_equality (the streamed leg: micro-batch
+#     appends through the exactly-once parquet file sink == batch
+#     rebuild, same digest contract).
 # (2) ALL 32 rows whose freshest driver row is r07 (computed from the
 #     CORRECTNESS_r*.json union at the start of r12) — after this
 #     window no registered query's freshest driver row predates r08.
-# (3) the remaining 17 slots go to the riskiest-oracle r08 rows:
+# (3) the remaining 16 slots go to the riskiest-oracle r08 rows:
 #     stateful/interval streaming, the multimodal decode trio, CDC +
 #     MERGE upsert, cogrouped as-of, connected components, the
 #     incremental/simhash60 dedup rungs, UDTF + SQL-UDF surface, the
-#     MG/HLL sketches, grouped-map, and the sparse-cosine prefix miner.
-# Still out after this round: the remaining 33 r08 rows + the r09/r11
+#     MG sketch, grouped-map, and the sparse-cosine prefix miner
+#     (hll_user_reach yielded its slot to the late second new query).
+# Still out after this round: the remaining 34 r08 rows + the r09/r11
 # cohorts — all covered every pytest run by tests/test_oracle_parity.py
 # (sf0.001) and by the sf0.01 pandas-path local gate; the r08 remnant
 # fronts in r13.
@@ -75,6 +79,7 @@ REGISTRY.set_front(
     (
         # --- (1) new this round, never driver-seen ---
         "dedup_minhash_compaction",
+        "stream_minhash_index_equality",
         # --- (2) the complete r07 remnant (32 rows) ---
         "bitmap_distinct_users",
         "bucketed_join_sales_by_segment",
@@ -108,7 +113,7 @@ REGISTRY.set_front(
         "window_moving_avg",
         "window_time_range_frame",
         "winsorized_price_stats",
-        # --- (3) 17 riskiest-oracle r08 rows ---
+        # --- (3) 16 riskiest-oracle r08 rows ---
         "stream_interval_join",
         "stream_stateful_user_totals",
         "multimodal_audio_meta",
@@ -123,7 +128,6 @@ REGISTRY.set_front(
         "udtf_sentence_split",
         "sql_interface_udf",
         "mg_heavy_hitters",
-        "hll_user_reach",
         "grouped_map_top2_docs",
         "tf_cosine_pairs_prefix",
     )

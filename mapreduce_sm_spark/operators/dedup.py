@@ -837,22 +837,10 @@ def _compaction_merged_index(
     return merged, compact_path
 
 
-@REGISTRY.register(
-    "dedup_minhash_compaction",
-    oracle=_MINHASH_COMPACT_ORACLE,
-    description="band-index compaction law: merge(stored index, delta index) rewritten to parquet == from-scratch rebuild",
-    tags=("dedup", "lsh", "incremental", "persist", "scale"),
-)
-def dedup_minhash_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row: the compacted store's digest (row count, distinct docs,
-    mod-sums over band hashes and keys) plus n_mismatch from an exact
-    multiset comparison against a from-scratch rebuild — 0 iff the law
-    merge(stored, delta) == rebuild(union corpus) holds row-for-row."""
-    merged, compact_path = _compaction_merged_index(spark, sf_dir)
-    merged.write.mode("overwrite").parquet(compact_path)
-
-    compacted = spark.read.parquet(compact_path)
-    rebuild = _band_rows(
+def _index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch band index over the whole corpus — the reference side
+    of both maintenance laws (batch compaction + streamed appends)."""
+    return _band_rows(
         _minhash_sigs(
             _shingled_h60(
                 fan_out(
@@ -864,8 +852,18 @@ def dedup_minhash_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def _index_digest_audit(
+    maintained: DataFrame, rebuild: DataFrame, flag_name: str
+) -> DataFrame:
+    """One row: the maintained index's digest (row count, distinct docs,
+    mod-sums over band hashes and keys) plus n_mismatch from an exact
+    full-outer multiset comparison against the rebuild — 0 iff
+    maintained == rebuild row-for-row. The flag column carries the
+    calling law's name so each query's contract is self-describing."""
     key = ["doc_id", "band_idx", "bh"]
-    ca = compacted.groupBy(*key).agg(F.count("*").alias("ca"))
+    ca = maintained.groupBy(*key).agg(F.count("*").alias("ca"))
     cb = rebuild.groupBy(*key).agg(F.count("*").alias("cb"))
     zero = F.lit(0).cast("long")
     mism = (
@@ -879,7 +877,7 @@ def dedup_minhash_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.coalesce(F.sum("bad"), zero).cast("long").alias("n_mismatch"))
     )
-    dig = compacted.agg(
+    dig = maintained.agg(
         F.count("*").cast("long").alias("n_index_rows"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.sum(F.col("bh") % _COMPACT_MOD).cast("long").alias("sum_bh_mod"),
@@ -893,8 +891,144 @@ def dedup_minhash_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_bh_mod",
         "sum_key_band_mod",
         "n_mismatch",
-        (F.col("n_mismatch") == 0).alias("compact_equals_rebuild"),
+        (F.col("n_mismatch") == 0).alias(flag_name),
     )
+
+
+@REGISTRY.register(
+    "dedup_minhash_compaction",
+    oracle=_MINHASH_COMPACT_ORACLE,
+    description="band-index compaction law: merge(stored index, delta index) rewritten to parquet == from-scratch rebuild",
+    tags=("dedup", "lsh", "incremental", "persist", "scale"),
+)
+def dedup_minhash_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: the compacted store's digest plus n_mismatch from an
+    exact multiset comparison against a from-scratch rebuild — 0 iff the
+    law merge(stored, delta) == rebuild(union corpus) holds row-for-row."""
+    merged, compact_path = _compaction_merged_index(spark, sf_dir)
+    merged.write.mode("overwrite").parquet(compact_path)
+    return _index_digest_audit(
+        spark.read.parquet(compact_path),
+        _index_rebuild(spark, sf_dir),
+        "compact_equals_rebuild",
+    )
+
+
+# ---------------------------------------------------------------------------
+# STREAMED band-index maintenance (r12) — the continuous leg of the
+# persisted-index story. dedup_minhash_persisted proves the probe,
+# dedup_minhash_compaction proves the batch merge; this proves the index
+# can be MAINTAINED by a running stream: the corpus arrives as micro-
+# batches (the feed is written as multiple part files and the stream is
+# throttled to one file per trigger, so the file sink genuinely commits
+# several appends), each batch's band rows — a stateless row-local
+# projection, so no streaming state at all — are appended through the
+# exactly-once parquet file sink (manifest-committed; a crashed batch
+# never half-appears), and the committed store is then audited against
+# the batch rebuild with the same exact multiset digest the compaction
+# law uses. Because band rows are per-document, streamed-append ==
+# batch-union is a theorem; the query proves the PLUMBING delivers it
+# bit-for-bit (oracle recomputes the digest from its own rebuild).
+#
+# 100 TB posture: the maintenance cost per micro-batch is |batch| only
+# (shingle -> sign -> band, row-local, no shuffle before the sink);
+# the audit is the same index-sized spot check as the compaction law.
+# ---------------------------------------------------------------------------
+
+_STREAM_IDX_ORACLE = f"""
+WITH {_MINHASH_CTES}
+SELECT CAST(count(*) AS BIGINT) AS n_index_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(bh % {_COMPACT_MOD}) AS BIGINT) AS sum_bh_mod,
+       CAST(sum((doc_id * 31 + band_idx) % {_COMPACT_MOD}) AS BIGINT)
+           AS sum_key_band_mod,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       true AS stream_equals_batch
+FROM bands
+"""
+
+
+@REGISTRY.register(
+    "stream_minhash_index_equality",
+    oracle=_STREAM_IDX_ORACLE,
+    description="streamed band-index maintenance: micro-batch appends through the exactly-once file sink == batch rebuild",
+    tags=("streaming", "dedup", "lsh", "persist", "scale"),
+)
+def stream_minhash_index_equality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One row: digest of the stream-maintained band-index store plus the
+    exact multiset audit vs the batch rebuild (same contract columns as
+    dedup_minhash_compaction, flag stream_equals_batch)."""
+    maintained, _ = _stream_maintained_index(spark, sf_dir)
+    return _index_digest_audit(
+        maintained, _index_rebuild(spark, sf_dir), "stream_equals_batch"
+    )
+
+
+def _stream_maintained_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, str]:
+    """Runs the maintenance stream; returns (committed store frame, base
+    dir) — the base is exposed so tests can assert the file sink really
+    committed MULTIPLE appends (one per feed part file)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from mapreduce_sm_spark.streaming.sketch_stream import (
+        documents_text_stream,
+    )
+
+    # mkdtemp + atexit (the stream_sink_roundtrip rule): a fixed per-sf
+    # path with rmtree-on-entry would let one run destroy another's
+    # in-flight sink/checkpoint
+    base = tempfile.mkdtemp(prefix="mh_stream_idx_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    feed_dir, sink, ckpt = (
+        os.path.join(base, "documents.parquet"),
+        os.path.join(base, "index"),
+        os.path.join(base, "ckpt"),
+    )
+    # arrival simulation: the corpus lands as 4 part files; one file per
+    # trigger => the sink commits (up to) 4 separate appends
+    table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        4
+    ).write.mode("overwrite").parquet(feed_dir)
+
+    stream = documents_text_stream(
+        spark,
+        base,
+        glob="documents.parquet",
+        max_files_per_trigger=1,
+        columns=("doc_id", "text"),
+    )
+    bands = _band_rows(_minhash_sigs(_shingled_h60(stream)))
+    q = (
+        bands.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):  # a timeout must be LOUD: a prefix
+        q.stop()  # of the batches would surface as a confusing mismatch
+        raise RuntimeError(
+            "stream_minhash_index_equality: stream did not finish in 120s"
+        )
+    # spark.read honors the sink's _spark_metadata manifest: only
+    # COMMITTED files are read back. An empty corpus commits no batch —
+    # fall back to an empty frame of the sink schema so the contract row
+    # still emits (n_index_rows 0, audit trivially clean).
+    try:
+        maintained = spark.read.parquet(sink)
+    except Exception:
+        maintained = spark.createDataFrame(
+            [], "doc_id bigint, band_idx int, bh bigint"
+        )
+    return maintained, base
 
 
 # ---------------------------------------------------------------------------

@@ -69,8 +69,10 @@ def documents_text_stream(
     sf_dir: str,
     glob: str = "documents.parquet",
     max_files_per_trigger: int | None = None,
+    columns: tuple[str, ...] = ("text",),
 ) -> DataFrame:
-    """Streaming source over the documents fixture (text column only).
+    """Streaming source over the documents fixture (`columns` only;
+    default text — the band-index maintenance stream adds doc_id).
 
     Schema comes from a one-off batch footer read of the same files — the
     same no-frozen-schema rule events_stream follows (a hard-coded schema
@@ -86,7 +88,7 @@ def documents_text_stream(
         rd = spark.read
         if g is not None:
             rd = rd.option("pathGlobFilter", g)
-        schema = rd.parquet(path).select("text").schema
+        schema = rd.parquet(path).select(*columns).schema
     except AnalysisException as e:
         # Only a genuinely empty source may fall back (events_stream's
         # ADVICE r04 rule): the stream starts empty on the canonical
@@ -94,7 +96,8 @@ def documents_text_stream(
         cond = e.getCondition() or ""
         if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
-        schema = "text string"
+        fallback = {"text": "string", "doc_id": "bigint"}
+        schema = ", ".join(f"{c} {fallback.get(c, 'string')}" for c in columns)
     reader = spark.readStream.schema(schema)
     if g is not None:
         reader = reader.option("pathGlobFilter", g)

@@ -916,3 +916,32 @@ def test_stream_bitmap_state_survives_restart(spark, tmp_path):
     # (positions of even and odd users differ mod 2 within a bucket)
     any_cell = batch[0]["ps"]
     assert {p % 2 for p in any_cell} == {0, 1}
+
+
+def test_stream_index_maintenance_commits_multiple_appends(spark):
+    """r12 streamed band-index maintenance: the feed is split into part
+    files and throttled to one per trigger, so the exactly-once file
+    sink must commit SEVERAL appends (not one big batch) — and the
+    committed store must equal the batch rebuild row-for-row (the audit
+    flag, n_mismatch 0)."""
+    import os
+
+    from mapreduce_sm_spark.operators.dedup import (
+        _index_digest_audit,
+        _index_rebuild,
+        _stream_maintained_index,
+    )
+    from tests.conftest import SF_DIR
+
+    maintained, base = _stream_maintained_index(spark, SF_DIR)
+    commits = [
+        f
+        for f in os.listdir(os.path.join(base, "index", "_spark_metadata"))
+        if f.isdigit() or f.split(".")[0].isdigit()
+    ]
+    assert len(commits) >= 2, commits
+    row = _index_digest_audit(
+        maintained, _index_rebuild(spark, SF_DIR), "stream_equals_batch"
+    ).collect()[0]
+    assert row["n_mismatch"] == 0 and row["stream_equals_batch"]
+    assert row["n_index_rows"] > 0

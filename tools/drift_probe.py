@@ -184,11 +184,14 @@ FIVE = (
     "quantile_sketch_order_price",
     "stream_bitmap_equality",
     "stream_quantile_equality",
-    # r12 addition: the band-index compaction law — mod-sum digests and
-    # multiset counts are exact integers by construction; probed so the
-    # merge/rebuild comparison stays engine-exact on hostile unicode
-    # text (shingles through the md5 hash60 path) too
+    # r12 additions: the band-index maintenance laws — mod-sum digests
+    # and multiset counts are exact integers by construction; probed so
+    # the merge/rebuild (batch) and streamed-append/rebuild comparisons
+    # stay engine-exact on hostile unicode text (shingles through the
+    # md5 hash60 path, the streamed one additionally through the file
+    # sink's parquet round trip) too
     "dedup_minhash_compaction",
+    "stream_minhash_index_equality",
 )
 
 
