@@ -49,17 +49,27 @@ def compact_line(
         "sf": sf,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # never hand the driver an unparseable tail
-        compact["queries"] = {
-            k: round(v, 2)
-            for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:10]
-        }
-        compact["queries_truncated_to_top10"] = True
+    # Never hand the driver an unparseable tail: degrade in steps until
+    # the line PROVABLY fits (ADVICE r12 — the first truncation pass was
+    # not re-checked, so pathologically long query names could still
+    # blow the 2000-char budget). Each step keeps the totals exact and
+    # caps progressively harder: top-10 names -> top-5 -> totals-only.
+    # The final rung carries no unbounded strings, so the loop always
+    # terminates under budget; the trailing assert enforces the contract
+    # instead of assuming it.
+    by_cost = sorted(times.items(), key=lambda kv: -kv[1])
+    flagged = compact["contaminated_queries"]
+    for n_keep in (10, 5, 0):
+        if len(line) <= 1900:
+            break
+        compact["queries"] = {k: round(v, 2) for k, v in by_cost[:n_keep]}
+        compact["queries_truncated_to"] = n_keep
         # the flagged-name list can itself blow the budget when many
         # queries are dirty; keep the count exact, the names capped
-        compact["n_contaminated"] = len(compact["contaminated_queries"])
-        compact["contaminated_queries"] = compact["contaminated_queries"][:10]
+        compact["n_contaminated"] = len(flagged)
+        compact["contaminated_queries"] = flagged[:n_keep]
         line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1900, f"compact_line still {len(line)} chars"
     return line
 
 

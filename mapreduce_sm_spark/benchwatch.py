@@ -110,12 +110,14 @@ def foreign_cpu(s0: Snapshot, s1: Snapshot, me: int | None = None) -> float:
     bench.py calls it at startup, so such orphans reparent to the bench
     process itself and stay inside `ours`."""
     me = os.getpid() if me is None else me
-    ours = descendants(s0, me) | descendants(s1, me)
-    kernel = descendants(s0, 2) | descendants(s1, 2)
+    ours0 = descendants(s0, me)
+    ours1 = descendants(s1, me)
+    kernel0 = descendants(s0, 2)
+    kernel1 = descendants(s1, 2)
     t0 = getattr(s0, "uptime", None)
     total = 0.0
     for pid, ent in s1.items():
-        if pid in ours or pid in kernel or pid == 1:
+        if pid == 1:
             continue
         old = s0.get(pid)
         recycled = (
@@ -124,12 +126,25 @@ def foreign_cpu(s0: Snapshot, s1: Snapshot, me: int | None = None) -> float:
             and len(ent) > 2
             and old[2] != ent[2]
         )
-        if old is not None and not recycled:
+        # Membership is decided PER-OCCUPANT (ADVICE r12): when the
+        # starttimes prove the pid was recycled, the s1 entry is a NEW
+        # process whose tree membership only the s1 snapshot can attest —
+        # an old occupant that sat in OUR tree must not shield a foreign
+        # successor from being charged. A non-recycled pid is the same
+        # process at both ends, so either snapshot's membership applies
+        # (the union also keeps a subreaper-adopted foreign orphan's
+        # DELTA uncharged, matching pre-r12 behavior).
+        if recycled or old is None:
+            if pid in ours1 or pid in kernel1:
+                continue
+            if t0 is not None and len(ent) > 2 and ent[2] > t0:
+                # provably born mid-trial (s1-only, or a recycled pid
+                # whose old occupant exited): all its CPU is in-trial
+                total += ent[1]
+        else:
+            if pid in ours0 or pid in ours1 or pid in kernel0 or pid in kernel1:
+                continue
             total += max(0.0, ent[1] - old[1])
-        elif t0 is not None and len(ent) > 2 and ent[2] > t0:
-            # provably born mid-trial (s1-only, or a recycled pid whose
-            # old occupant exited): all its CPU is in-trial
-            total += ent[1]
     return total
 
 

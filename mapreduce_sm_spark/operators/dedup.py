@@ -31,6 +31,7 @@ Algorithms (public literature):
 from __future__ import annotations
 
 from pyspark import StorageLevel
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1021,10 +1022,19 @@ def _stream_maintained_index(
     # spark.read honors the sink's _spark_metadata manifest: only
     # COMMITTED files are read back. An empty corpus commits no batch —
     # fall back to an empty frame of the sink schema so the contract row
-    # still emits (n_index_rows 0, audit trivially clean).
+    # still emits (n_index_rows 0, audit trivially clean). Only the two
+    # "no committed files" conditions are a legitimate empty state; a
+    # transient read failure on a NON-empty sink must surface here, not
+    # resurface later as a confusing n_mismatch > 0 audit failure
+    # (ADVICE r12 — same narrow catch as streaming/windows.py).
     try:
         maintained = spark.read.parquet(sink)
-    except Exception:
+    except AnalysisException as e:
+        if (e.getCondition() or "") not in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
+            raise
         maintained = spark.createDataFrame(
             [], "doc_id bigint, band_idx int, bh bigint"
         )

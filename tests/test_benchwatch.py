@@ -156,6 +156,37 @@ def test_foreign_cpu_detects_recycled_pid():
     assert foreign_cpu(s0, s1c, me=me) == 3.5
 
 
+def test_foreign_cpu_recycled_pid_membership_is_per_occupant():
+    """Pins the ADVICE r12 fix: when the OLD occupant of a reused pid was
+    in OUR tree, the pid must not be blanket-skipped via the s0-tree
+    union — a foreign successor's in-trial CPU is charged (membership
+    judged against s1's tree), and conversely a recycled pid whose NEW
+    occupant is ours stays uncharged."""
+    from mapreduce_sm_spark.benchwatch import Snapshot, foreign_cpu
+
+    me = 100
+    s0 = Snapshot([
+        (1, (0, 50.0, 1.0)),
+        (100, (1, 1.0, 900.0)),
+        (101, (100, 2.0, 901.0)),   # OUR worker, will exit mid-trial
+        (500, (1, 9.0, 100.0)),     # foreign, will exit mid-trial
+    ])
+    s0.uptime = 1000.0
+    s1 = Snapshot([
+        (1, (0, 50.0, 1.0)),
+        (100, (1, 2.0, 900.0)),
+        # pid 101 recycled: old occupant was OURS, new occupant is a
+        # FOREIGN job born in-trial — its 4s must count (the pre-fix
+        # union skipped the pid entirely: silent undercount)
+        (101, (1, 4.0, 1004.0)),
+        # pid 500 recycled the other way: old occupant foreign, new
+        # occupant is OUR worker — must contribute nothing
+        (500, (100, 6.0, 1005.0)),
+    ])
+    s1.uptime = 1010.0
+    assert foreign_cpu(s0, s1, me=me) == 4.0
+
+
 def test_bench_compact_line_fits_driver_tail_and_parses():
     """Pins VERDICT r11 'What's wrong' 3: the driver records only the
     LAST 2000 chars of bench stdout and parses the final line as JSON —
@@ -180,13 +211,25 @@ def test_bench_compact_line_fits_driver_tail_and_parses():
     big = {f"q_{'x' * 40}_{i:03d}": float(i) for i in range(200)}
     contaminated2: dict = {k: (None if i == 0 else i == 1) for i, k in enumerate(big)}
     line2 = compact_line(big, big, contaminated2, False, None, "x")
-    assert len(line2) <= 2000
+    assert len(line2) <= 1900
     doc2 = json.loads(line2)
-    assert doc2["queries_truncated_to_top10"] is True
+    assert doc2["queries_truncated_to"] == 10
     assert len(doc2["queries"]) == 10
     assert doc2["value"] == round(sum(big.values()), 3)
     # flagged + unknown names both surface
     assert len(doc2["contaminated_queries"]) == 2
+
+    # ADVICE r12: the truncated line is RE-checked against the budget —
+    # absurdly long names force the degradation past top-10 (top-5 or
+    # totals-only) rather than exceeding the driver tail again
+    huge = {f"q_{'y' * 400}_{i:03d}": float(i) for i in range(200)}
+    contaminated3: dict = {k: False for k in huge}
+    line3 = compact_line(huge, huge, contaminated3, False, None, "x")
+    assert len(line3) <= 1900
+    doc3 = json.loads(line3)
+    assert doc3["queries_truncated_to"] in (5, 0)
+    assert doc3["value"] == round(sum(huge.values()), 3)
+    assert doc3["n_contaminated"] == 0
 
 
 def test_subreaper_keeps_orphans_in_our_tree():
