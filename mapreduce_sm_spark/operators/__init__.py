@@ -49,86 +49,85 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
 
 from mapreduce_sm_spark.registry import REGISTRY
 
-# Round-12 driver window: the external correctness gate verifies the first
-# 50 entries of queries(). The r11 driver window duplicated r10's set
-# instead of rotating (VERDICT r11 demerit 1), so the r07 cohort is now
-# four rounds stale at the driver — this window retires it completely.
-# Composition (2 + 32 + 16 = 50):
-# (1) the 2 queries NEW this round, never driver-seen (never-seen
-#     outranks stale): dedup_minhash_compaction (VERDICT r11 item 3 —
-#     the band-index compaction law: merge(stored index, delta index)
-#     rewritten to parquet == from-scratch rebuild, exact multiset
-#     audit + digest the oracle recomputes in DuckDB) and
-#     stream_minhash_index_equality (the streamed leg: micro-batch
-#     appends through the exactly-once parquet file sink == batch
-#     rebuild, same digest contract).
-# (2) ALL 32 rows whose freshest driver row is r07 (computed from the
-#     CORRECTNESS_r*.json union at the start of r12) — after this
-#     window no registered query's freshest driver row predates r08.
-# (3) the remaining 16 slots go to the riskiest-oracle r08 rows:
-#     stateful/interval streaming, the multimodal decode trio, CDC +
-#     MERGE upsert, cogrouped as-of, connected components, the
-#     incremental/simhash60 dedup rungs, UDTF + SQL-UDF surface, the
-#     MG sketch, grouped-map, and the sparse-cosine prefix miner
-#     (hll_user_reach yielded its slot to the late second new query).
-# Still out after this round: the remaining 34 r08 rows + the r09/r11
+# Round-13 driver window: the external correctness gate verifies the first
+# 50 entries of queries(). The r12 window retired the r07 cohort; after it
+# the staleness histogram of freshest driver rows was 34 x r08, 50 x r09,
+# 50 x r11, 50 x r12. This window finishes the promised rotation
+# (VERDICT r12 item 1). Composition (1 + 34 + 15 = 50):
+# (1) the query NEW this round, never driver-seen:
+#     dedup_semantic_embedding (VERDICT r12 item 2 — SemDeDup-style
+#     embedding-space semantic dedup: k-means cells + probe-adjacent
+#     assignment, cell-blocked exact-cosine pairs, audited per-doc
+#     against the exact relation with an aggregate recall floor).
+# (2) ALL 34 rows whose freshest driver row is r08 (computed from the
+#     CORRECTNESS_r01..r12 union) — after this window no registered
+#     query's freshest driver row predates r09. Includes both headline
+#     reference queries (wordcount, string_match) and the q6/q7/q13/q16
+#     TPC-H spine.
+# (3) the remaining 15 slots go to the riskiest-oracle r09 rows: the ANN
+#     trio (bruteforce / LSH / IVF recall contract), the near-dedup deep
+#     DAGs (corpus_near_dedup, minhash, ngram_jaccard, cluster-size
+#     histogram), the triangle kernel, the stateful/sketch streaming trio,
+#     the Arrow-UDAF surface, multimodal resize, and the KMV / Count-Min
+#     sketches.
+# Still out after this round: the 35 remaining r09 rows + the r11/r12
 # cohorts — all covered every pytest run by tests/test_oracle_parity.py
-# (sf0.001) and by the sf0.01 pandas-path local gate; the r08 remnant
-# fronts in r13.
+# (sf0.001) and by the sf0.01 pandas-path local gate; the r09 remnant
+# fronts in r14.
 REGISTRY.set_front(
     (
         # --- (1) new this round, never driver-seen ---
-        "dedup_minhash_compaction",
-        "stream_minhash_index_equality",
-        # --- (2) the complete r07 remnant (32 rows) ---
-        "bitmap_distinct_users",
-        "bucketed_join_sales_by_segment",
-        "calendar_spine_orders",
-        "dedup_events_time_window",
-        "doc_repetition_stats",
-        "filter_clause_group_by_all",
-        "listagg_order_statuses",
-        "mask_pii_shapes",
-        "parameterized_sql_revenue",
-        "partition_pruned_event_stats",
-        "q12_late_shipment_priority",
-        "q20_volume_suppliers",
-        "q21_waiting_suppliers",
-        "q22_dormant_customers",
-        "q4_order_priority",
-        "q8_market_share",
-        "q9_product_profit",
-        "quality_prune_per_source",
-        "sample_documents_hashmod",
-        "setops_multiset",
-        "setops_nations",
-        "sql_scripting_rollup",
-        "string_functions_extended",
-        "topk_orders",
-        "train_val_test_split",
-        "try_arithmetic_surface",
-        "union_by_name_contacts",
-        "unpivot_lineitem_measures",
-        "variant_props_stats",
-        "window_moving_avg",
-        "window_time_range_frame",
-        "winsorized_price_stats",
-        # --- (3) 16 riskiest-oracle r08 rows ---
-        "stream_interval_join",
-        "stream_stateful_user_totals",
-        "multimodal_audio_meta",
-        "multimodal_frame_sample",
-        "multimodal_image_meta",
-        "cdc_merge_audit",
-        "merge_upsert_orders",
-        "cogrouped_asof_gap",
-        "dedup_connected_components",
-        "dedup_minhash_incremental",
-        "dedup_simhash60_pairs",
-        "udtf_sentence_split",
-        "sql_interface_udf",
-        "mg_heavy_hitters",
-        "grouped_map_top2_docs",
-        "tf_cosine_pairs_prefix",
+        "dedup_semantic_embedding",
+        # --- (2) the complete r08 remnant (34 rows) ---
+        "approx_distinct_users",
+        "approx_percentiles_lineitem",
+        "benchmark_contamination",
+        "bigram_lm_counts",
+        "case_bucket_orders",
+        "corpus_clean_pipeline",
+        "corpus_source_rollup",
+        "dedup_exact",
+        "dedup_exact_normalized",
+        "dedup_exact_substring",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+        "denylist_scrub_stats",
+        "doc_fingerprint",
+        "hll_user_reach",
+        "join_asof_events_orders",
+        "join_range_value_bands",
+        "json_extract_events",
+        "lang_id_heuristic",
+        "map_functions_surface",
+        "posexplode_first_tokens",
+        "q13_customer_distribution",
+        "q16_part_supplier_variety",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "retention_cohorts_weekly",
+        "sequence_packing_plan",
+        "sessionize_events",
+        "sliding_window_events",
+        "string_match",
+        "token_count",
+        "tumbling_window_events",
+        "wordcount",
+        "zipf_token_stats",
+        # --- (3) 15 riskiest-oracle r09 rows ---
+        "ann_bruteforce_topk",
+        "ann_ivf_recall_check",
+        "ann_lsh_topk",
+        "corpus_near_dedup",
+        "dedup_minhash",
+        "dedup_ngram_jaccard",
+        "dedup_cluster_size_histogram",
+        "graph_triangle_count",
+        "stream_bloom_scrub_events",
+        "stream_countmin_equality",
+        "stream_session_windows",
+        "udaf_weighted_avg",
+        "multimodal_resize_features",
+        "kmv_audience_overlap",
+        "countmin_token_freq",
     )
 )

@@ -647,3 +647,231 @@ def embedding_norm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("mn") * F.lit(1000000.0)).cast("long").alias("min_norm_ppm"),
         F.floor(F.col("mx") * F.lit(1000000.0)).cast("long").alias("max_norm_ppm"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space SEMANTIC dedup (VERDICT r12 item 2) — the LLM-pipeline
+# rung the lexical ladder cannot reach: paraphrase duplicates share meaning
+# but (possibly) zero n-grams, so MinHash/SimHash over tokens miss them by
+# construction (operators/dedup.py is all token-level). The published
+# recipe is SemDeDup (Abbas et al., 2023, arXiv:2303.09540): k-means the
+# embedding space, then look for near-identical COSINE pairs only inside a
+# cluster — never all-pairs.
+#
+# Composition here (all existing machinery):
+#   * cells   — the IVF k-means above (_kmeans_centroids: seeded init =
+#               k lowest vec_ids, 3 Lloyd iterations, argmin-L2 assign);
+#   * probe-adjacent assignment — each vector belongs to its _SEM_NPROBE
+#               nearest cells (OR-amplification across cell boundaries,
+#               the same trick banded LSH uses across bands), so a pair
+#               straddling one k-means boundary is still a candidate;
+#   * pairs   — candidates = vectors sharing >= 1 cell, an EQUALITY join
+#               on cid (plan-asserted: no cartesian), verified with the
+#               exact double-precision cosine >= _SEM_TAU;
+#   * report  — SemDeDup keep/drop: a doc is dropped iff it has a
+#               semantic duplicate with a smaller vec_id (the smallest
+#               doc in every duplicate cluster survives).
+#
+# Oracle strategy (the ann_ivf_recall_check contract pattern — iterative
+# k-means has no single-statement SQL): the registered query emits, per
+# audit doc (vec_id < _SEM_N_AUDIT), columns the oracle replays EXACTLY —
+# n_exact_dup (the doc's true semantic-dup count over the full corpus,
+# recomputed by DuckDB with the bit-identical cosine fold) and kept_exact
+# (the keep/drop decision on that exact relation) — plus two contract
+# booleans the oracle asserts all-true: sound_ok (the cell-blocked dup
+# set is a subset of the exact one; cells can only LOSE pairs, never
+# invent them) and recall_ok (aggregate catch-rate over the audit set
+# >= _SEM_RECALL_FLOOR; measured 0.47/0.67/0.81 at sf0.001/0.01/0.1 —
+# the floor sits >= 2.3x below). Recall is asserted at the AGGREGATE
+# level deliberately: per-doc recall is 0/1 noise for docs with a single
+# borderline dup (8 such docs at sf0.001), while the aggregate is stable
+# across fixtures.
+#
+# 100 TB shape: the exact audit side is a bounded broadcast (the
+# bruteforce pattern, _assert_broadcastable_query_side); the SCALE path
+# is semantic_dedup_pairs/report below — one k-means index build, one
+# explode to nprobe cells, one equality self-join on cid whose per-cell
+# cost is sum(|cell|^2), the quantity SemDeDup's K knob controls. No
+# stage touches the all-pairs space.
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.40          # same threshold family as embedding_similar_pairs
+_SEM_NPROBE = 2          # probe-adjacent: 2 nearest cells per vector
+_SEM_N_AUDIT = 64        # audit docs: vec_id < 64 (broadcast-bounded)
+_SEM_RECALL_FLOOR = 0.2  # aggregate; measured 0.47-0.81 across fixtures
+
+
+def _semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, cid): each vector in its _SEM_NPROBE nearest
+    k-means cells. The row_number window is partitioned by vec_id over
+    exactly _IVF_K rows per key — bounded by construction."""
+    emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id",
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = _kmeans_centroids(spark, emb.select("vec_id", "v"), _IVF_K, _IVF_ITERS)
+    cdf = spark.createDataFrame(cents, schema="cid int, cvec array<double>")
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        emb.crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id", "embedding", "cid",
+            _l2(F.col("v"), F.col("cvec")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SEM_NPROBE)
+        .select("vec_id", "embedding", "cid")
+    )
+
+
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path: (vec_a, vec_b, cos) for all semantic-duplicate
+    pairs the cell blocking surfaces — cid-equality candidates verified
+    with the exact cosine. A pair sharing both probe cells collides
+    twice; the cosine filter runs before the per-pair dedupe so the
+    (cheap) duplicate candidate never reaches the shuffle wide."""
+    from pyspark import StorageLevel
+
+    from mapreduce_sm_spark.session import release_caches, track_caches
+
+    release_caches("similarity.semantic")
+    cells = _semantic_cells(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    track_caches("similarity.semantic", cells)
+    cells.count()  # barrier: both join sides read the SAME materialization
+    a = cells.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("cid").alias("cid_a"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("cid").alias("cid_b"),
+    )
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(
+            b,
+            (F.col("cid_a") == F.col("cid_b")) & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", sim.alias("cos"))
+        .filter(F.col("cos") >= _SEM_TAU)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop over the full corpus: (vec_id, label, kept).
+    Drop rule: a doc is dropped iff the cell blocking found it a semantic
+    duplicate with a smaller vec_id — the smallest doc in each duplicate
+    cluster survives. Library/pytest surface; the registered driver query
+    is the audit contract below (k-means is iterative => no SQL oracle
+    for the full report, same status as ann_ivf_topk)."""
+    pairs = semantic_dedup_pairs(spark, sf_dir)
+    dropped = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    docs = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return docs.join(dropped.withColumn("kept", F.lit(False)), "vec_id", "left").select(
+        "vec_id", "label", F.coalesce("kept", F.lit(True)).alias("kept")
+    )
+
+
+_SEM_ORACLE = f"""
+WITH a AS (
+  SELECT vec_id AS doc_id, embedding AS av
+  FROM embeddings WHERE vec_id < {_SEM_N_AUDIT}
+),
+p AS (
+  SELECT a.doc_id, b.vec_id AS partner
+  FROM a JOIN embeddings b ON b.vec_id <> a.doc_id
+  WHERE {cosine_sql('av', 'b.embedding')} >= {_SEM_TAU}
+),
+s AS (
+  SELECT doc_id, count(*) AS cnt,
+         max(partner < doc_id) AS has_smaller
+  FROM p GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(coalesce(s.cnt, 0) AS BIGINT) AS n_exact_dup,
+       NOT coalesce(s.has_smaller, false) AS kept_exact,
+       true AS sound_ok,
+       true AS recall_ok
+FROM a LEFT JOIN s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@REGISTRY.register(
+    "dedup_semantic_embedding",
+    oracle=_SEM_ORACLE,
+    description=(
+        "SemDeDup-style semantic dedup contract: k-means cell-blocked "
+        "cosine pairs vs the exact audit relation — exact per-doc dup "
+        "count + keep/drop, subset soundness, aggregate recall floor"
+    ),
+    headline=True,
+    tags=("dedup", "similarity", "semantic", "ivf", "iterative"),
+)
+def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _assert_broadcastable_query_side(_SEM_N_AUDIT)
+    emb = table(spark, sf_dir, "embeddings")
+    audit = emb.filter(F.col("vec_id") < _SEM_N_AUDIT).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("av")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("partner"), F.col("embedding").alias("pv")
+    )
+    # exact relation: audit x corpus via broadcast (bruteforce pattern) —
+    # the ground truth the cell-blocked set is audited against
+    exact = (
+        corpus.join(F.broadcast(audit), F.col("partner") != F.col("doc_id"))
+        .select(
+            "doc_id", "partner",
+            cosine_similarity(F.col("av"), F.col("pv")).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(_SEM_TAU))
+    )
+    per_exact = exact.groupBy("doc_id").agg(
+        F.count("*").alias("n_exact_dup"),
+        F.max(F.col("partner") < F.col("doc_id")).alias("has_smaller"),
+    )
+    # approximate relation: the registered scale path's pairs, folded to
+    # per-audit-doc catch counts (both endpoints of a pair observe it)
+    pairs = semantic_dedup_pairs(spark, sf_dir)
+    touch = (
+        pairs.select(F.col("vec_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("vec_b").alias("doc_id")))
+        .filter(F.col("doc_id") < _SEM_N_AUDIT)
+    )
+    per_caught = touch.groupBy("doc_id").agg(F.count("*").alias("n_caught"))
+    rep = (
+        audit.select("doc_id")
+        .join(per_exact, "doc_id", "left")
+        .join(per_caught, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_exact_dup", F.lit(0)).cast("long").alias("n_exact_dup"),
+            (~F.coalesce(F.col("has_smaller"), F.lit(False))).alias("kept_exact"),
+            F.coalesce("n_caught", F.lit(0)).cast("long").alias("n_caught"),
+        )
+    )
+    totals = rep.agg(
+        F.sum("n_exact_dup").alias("te"), F.sum("n_caught").alias("tc")
+    )
+    return (
+        rep.crossJoin(F.broadcast(totals))  # 1-row aggregate
+        .select(
+            "doc_id",
+            "n_exact_dup",
+            "kept_exact",
+            (F.col("n_caught") <= F.col("n_exact_dup")).alias("sound_ok"),
+            (
+                (F.col("te") == 0)
+                | (
+                    F.col("tc").cast("double")
+                    >= F.col("te").cast("double") * F.lit(_SEM_RECALL_FLOOR)
+                )
+            ).alias("recall_ok"),
+        )
+        .orderBy("doc_id")
+    )

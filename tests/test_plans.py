@@ -353,3 +353,25 @@ def test_pagerank_loop_exchanges_are_node_sized(spark):
     )
     assert "InMemoryTableScan" in plan
     assert "Exchange hashpartitioning(src" not in plan, plan
+
+
+def test_semantic_dedup_cell_equality_join(spark):
+    """SemDeDup candidate generation must equi-join on the k-means cell
+    id (mirrors the banded-LSH assertion above) — an all-pairs cosine
+    over the corpus is the scale-killer the cells exist to prevent."""
+    from mapreduce_sm_spark.operators.similarity import semantic_dedup_pairs
+
+    import re
+
+    plan = _plan(semantic_dedup_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the PAIR join must be a hash/merge EQUI-join keyed on the cell id
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cid_a", plan
+    ), plan
+    # the only nested-loop joins allowed are the K-row (=16 centroids)
+    # broadcast Cross inside the cell assignment — an accidental
+    # corpus x corpus pair join would surface as an Inner/LeftOuter BNLJ
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
