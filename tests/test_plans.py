@@ -375,3 +375,60 @@ def test_semantic_dedup_cell_equality_join(spark):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line, line
+
+
+def test_no_unpartitioned_window_over_unbounded_subtree(spark):
+    """Generic tripwire (VERDICT r12 item 3): the verify transcript carries
+    ~160 'WindowExec: No Partition Defined' warnings, every one of which
+    was hand-traced to a window over a BOUNDED subtree (count-of-count
+    histograms, post-TakeOrdered top-k, <=K-row samples). This test
+    converts that audit into a guard: walk every registered batch query's
+    optimized logical plan and assert any Window with an empty
+    partitionSpec sits above an Aggregate / Limit / Deduplicate / local
+    relation on EVERY path to a leaf — a single-partition sort over an
+    unbounded file scan can never ship again. Streaming queries are
+    excluded (building their frame executes the stream); their windows
+    are all watermark-partitioned by construction."""
+    from mapreduce_sm_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+
+    bounded_gate = {"Aggregate", "GlobalLimit", "LocalLimit", "Limit",
+                    "Deduplicate"}
+    leaf_ok = {"LocalRelation", "OneRowRelation"}
+
+    def children(n):
+        ch = n.children()
+        return [ch.apply(i) for i in range(ch.length())]
+
+    def cls(n):
+        return n.getClass().getSimpleName()
+
+    def bounded(n):
+        c = cls(n)
+        if c in bounded_gate:
+            return True
+        kids = children(n)
+        if not kids:
+            return c in leaf_ok
+        return all(bounded(k) for k in kids)
+
+    def walk(n):
+        yield n
+        for k in children(n):
+            yield from walk(k)
+
+    offenders, n_unpartitioned = [], 0
+    for name, q in REGISTRY._queries.items():
+        if name.startswith("stream_"):
+            continue
+        plan = q.fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan()
+        for node in walk(plan):
+            if cls(node) == "Window" and node.partitionSpec().isEmpty():
+                n_unpartitioned += 1
+                if not bounded(children(node)[0]):
+                    offenders.append(name)
+    assert not offenders, f"unbounded unpartitioned windows in: {offenders}"
+    # the walker must actually SEE the known sites (15 at r13) — zero
+    # would mean the plan API drifted and the tripwire went blind
+    assert n_unpartitioned >= 10, n_unpartitioned
