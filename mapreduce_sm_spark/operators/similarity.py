@@ -701,16 +701,34 @@ _SEM_N_AUDIT = 64        # audit docs: vec_id < 64 (broadcast-bounded)
 _SEM_RECALL_FLOOR = 0.2  # aggregate; measured 0.47-0.81 across fixtures
 
 
+_SEM_CELL_TARGET = 125  # aimed-for vectors per cell: K grows with N
+
+
+def _sem_k(n_vectors: int) -> int:
+    """SemDeDup's K knob, corpus-size-aware: hold the EXPECTED cell size
+    near _SEM_CELL_TARGET so the cid self-join's per-cell quadratic cost
+    (sum |cell|^2 ~ N * cell_size) stays LINEAR in the corpus — a fixed K
+    would grow cells with N and the pair stage quadratically. All sf
+    fixtures land exactly at the 16-cell floor (500/125 -> 4, 2000/125 ->
+    16), so fixture behavior, the measured recall floors, and the oracle
+    contract are untouched; the knob engages on the x10/x100 scale rungs.
+    The ceiling is the flat-Lloyd driver-state guard (_MAX_KMEANS_K);
+    past it the index build itself needs the hierarchical/minibatch
+    scheme documented in SCALING.md."""
+    return min(_MAX_KMEANS_K, max(_IVF_K, n_vectors // _SEM_CELL_TARGET))
+
+
 def _semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, embedding, cid): each vector in its _SEM_NPROBE nearest
     k-means cells. The row_number window is partitioned by vec_id over
-    exactly _IVF_K rows per key — bounded by construction."""
+    exactly K rows per key — bounded by construction."""
     emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         "embedding",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    cents = _kmeans_centroids(spark, emb.select("vec_id", "v"), _IVF_K, _IVF_ITERS)
+    k = _sem_k(emb.count())
+    cents = _kmeans_centroids(spark, emb.select("vec_id", "v"), k, _IVF_ITERS)
     cdf = spark.createDataFrame(cents, schema="cid int, cvec array<double>")
     w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
     return (

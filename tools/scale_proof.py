@@ -25,9 +25,13 @@ Replication semantics (why a naive 10x copy would LIE for text ops):
   modes of both naive alternatives). n_chars is recomputed;
 - `events` user/event ids are strided (10x users, 10x density on the
   same time range — the realistic way an event stream grows);
-- `embeddings` vec_ids are strided with vectors unchanged (ANN queries
-  are excluded from the set here: identical replicated vectors make
-  top-k ties, a fixture artifact, not a scale signal).
+- `embeddings` vec_ids are strided and each replica's vectors get a
+  per-replica coordinate PERMUTATION (norm-preserving bijection: within-
+  shard cosine structure identical, cross-shard cosines decorrelate —
+  see _permute_dims; verbatim copies would make every vector's replicas
+  exact cosine-1.0 duplicates, an artificial dup explosion for the
+  semantic-dedup rung). Top-k ANN queries remain excluded from the
+  default set (k is a serving constant, not a scale axis).
 
     python tools/scale_proof.py [REPL] [query ...]
 
@@ -163,6 +167,33 @@ def _remap_vocab(df: DataFrame, i: int) -> DataFrame:
     )
 
 
+def _permute_dims(df: DataFrame, i: int, dim: int = 64) -> DataFrame:
+    """Give replica i's embeddings a per-replica COORDINATE PERMUTATION
+    (identity for replica 0): a seeded Fisher-Yates over the 64 positions.
+
+    Why (r13, the semantic-dedup scale rung): replicating vectors
+    verbatim makes every vector's 9 replicas EXACT cosine-1.0 duplicates
+    — an artificial 45-pairs-per-doc dup explosion, the same failure mode
+    the per-token suffix produced for char shingles (see _remap_vocab).
+    A permutation is a norm-preserving bijection, so each shard's
+    WITHIN-shard cosine structure (and the norm-quantile statistics) is
+    bit-identically preserved, while CROSS-shard cosines decorrelate to
+    the ~N(0, 1/sqrt(dim)) background of independent vectors — a 10x
+    corpus with the base corpus's selectivity profile, which is what a
+    real embedding corpus growing by new documents looks like."""
+    if i == 0:
+        return df
+    perm = list(range(dim))
+    state = (i * 2654435761 + 1) & 0x7FFFFFFF
+    for j in range(dim - 1, 0, -1):
+        state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+        r = (state >> 8) % (j + 1)
+        perm[j], perm[r] = perm[r], perm[j]
+    return df.withColumn(
+        "embedding", F.array(*[F.col("embedding")[p] for p in perm])
+    )
+
+
 def build(spark, repl: int, out_dir: str, tables: set[str] | None = None) -> None:
     """Materialize the xREPL dataset. tables (fact-table names) limits the
     build to what the query set actually reads — the 100x decade only
@@ -197,6 +228,8 @@ def build(spark, repl: int, out_dir: str, tables: set[str] | None = None) -> Non
                 )
             if t == "documents" and i > 0:
                 d = _remap_vocab(d, i)
+            if t == "embeddings" and i > 0:
+                d = _permute_dims(d, i)
             parts.append(d)
         out = parts[0]
         for d in parts[1:]:
