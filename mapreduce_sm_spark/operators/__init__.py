@@ -53,18 +53,21 @@ from mapreduce_sm_spark.registry import REGISTRY
 # 50 entries of queries(). The r12 window retired the r07 cohort; after it
 # the staleness histogram of freshest driver rows was 34 x r08, 50 x r09,
 # 50 x r11, 50 x r12. This window finishes the promised rotation
-# (VERDICT r12 item 1). Composition (1 + 34 + 15 = 50):
-# (1) the query NEW this round, never driver-seen:
+# (VERDICT r12 item 1). Composition (2 + 34 + 14 = 50):
+# (1) the 2 queries NEW this round, never driver-seen:
 #     dedup_semantic_embedding (VERDICT r12 item 2 — SemDeDup-style
 #     embedding-space semantic dedup: k-means cells + probe-adjacent
 #     assignment, cell-blocked exact-cosine pairs, audited per-doc
-#     against the exact relation with an aggregate recall floor).
+#     against the exact relation with an aggregate recall floor) and
+#     dedup_connected_components60 (the CC rung swap: cluster resolution
+#     over the 60-bit banded pairs — the 32-bit rung's x100 sitting died
+#     on candidate-join disk spill, so the scale rung takes the slot).
 # (2) ALL 34 rows whose freshest driver row is r08 (computed from the
 #     CORRECTNESS_r01..r12 union) — after this window no registered
 #     query's freshest driver row predates r09. Includes both headline
 #     reference queries (wordcount, string_match) and the q6/q7/q13/q16
 #     TPC-H spine.
-# (3) the remaining 15 slots go to the riskiest-oracle r09 rows: the ANN
+# (3) the remaining 14 slots go to the riskiest-oracle r09 rows: the ANN
 #     trio (bruteforce / LSH / IVF recall contract), the near-dedup deep
 #     DAGs (corpus_near_dedup, minhash, ngram_jaccard, cluster-size
 #     histogram), the triangle kernel, the stateful/sketch streaming trio,
@@ -78,6 +81,7 @@ REGISTRY.set_front(
     (
         # --- (1) new this round, never driver-seen ---
         "dedup_semantic_embedding",
+        "dedup_connected_components60",
         # --- (2) the complete r08 remnant (34 rows) ---
         "approx_distinct_users",
         "approx_percentiles_lineitem",
@@ -113,7 +117,9 @@ REGISTRY.set_front(
         "tumbling_window_events",
         "wordcount",
         "zipf_token_stats",
-        # --- (3) 15 riskiest-oracle r09 rows ---
+        # --- (3) 14 riskiest-oracle r09 rows (countmin_token_freq yielded
+        #     its slot to the late second new query; its streaming twin
+        #     stream_countmin_equality keeps the family in the window) ---
         "ann_bruteforce_topk",
         "ann_ivf_recall_check",
         "ann_lsh_topk",
@@ -128,6 +134,5 @@ REGISTRY.set_front(
         "udaf_weighted_avg",
         "multimodal_resize_features",
         "kmv_audience_overlap",
-        "countmin_token_freq",
     )
 )

@@ -1460,8 +1460,13 @@ def _cc_labels(pairs: DataFrame) -> DataFrame:
 @REGISTRY.register(
     "dedup_connected_components",
     oracle=_CC_ORACLE,
-    description="duplicate-cluster resolution: connected components by min-label propagation",
-    headline=True,
+    description="duplicate-cluster resolution: connected components by min-label propagation (32-bit semantics rung; see dedup_connected_components60 for the scale/headline rung)",
+    # r13: headline slot ceded to dedup_connected_components60. The x100
+    # sitting for THIS rung died on shuffle-spill disk exhaustion (>78 GB)
+    # in the banded candidate join — the same 4-5-bit chunk birthday
+    # saturation its pairs rung measured at 12.9x for 10x docs
+    # (SCALING.md r08/r13). Registered as the counter-example, exactly
+    # like dedup_simhash_pairs.
     tags=("dedup", "graph", "iterative"),
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1470,6 +1475,70 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair mining via the same pigeonhole-banded candidate join the pairs
     # query uses — identical result set, never quadratic in a lang block
     labels = _cc_labels(_banded_hamming_pairs(sig).select("doc_a", "doc_b"))
+    out = docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    return out.select(
+        "doc_id",
+        "component",
+        F.when(F.col("doc_id") == F.col("component"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
+_CC60_ORACLE = f"""
+WITH RECURSIVE {_simhash60_sql_cte()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig60 a JOIN sig60 b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING60_MAX}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+cc AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents
+  UNION
+  SELECT e.b, cc.r FROM cc JOIN edges e ON cc.v = e.a
+)
+SELECT v AS doc_id, min(r) AS component,
+       (CASE WHEN v = min(r) THEN 1 ELSE 0 END) AS is_keeper
+FROM cc GROUP BY v
+ORDER BY doc_id
+"""
+
+
+@REGISTRY.register(
+    "dedup_connected_components60",
+    oracle=_CC60_ORACLE,
+    description="duplicate-cluster resolution on the 60-bit SimHash scale rung: connected components by min-label propagation",
+    headline=True,  # carries the CC headline slot since r13 (rung swap)
+    tags=("dedup", "graph", "iterative", "scale"),
+)
+def dedup_connected_components60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC resolution over the DEFAULT simhash rung (60-bit signatures,
+    15-bit pigeonhole bands, hamming <= 3) — the composition you would
+    actually run at corpus scale. Same _cc_labels min-label propagation
+    as the 32-bit rung; only the candidate generator differs, and that
+    difference is the whole scale story: the 32-bit rung's 4-5-bit chunks
+    birthday-saturate (its x100 sitting died spilling >78 GB in the
+    candidate join, SCALING.md r13) while the 15-bit bands stay selective
+    two decades out (dedup_simhash60_pairs measured 3.0x at x100)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    release_caches("dedup.cc60")  # one-generation discipline
+    sig = _simhash60_spark(docs).cache()  # banding + verify share one compute
+    sig.count()  # materialization barrier (see dedup_ngram_jaccard)
+    track_caches("dedup.cc60", sig)
+    labels = _cc_labels(
+        _banded_hamming_pairs(sig, _HAMMING60_CHUNKS, _HAMMING60_MAX).select(
+            "doc_a", "doc_b"
+        )
+    )
     out = docs.select("doc_id").join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),

@@ -3,6 +3,11 @@
   ann_bruteforce_topk    — exact cosine top-k: the correctness baseline
   ann_lsh_topk           — random-hyperplane LSH bucketing: the scale path
   embedding_similar_pairs— threshold pair mining inside label blocks
+  ann_ivf_recall_check   — IVF (k-means cells + nprobe) vs exact, as a
+                           driver-checkable contract (the raw ranking
+                           ann_ivf_topk is a library helper, not registered)
+  dedup_semantic_embedding — SemDeDup-style semantic dedup contract (r13):
+                           cell-blocked cosine pairs vs the exact audit
 
 Scale posture (100 TB):
 - brute force: the query set is broadcast; each executor scans its shard of
