@@ -192,6 +192,13 @@ FIVE = (
     # sink's parquet round trip) too
     "dedup_minhash_compaction",
     "stream_minhash_index_equality",
+    # r13 additions: the semantic-dedup contract (exact integer counts +
+    # booleans; the cos >= tau decisions ride the bit-identical fold, and
+    # the probe's duplicate/zero-vector embeddings stress the cos = 1.0
+    # and null-cosine degenerate paths) and the 60-bit CC rung (pure
+    # integers; the recursive-CTE oracle replayed over hostile unicode)
+    "dedup_semantic_embedding",
+    "dedup_connected_components60",
 )
 
 
