@@ -157,3 +157,19 @@ def test_semantic_dedup_contract_all_true(spark):
     assert any(not r.kept_exact for r in rows)    # some doc IS dropped
     for r in rows:
         assert r.sound_ok and r.recall_ok
+
+
+def test_sem_k_is_corpus_size_aware():
+    """Pins the SemDeDup K knob: all sf fixtures sit at the 16-cell floor
+    (so the measured recall floors stay valid), the scale rungs grow K to
+    hold ~125 vectors/cell, and the flat-Lloyd ceiling clamps."""
+    from mapreduce_sm_spark.operators.similarity import (
+        _MAX_KMEANS_K,
+        _sem_k,
+    )
+
+    assert _sem_k(500) == 16      # sf0.001 / sf0.01
+    assert _sem_k(2000) == 16     # sf0.1
+    assert _sem_k(20_000) == 160  # x10 rung
+    assert _sem_k(200_000) == 1600
+    assert _sem_k(10**9) == _MAX_KMEANS_K
