@@ -53,21 +53,24 @@ from mapreduce_sm_spark.registry import REGISTRY
 # 50 entries of queries(). The r12 window retired the r07 cohort; after it
 # the staleness histogram of freshest driver rows was 34 x r08, 50 x r09,
 # 50 x r11, 50 x r12. This window finishes the promised rotation
-# (VERDICT r12 item 1). Composition (2 + 34 + 14 = 50):
-# (1) the 2 queries NEW this round, never driver-seen:
+# (VERDICT r12 item 1). Composition (3 + 34 + 13 = 50):
+# (1) the 3 queries NEW this round, never driver-seen:
 #     dedup_semantic_embedding (VERDICT r12 item 2 — SemDeDup-style
 #     embedding-space semantic dedup: k-means cells + probe-adjacent
 #     assignment, cell-blocked exact-cosine pairs, audited per-doc
 #     against the exact relation with an aggregate recall floor) and
 #     dedup_connected_components60 (the CC rung swap: cluster resolution
 #     over the 60-bit banded pairs — the 32-bit rung's x100 sitting died
-#     on candidate-join disk spill, so the scale rung takes the slot).
+#     on candidate-join disk spill, so the scale rung takes the slot)
+#     and semantic_dedup_clusters (end-to-end embedding dedup with a full
+#     value oracle: banded-LSH cosine pairs -> connected components ->
+#     keeper per cluster).
 # (2) ALL 34 rows whose freshest driver row is r08 (computed from the
 #     CORRECTNESS_r01..r12 union) — after this window no registered
 #     query's freshest driver row predates r09. Includes both headline
 #     reference queries (wordcount, string_match) and the q6/q7/q13/q16
 #     TPC-H spine.
-# (3) the remaining 14 slots go to the riskiest-oracle r09 rows: the ANN
+# (3) the remaining 13 slots go to the riskiest-oracle r09 rows: the ANN
 #     trio (bruteforce / LSH / IVF recall contract), the near-dedup deep
 #     DAGs (corpus_near_dedup, minhash, ngram_jaccard, cluster-size
 #     histogram), the triangle kernel, the stateful/sketch streaming trio,
@@ -82,6 +85,7 @@ REGISTRY.set_front(
         # --- (1) new this round, never driver-seen ---
         "dedup_semantic_embedding",
         "dedup_connected_components60",
+        "semantic_dedup_clusters",
         # --- (2) the complete r08 remnant (34 rows) ---
         "approx_distinct_users",
         "approx_percentiles_lineitem",
@@ -117,9 +121,10 @@ REGISTRY.set_front(
         "tumbling_window_events",
         "wordcount",
         "zipf_token_stats",
-        # --- (3) 14 riskiest-oracle r09 rows (countmin_token_freq yielded
-        #     its slot to the late second new query; its streaming twin
-        #     stream_countmin_equality keeps the family in the window) ---
+        # --- (3) 13 riskiest-oracle r09 rows (countmin_token_freq and
+        #     kmv_audience_overlap yielded their slots to the late new
+        #     queries: both are re-probed every round by drift_probe, and
+        #     stream_countmin_equality keeps the sketch family here) ---
         "ann_bruteforce_topk",
         "ann_ivf_recall_check",
         "ann_lsh_topk",
@@ -133,6 +138,5 @@ REGISTRY.set_front(
         "stream_session_windows",
         "udaf_weighted_avg",
         "multimodal_resize_features",
-        "kmv_audience_overlap",
     )
 )

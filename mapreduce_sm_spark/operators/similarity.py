@@ -898,3 +898,88 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end embedding-space dedup with a FULL value oracle (r13): cluster
+# resolution over the banded-LSH pair miner above. dedup_semantic_embedding
+# is the SemDeDup contract (k-means cells — iterative, so its oracle is the
+# audit-contract form); THIS operator is the companion whose every stage
+# DuckDB replays exactly: seeded sign-hyperplane bands -> exact-cosine
+# verified pairs (embedding_similar_pairs' machinery, oracle-identical
+# since r02) -> connected components by min-label propagation (the same
+# _cc_labels kernel and recursive-CTE oracle the lexical
+# dedup_connected_components* rungs use) -> one keeper per cluster.
+#
+# It is the embedding-space analogue of corpus_near_dedup: the composition
+# a pipeline runs when it wants cluster-level semantic dedup with an
+# auditable, engine-exact result rather than an index-dependent one.
+# 100 TB shape: banded equality joins for candidates (never all-pairs),
+# co-partitioned label propagation (edge frame checkpointed hash-
+# partitioned on src; only vertex-sized frames move per hop).
+# ---------------------------------------------------------------------------
+
+_EMB_CC_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ({" OR ".join(
+    f"{_band_val_sql('a.bucket', k)} = {_band_val_sql('b.bucket', k)}"
+    for k in range(_N_BANDS)
+  )})
+    AND {cosine_sql('a.embedding', 'b.embedding')} >= {_PAIRS_THRESHOLD}
+),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM pairs
+),
+cc AS (
+  SELECT vec_id AS v, vec_id AS r FROM embeddings
+  UNION
+  SELECT ed.b, cc.r FROM cc JOIN edges ed ON cc.v = ed.a
+)
+SELECT v AS vec_id, min(r) AS component,
+       (CASE WHEN v = min(r) THEN 1 ELSE 0 END) AS is_keeper
+FROM cc GROUP BY v
+ORDER BY vec_id
+"""
+
+
+@REGISTRY.register(
+    "semantic_dedup_clusters",
+    oracle=_EMB_CC_ORACLE,
+    description=(
+        "end-to-end embedding dedup: banded-LSH cosine pairs -> connected "
+        "components -> one keeper per semantic cluster (fully oracled)"
+    ),
+    tags=("similarity", "dedup", "graph", "lsh", "iterative"),
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.operators.dedup import _cc_labels
+
+    pairs = embedding_similar_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = _cc_labels(pairs)
+    vecs = table(spark, sf_dir, "embeddings").select("vec_id")
+    out = vecs.join(
+        labels.select(F.col("doc_id").alias("vec_id"), "component"),
+        "vec_id",
+        "left",
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+    )
+    return out.select(
+        "vec_id",
+        "component",
+        F.when(F.col("vec_id") == F.col("component"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_keeper"),
+    ).orderBy("vec_id")

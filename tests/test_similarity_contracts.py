@@ -173,3 +173,25 @@ def test_sem_k_is_corpus_size_aware():
     assert _sem_k(20_000) == 160  # x10 rung
     assert _sem_k(200_000) == 1600
     assert _sem_k(10**9) == _MAX_KMEANS_K
+
+
+def test_semantic_clusters_consistent_with_pairs(spark):
+    """Cluster resolution invariants over the banded pair graph: both
+    endpoints of every mined pair share a component; every component is
+    labeled by its own minimum member; keepers are exactly the labels."""
+    from mapreduce_sm_spark.operators.similarity import (
+        embedding_similar_pairs,
+        semantic_dedup_clusters,
+    )
+
+    comp = {r.vec_id: r.component
+            for r in semantic_dedup_clusters(spark, SF_DIR).collect()}
+    pairs = embedding_similar_pairs(spark, SF_DIR).collect()
+    assert pairs, "fixture lost all banded pairs — threshold drifted?"
+    for p in pairs:
+        assert comp[p.vec_a] == comp[p.vec_b], (p.vec_a, p.vec_b)
+    from collections import defaultdict
+    members = defaultdict(list)
+    for v, c in comp.items():
+        members[c].append(v)
+    assert all(min(vs) == c for c, vs in members.items())
