@@ -917,6 +917,15 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB shape: banded equality joins for candidates (never all-pairs),
 # co-partitioned label propagation (edge frame checkpointed hash-
 # partitioned on src; only vertex-sized frames move per hop).
+#
+# RUNG DIVISION (measured, SCALING.md r13): this is the AUDIT rung — its
+# 8-plane/4x2-bit band geometry is frozen into the oracle string, and
+# 2-bit bands birthday-saturate (measured 20x wall at x10 docs, the same
+# curve as 32-bit simhash). The SCALE rung of the semantic family is
+# dedup_semantic_embedding / semantic_dedup_pairs above, whose K ~ N/125
+# k-means cells hold per-cell cost constant (measured 1.6-1.8x at x10).
+# At 100 TB you widen the planes with log N; the audit rung deliberately
+# keeps them frozen so DuckDB replays the exact result.
 # ---------------------------------------------------------------------------
 
 _EMB_CC_ORACLE = f"""
