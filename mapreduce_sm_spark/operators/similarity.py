@@ -717,22 +717,150 @@ def _sem_k(n_vectors: int) -> int:
     fixtures land exactly at the 16-cell floor (500/125 -> 4, 2000/125 ->
     16), so fixture behavior, the measured recall floors, and the oracle
     contract are untouched; the knob engages on the x10/x100 scale rungs.
-    The ceiling is the flat-Lloyd driver-state guard (_MAX_KMEANS_K);
-    past it the index build itself needs the hierarchical/minibatch
-    scheme documented in SCALING.md."""
+    Past _SEM_FLAT_MAX_K cells the build switches to the hierarchical
+    coarse->fine scheme (_hier_cells below), which is what makes large K
+    affordable; _MAX_KMEANS_K stays the driver-state guard on total
+    centroid vectors."""
     return min(_MAX_KMEANS_K, max(_IVF_K, n_vectors // _SEM_CELL_TARGET))
+
+
+# Past this many cells the FLAT Lloyd build (every point against every
+# centroid: O(iters * N * K) distance evaluations) stops being affordable
+# — the x100 rung's K=1600 flat build was measured-killed at the
+# 25-minute mark (SCALING.md r13) — and _semantic_cells switches to the
+# HIERARCHICAL build below. All sf fixtures sit at K=16, far under the
+# threshold, so the driver-checked contract always runs the flat path.
+_SEM_FLAT_MAX_K = int(os.environ.get("SPARKSM_SEM_FLAT_MAX_K", "64"))
+
+
+def _hier_cells(spark: SparkSession, emb: DataFrame, k: int) -> DataFrame:
+    """Two-level (coarse -> fine) k-means cells — the FAISS-style IVF
+    build shape that unlocks K beyond the flat-Lloyd wall:
+
+      * coarse: flat Lloyd with K1 = ceil(sqrt(K)) centroids (cheap:
+        O(iters * N * sqrt(K)));
+      * fine: K2 = ceil(K / K1) centroids PER coarse cell, trained with
+        Lloyd iterations whose point-to-centroid join is an EQUALITY
+        join on the home coarse cell (each point sees only its own
+        cell's K2 fine centroids) — O(iters * N * K/sqrt(K)) total;
+      * assignment: each vector probes its _SEM_NPROBE nearest coarse
+        cells and takes the single nearest fine centroid inside each —
+        composite cid = c1 * K2 + c2, still _SEM_NPROBE cells/vector,
+        and the cross-coarse-boundary probe is what preserves recall.
+
+    Per-iteration cost drops from N*K to N*(sqrt(K) + K/sqrt(K)) — ~20x
+    at K=1600 — while driver state stays K1 + K1*K2 centroid vectors,
+    within the same _MAX_KMEANS_K bound the flat path enforces."""
+    import math
+
+    from mapreduce_sm_spark.session import release_caches, track_caches
+
+    k1 = max(2, math.isqrt(max(k - 1, 1)) + 1)  # ceil(sqrt(k))
+    k2 = (k + k1 - 1) // k1
+    if k1 * k2 > _MAX_KMEANS_K:
+        raise ValueError(
+            f"hierarchical build needs {k1 * k2} driver-resident centroids "
+            f"> SPARKSM_MAX_KMEANS_K={_MAX_KMEANS_K}"
+        )
+    coarse = _kmeans_centroids(spark, emb.select("vec_id", "v"), k1, _IVF_ITERS)
+    cdf1 = spark.createDataFrame(coarse, schema="c1 int, cvec1 array<double>")
+    w1 = Window.partitionBy("vec_id").orderBy(F.col("d1").asc(), F.col("c1").asc())
+    from pyspark import StorageLevel
+
+    release_caches("similarity.semantic.hier")
+    a1 = (
+        emb.crossJoin(F.broadcast(cdf1))
+        .select(
+            "vec_id", "embedding", "v", "c1",
+            _l2(F.col("v"), F.col("cvec1")).alias("d1"),
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _SEM_NPROBE)
+        .select("vec_id", "embedding", "v", "c1", "rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    track_caches("similarity.semantic.hier", a1)
+    a1.count()  # barrier: fine training + final assignment share this
+
+    # fine training inside each HOME cell (rn == 1); init = the k2
+    # lowest vec_ids per cell (same seeded-determinism as the flat init)
+    pts = a1.filter(F.col("rn") == 1).select("vec_id", "v", "c1")
+    w_init = Window.partitionBy("c1").orderBy("vec_id")
+    finit = (
+        pts.withColumn("rn2", F.row_number().over(w_init))
+        .filter(F.col("rn2") <= k2)
+        .select("c1", (F.col("rn2") - 1).alias("c2"), F.col("v").alias("fvec"))
+        .collect()  # <= k1*k2 <= _MAX_KMEANS_K rows by the guard above
+    )
+    fine = {(r.c1, r.c2): list(r.fvec) for r in finit}
+    for _ in range(_IVF_ITERS):
+        fdf = spark.createDataFrame(
+            [(c1, c2, v) for (c1, c2), v in sorted(fine.items())],
+            schema="c1 int, c2 int, fvec array<double>",
+        )
+        assigned = (
+            pts.join(F.broadcast(fdf), "c1")  # equality join: own cell only
+            .select(
+                "vec_id", "v", "c1", "c2",
+                _l2(F.col("v"), F.col("fvec")).alias("d2"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "c2")).alias("s"),
+                F.first("c1").alias("c1"),
+                F.first("v").alias("v"),
+            )
+            .select("vec_id", "c1", F.col("s.c2").alias("c2"), "v")
+        )
+        means = (
+            assigned.select("c1", "c2", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c1", "c2", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("c1", "c2")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("c1", "c2", F.col("pm.m").alias("fvec"))
+            .collect()
+        )
+        new = {(r.c1, r.c2): list(r.fvec) for r in means}
+        fine = {key: new.get(key, v) for key, v in fine.items()}  # empty keeps old
+
+    fdf = spark.createDataFrame(
+        [(c1, c2, v) for (c1, c2), v in sorted(fine.items())],
+        schema="c1 int, c2 int, fvec array<double>",
+    )
+    w2 = Window.partitionBy("vec_id", "c1").orderBy(
+        F.col("d2").asc(), F.col("c2").asc()
+    )
+    return (
+        a1.join(F.broadcast(fdf), "c1")
+        .select(
+            "vec_id", "embedding", "c1", "c2",
+            _l2(F.col("v"), F.col("fvec")).alias("d2"),
+        )
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") == 1)  # nearest fine centroid per probed cell
+        .select(
+            "vec_id",
+            "embedding",
+            (F.col("c1") * F.lit(k2) + F.col("c2")).cast("int").alias("cid"),
+        )
+    )
 
 
 def _semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, embedding, cid): each vector in its _SEM_NPROBE nearest
     k-means cells. The row_number window is partitioned by vec_id over
-    exactly K rows per key — bounded by construction."""
+    exactly K (flat) / K2-per-probe (hierarchical) rows per key — bounded
+    by construction. K <= _SEM_FLAT_MAX_K runs the flat Lloyd build (all
+    sf fixtures: K=16); larger corpora take the hierarchical build."""
     emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         "embedding",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     k = _sem_k(emb.count())
+    if k > _SEM_FLAT_MAX_K:
+        return _hier_cells(spark, emb, k)
     cents = _kmeans_centroids(spark, emb.select("vec_id", "v"), k, _IVF_ITERS)
     cdf = spark.createDataFrame(cents, schema="cid int, cvec array<double>")
     w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())

@@ -195,3 +195,34 @@ def test_semantic_clusters_consistent_with_pairs(spark):
     for v, c in comp.items():
         members[c].append(v)
     assert all(min(vs) == c for c, vs in members.items())
+
+
+def test_hierarchical_cells_sound_and_recall(spark, duck, monkeypatch):
+    """Force the hierarchical (coarse->fine) k-means build at fixture
+    scale and assert the same contract the flat path carries: the
+    cell-blocked pair set stays a SUBSET of the exact cos >= tau pairs
+    (cells can only lose pairs) and aggregate recall clears the floor
+    (measured 0.53 forced-hier at sf0.001 vs floor 0.2) — so the scale
+    path that engages past _SEM_FLAT_MAX_K is not untested code."""
+    import mapreduce_sm_spark.operators.similarity as sim
+    from mapreduce_sm_spark.functions.vectors import cosine_sql
+
+    monkeypatch.setattr(sim, "_SEM_FLAT_MAX_K", 8)  # k=16 > 8 -> hier
+    got = {(r.vec_a, r.vec_b)
+           for r in sim.semantic_dedup_pairs(spark, SF_DIR).collect()}
+    truth = {
+        (a, b)
+        for a, b in duck.execute(
+            f"""
+            SELECT a.vec_id, b.vec_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {sim._SEM_TAU}
+            """
+        ).fetchall()
+    }
+    assert got <= truth
+    assert len(got) / len(truth) >= sim._SEM_RECALL_FLOOR
+    # the registered contract holds under the forced hierarchical build
+    rows = sim.dedup_semantic_embedding(spark, SF_DIR).collect()
+    assert len(rows) == sim._SEM_N_AUDIT
+    assert all(r.sound_ok and r.recall_ok for r in rows)
