@@ -226,3 +226,44 @@ def test_hierarchical_cells_sound_and_recall(spark, duck, monkeypatch):
     rows = sim.dedup_semantic_embedding(spark, SF_DIR).collect()
     assert len(rows) == sim._SEM_N_AUDIT
     assert all(r.sound_ok and r.recall_ok for r in rows)
+
+
+def test_hierarchical_cells_catch_planted_near_duplicates(spark, tmp_path, monkeypatch):
+    """The recall figure that matters for a DEDUP operator: plant real
+    near-duplicates (v + noise, cos ~0.96 — the SemDeDup operating
+    point) into a corpus big enough to engage the hierarchical build and
+    assert the cell blocking catches essentially all of them. This
+    complements the boundary-recall measurement in SCALING.md r13: pairs
+    at cos ~0.40 (66 degrees apart, near-random vectors) co-locate
+    rarely as K grows, but TIGHT duplicates co-locate always — the
+    operator's purpose survives the K ~ N/125 growth."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import mapreduce_sm_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(11)
+    n_base, n_dup = 2700, 300
+    base = rng.normal(0, 1, (n_base, 64))
+    dup_src = rng.choice(n_base, n_dup, replace=False)
+    dups = base[dup_src] + rng.normal(0, 0.12, (n_dup, 64))
+    corpus = np.vstack([base, dups]).astype(np.float32)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(len(corpus)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in corpus], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(corpus), pa.int32()),
+        }),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    monkeypatch.setattr(sim, "_SEM_FLAT_MAX_K", 8)  # k=24 > 8 -> hier
+    assert sim._sem_k(len(corpus)) == 24
+    got = {(r.vec_a, r.vec_b)
+           for r in sim.semantic_dedup_pairs(spark, str(tmp_path)).collect()}
+    planted = [(min(int(s), n_base + i), max(int(s), n_base + i))
+               for i, s in enumerate(dup_src)]
+    hit = sum(1 for p in planted if p in got)
+    assert hit / n_dup >= 0.95, f"planted-dup recall {hit}/{n_dup}"
