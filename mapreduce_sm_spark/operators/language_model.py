@@ -255,3 +255,129 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_ratio_ppm"), "w1", "w2")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document LM surprisal — the perplexity-style quality filter this
+# module's docstring motivates. Scores every document by the average
+# add-one-smoothed bigram surprisal under the corpus's OWN bigram LM
+# (self-supervised, like production perplexity pruning: the filter model
+# is trained on the corpus being filtered).
+#
+# Engine-portable by construction (the behavioral.py:246 exact-grid
+# discipline, applied to logarithms): -log2 p would be libm-dependent,
+# so the emitted statistic is the WHOLE-BIT floor of the surprisal,
+# computed in pure integer arithmetic:
+#
+#   p = (c12 + 1) / (c1 + V)          (add-one smoothing; p < 1 always
+#                                      because c1 >= c12 and V >= 2)
+#   floor(-log2 p) = floor(log2(den/num)) = floor(log2(den DIV num))
+#                  = length(bin(den DIV num)) - 1
+#
+# The middle equality holds because for integer q = den DIV num the real
+# ratio den/num lies in [q, q+1), and no power of two can sit strictly
+# inside (q, q+1) above q — so the integer division loses nothing at
+# whole-bit granularity. Both engines render bin() minimally, so the
+# per-bigram bits, the per-doc sums, and the top-40 cut are all
+# integer-exact; the single avg division is the one double emitted
+# (bit-identical: one division of two exact integers).
+#
+# 100 TB shape: the corpus is exploded to per-doc bigram MULTISETS first
+# (one shuffle keyed (doc_id,w1,w2) with map-side combine), then joined
+# to the bigram-vocabulary-sized LM tables on their own keys; the vocab
+# size V is the only broadcast scalar. No corpus-scale window, no
+# driver-side math.
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_ORACLE = f"""
+WITH {_TOKS_CTE},
+bi AS (
+  SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+doc_bi AS (
+  SELECT doc_id, w1, w2, count(*)::BIGINT AS k
+  FROM bi WHERE w2 IS NOT NULL GROUP BY doc_id, w1, w2
+),
+c12 AS (SELECT w1, w2, sum(k)::BIGINT AS c12 FROM doc_bi GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY w1),
+vocab AS (SELECT count(DISTINCT w)::BIGINT AS v FROM toks),
+scored AS (
+  SELECT d.doc_id, d.k,
+         (length(bin((c1.c1 + vocab.v) // (c12.c12 + 1))) - 1)::BIGINT AS bits
+  FROM doc_bi d
+  JOIN c12 ON d.w1 = c12.w1 AND d.w2 = c12.w2
+  JOIN c1 ON d.w1 = c1.w1
+  CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT doc_id, sum(k)::BIGINT AS n_bigrams, sum(k * bits)::BIGINT AS total_bits
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, total_bits,
+       total_bits::DOUBLE / n_bigrams::DOUBLE AS avg_bits
+FROM per_doc
+ORDER BY avg_bits DESC, doc_id
+LIMIT 40
+"""
+
+
+@REGISTRY.register(
+    "doc_lm_surprisal",
+    oracle=_SURPRISAL_ORACLE,
+    description="per-doc bigram-LM surprisal in exact whole bits "
+    "(integer floor of -log2 p), top-40 most surprising documents",
+    tags=("text", "ngram", "quality", "scale"),
+)
+def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = tokenize_words("text")
+    n = F.size(t)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+        ),
+    )
+    doc_bi = (
+        docs.select("doc_id", F.explode(pairs).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("k"))
+    )
+    c12 = doc_bi.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = docs.select(F.explode(t).alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    # floor(-log2 p) in pure integer arithmetic — see derivation above
+    bits = (
+        F.length(F.bin(F.expr("(c1 + v) div (c12 + 1)"))) - F.lit(1)
+    ).cast("long")
+    per_doc = (
+        doc_bi.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "k", bits.alias("bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("bits")).alias("total_bits"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_bigrams",
+            "total_bits",
+            (
+                F.col("total_bits").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("avg_bits"),
+        )
+        .orderBy(F.desc("avg_bits"), "doc_id")
+        .limit(40)
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_sm_spark.functions.hashing import hash60, hash60_sql
+from mapreduce_sm_spark.functions.text import WORD_TOKEN_RE_SQL, tokenize_words
 from mapreduce_sm_spark.registry import REGISTRY
 from mapreduce_sm_spark.session import table
 
@@ -282,4 +283,97 @@ def priority_sample(docs: DataFrame, k: int = _PRIO_K) -> DataFrame:
             "exact_total_weight",
         )
         .orderBy("rank")
+    )
+
+
+# --- source-mixture (data-mixing) sample ------------------------------------
+#
+# The data-mixing step of LLM corpus assembly: downsample every source to
+# a common token budget so no single source dominates training (the
+# "balanced mixture" special case of temperature-based source weighting —
+# public technique, cf. multilingual-corpus sampling in the XLM-R /
+# mC4 line of work). Budget B = the smallest source's token count, so the
+# target rate for source s is B / tokens_s <= 1.
+#
+# Determinism + engine portability: membership is hash-mod per document,
+# and the rate comparison is EXACT — instead of comparing against the
+# double B/tokens_s, both engines test
+#
+#     (hash60('mix|' || doc_id) % 1e6) * tokens_s  <  B * 1e6
+#
+# i.e. the rational inequality cross-multiplied into BIGINT (products
+# stay < 2^63 for any source below ~9e12 tokens at the 1e6 grid; a
+# 100 TB deployment bumps the grid into DECIMAL(38,0) the same way
+# pmi_collocations does). Every emitted stat is an exact integer, and
+# the realized rate is reported in exact ppm via integer division.
+#
+# 100 TB shape: one corpus pass computes per-doc token counts, one
+# source-sized aggregate gets the budgets, and the kept-set is a filter
+# joined against the BROADCAST per-source table — the corpus is never
+# shuffled, only scanned.
+
+_MIX_GRID = 1_000_000
+
+_MIXTURE_ORACLE = f"""
+WITH dt AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(upper(text), '{WORD_TOKEN_RE_SQL}'))::BIGINT AS toks
+  FROM documents
+),
+per_src AS (SELECT source, sum(toks)::BIGINT AS tokens_s FROM dt GROUP BY source),
+budget AS (SELECT min(tokens_s)::BIGINT AS b FROM per_src),
+kept AS (
+  SELECT dt.doc_id, dt.source, dt.toks
+  FROM dt JOIN per_src USING (source) CROSS JOIN budget
+  WHERE ({hash60_sql("'mix|' || dt.doc_id::VARCHAR")} % {_MIX_GRID}) * per_src.tokens_s
+        < budget.b * {_MIX_GRID}
+)
+SELECT k.source,
+       count(*)::BIGINT AS n_docs_kept,
+       sum(k.toks)::BIGINT AS tokens_kept,
+       (b.b * {_MIX_GRID}) // p.tokens_s AS rate_ppm
+FROM kept k JOIN per_src p USING (source) CROSS JOIN budget b
+GROUP BY k.source, p.tokens_s, b.b
+ORDER BY k.source
+"""
+
+
+@REGISTRY.register(
+    "source_mixture_sample",
+    oracle=_MIXTURE_ORACLE,
+    description="balanced data-mixing sample: every source hash-downsampled "
+    "to the smallest source's token budget (exact integer rate test)",
+    tags=("sampling", "mixing", "scale"),
+)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize_words("text")).cast("long").alias("toks"),
+    )
+    per_src = dt.groupBy("source").agg(F.sum("toks").alias("tokens_s"))
+    budget = per_src.agg(F.min("tokens_s").alias("b"))
+    key = F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))
+    kept = (
+        dt.join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(budget))
+        .filter(
+            (hash60(key) % _MIX_GRID) * F.col("tokens_s")
+            < F.col("b") * _MIX_GRID
+        )
+    )
+    return (
+        kept.groupBy("source", "tokens_s", "b")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("toks").alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "n_docs_kept",
+            "tokens_kept",
+            F.expr(f"(b * {_MIX_GRID}) div tokens_s").alias("rate_ppm"),
+        )
+        .orderBy("source")
     )

@@ -1,0 +1,207 @@
+"""Tokenizer induction: distributed byte-pair-encoding vocabulary
+training over the documents corpus (§2.C — LLM-data-pipeline extension).
+
+The reference engine's text jobs stop at word counting
+(examples/wordcount/wordcount.c:56-104); a training-data pipeline's next
+step is LEARNING the subword vocabulary itself. This module implements
+classic BPE (Sennrich, Haddow & Birch 2016, "Neural Machine Translation
+of Rare Words with Subword Units" — public) as iterated Spark
+aggregations:
+
+  1. one corpus-scale shuffle builds the word-frequency dictionary
+     (the same two-stage tokenize -> groupBy as wordcount);
+  2. each merge iteration runs on the DICTIONARY, not the corpus:
+     count adjacent symbol pairs weighted by word frequency, take the
+     argmax pair, greedily merge it in every word, repeat.
+
+100 TB posture:
+- the corpus is touched ONCE (word-count shuffle with map-side partial
+  aggregation); at 100 TB the distinct-word dictionary is orders of
+  magnitude smaller than the corpus (Heaps' law) but still cluster-sized
+  (~10^8 rows), so every per-merge pass — pair explode, groupBy, greedy
+  fold — is a distributed DataFrame op over the dictionary, never a
+  driver-side loop over words.
+- the only rows that reach the driver are the per-iteration argmax pair
+  (the loop-carried scalar, the same affordance as the k-means seed
+  collects in similarity.py:376) — and those N_MERGES rows ARE the
+  operator's output: a merge table is driver-sized by definition.
+- each generation of the symbol dictionary is persisted and the previous
+  generation unpersisted (the PageRank one-generation-deep cache idiom,
+  graph.py:275-283), so lineage stays linear across merges.
+
+Greedy merge semantics (both engines, identical construction): a word's
+symbol sequence is a single-space-joined string; the merge is a left
+fold that appends each next symbol, fusing it into the accumulator's
+tail when (last symbol == left, next == right). Because the fused symbol
+left||right can never equal `left` again (right is non-empty), the fold
+implements exactly the non-overlapping left-to-right merge of classic
+BPE — "A A A" under (A,A) becomes "AA A", not "AA AA". The DuckDB oracle
+replays the identical fold with list_reduce, so the gate checks the
+merge table bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mapreduce_sm_spark.functions.text import WORD_TOKEN_RE_SQL, tokenize_words
+from mapreduce_sm_spark.registry import REGISTRY
+from mapreduce_sm_spark.session import table
+
+N_MERGES = 8
+
+# The oracle replays the identical iteration chain as CTEs: pair counts
+# from the space-joined symbol string, argmax with the same
+# (cnt DESC, s1, s2) tie-break, greedy fold via list_reduce with the
+# same tail-fusion CASE. `a LIKE '% ' || s1` is an exact last-symbol
+# test: symbols contain no spaces and no LIKE metacharacters (the token
+# grammar is [A-Z'] only).
+_BPE_ITERATION_CTE = """
+p{i} AS (
+  SELECT l[i] AS s1, l[i+1] AS s2, sum(freq)::BIGINT AS cnt
+  FROM (SELECT str_split(syms, ' ') AS l, freq,
+               unnest(generate_series(1, len(str_split(syms, ' ')) - 1)) AS i
+        FROM seq{prev})
+  GROUP BY s1, s2
+),
+best{i} AS (
+  SELECT s1, s2, cnt FROM p{i} ORDER BY cnt DESC, s1, s2 LIMIT 1
+),
+seq{i} AS (
+  SELECT list_reduce(str_split(q.syms, ' '), (a, x) ->
+           CASE WHEN (a = b.s1 OR a LIKE '% ' || b.s1) AND x = b.s2
+                THEN a || b.s2 ELSE a || ' ' || x END) AS syms,
+         q.freq
+  FROM seq{prev} q, best{i} b
+)"""
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    parts = [
+        f"""
+words AS (
+  SELECT w, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(regexp_extract_all(upper(text), '{WORD_TOKEN_RE_SQL}')) AS w
+        FROM documents)
+  GROUP BY w
+),
+seq0 AS (
+  SELECT list_reduce(regexp_extract_all(w, '.'), (a, b) -> a || ' ' || b) AS syms,
+         freq
+  FROM words
+)"""
+    ]
+    parts.extend(
+        _BPE_ITERATION_CTE.format(i=i, prev=i - 1) for i in range(1, n_merges + 1)
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, s1 AS left_sym, s2 AS right_sym,"
+        f" cnt AS pair_freq FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank"
+    )
+
+
+def _adjacent_pairs(syms_col: str):
+    """Exploded (s1, s2, freq-carrying) adjacent symbol pairs, built
+    array-side like bigram_lm_counts so the explode emits exactly one row
+    per pair — no positional self-join of the symbol stream."""
+    l = F.split(F.col(syms_col), " ")
+    idx = F.when(F.size(l) >= 2, F.sequence(F.lit(1), F.size(l) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(l, i).alias("s1"), F.element_at(l, i + 1).alias("s2")
+        ),
+    )
+
+
+@REGISTRY.register(
+    "bpe_vocab_merges",
+    oracle=_bpe_oracle(N_MERGES),
+    description=f"BPE tokenizer induction: first {N_MERGES} merges learned "
+    "from the word-frequency dictionary (rank, pair, frequency)",
+    headline=True,
+    tags=("text", "tokenizer", "iterative", "scale"),
+)
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize_words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    # initial symbol sequence = the word's characters, space-joined
+    seq = words.select(
+        F.array_join(
+            F.regexp_extract_all("w", F.lit("."), F.lit(0)), " "
+        ).alias("syms"),
+        "freq",
+    ).persist()
+
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, N_MERGES + 1):
+            pair_counts = (
+                seq.select(F.explode(_adjacent_pairs("syms")).alias("b"), "freq")
+                .groupBy("b.s1", "b.s2")
+                .agg(F.sum("freq").alias("cnt"))
+            )
+            # the loop-carried scalar: ONE row to the driver per merge —
+            # these rows are the output (see module docstring)
+            best = pair_counts.orderBy(F.desc("cnt"), "s1", "s2").limit(1).collect()
+            if not best:
+                break
+            bx, by, cnt = best[0]["s1"], best[0]["s2"], int(best[0]["cnt"])
+            merges.append((rank, bx, by, cnt))
+
+            if rank == N_MERGES:
+                break
+            l = F.split(F.col("syms"), " ")
+            # greedy left-to-right merge: fold symbols into a string
+            # accumulator, fusing the tail when (last==bx, next==by) —
+            # identical to the oracle's list_reduce (module docstring)
+            folded = F.aggregate(
+                F.slice(l, 2, F.size(l) - 1),
+                F.element_at(l, 1),
+                lambda a, x: F.when(
+                    (
+                        (a == F.lit(bx))
+                        | a.endswith(F.concat(F.lit(" "), F.lit(bx)))
+                    )
+                    & (x == F.lit(by)),
+                    F.concat(a, F.lit(by)),
+                ).otherwise(F.concat(a, F.lit(" "), x)),
+            )
+            nxt = seq.select(folded.alias("syms"), "freq").persist()
+            nxt.count()  # materialize before dropping the parent generation
+            seq.unpersist()
+            seq = nxt
+    finally:
+        seq.unpersist()
+
+    return spark.createDataFrame(
+        merges,
+        StructType(
+            [
+                StructField("merge_rank", IntegerType(), False),
+                StructField("left_sym", StringType(), False),
+                StructField("right_sym", StringType(), False),
+                StructField("pair_freq", LongType(), False),
+            ]
+        ),
+    ).orderBy("merge_rank")

@@ -1,0 +1,126 @@
+"""BPE tokenizer induction + LM surprisal + mixture sampling semantics.
+
+Pins the properties the sf0.001 oracle-parity test cannot express on its
+own: the greedy non-overlapping merge fold, the integer floor-log2
+identity, and the exact cross-multiplied mixture rate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mapreduce_sm_spark.operators.tokenizer import _adjacent_pairs, _bpe_oracle
+
+
+def _fold_merge(spark, syms: str, bx: str, by: str) -> str:
+    """Run the engine's greedy fold (the exact expression bpe_vocab_merges
+    builds per iteration) on one symbol string."""
+    l = F.split(F.col("syms"), " ")
+    folded = F.aggregate(
+        F.slice(l, 2, F.size(l) - 1),
+        F.element_at(l, 1),
+        lambda a, x: F.when(
+            ((a == F.lit(bx)) | a.endswith(F.concat(F.lit(" "), F.lit(bx))))
+            & (x == F.lit(by)),
+            F.concat(a, F.lit(by)),
+        ).otherwise(F.concat(a, F.lit(" "), x)),
+    )
+    df = spark.createDataFrame([(syms,)], "syms string").select(
+        folded.alias("m")
+    )
+    return df.collect()[0]["m"]
+
+
+def test_greedy_merge_is_non_overlapping(spark):
+    # classic BPE: "A A A" under (A,A) -> "AA A", never "AA AA"
+    assert _fold_merge(spark, "A A A", "A", "A") == "AA A"
+    # four in a row pair up disjointly
+    assert _fold_merge(spark, "A A A A", "A", "A") == "AA AA"
+
+
+def test_greedy_merge_does_not_chain_within_one_pass(spark):
+    # after A+B fuse, the new tail "AB" must not fuse again with B
+    assert _fold_merge(spark, "A B B", "A", "B") == "AB B"
+
+
+def test_greedy_merge_tail_test_is_symbol_exact(spark):
+    # last symbol "CA" must NOT satisfy a merge looking for symbol "A"
+    assert _fold_merge(spark, "X CA T", "A", "T") == "X CA T"
+    # ...but a genuine multi-char symbol does merge
+    assert _fold_merge(spark, "X CA T", "CA", "T") == "X CAT"
+
+
+def test_single_symbol_word_passes_through(spark):
+    assert _fold_merge(spark, "A", "A", "A") == "A"
+
+
+def test_adjacent_pairs_count(spark):
+    df = spark.createDataFrame([("A B C",), ("Z",)], "syms string").select(
+        F.size(_adjacent_pairs("syms")).alias("n")
+    )
+    assert [r["n"] for r in df.collect()] == [2, 0]
+
+
+def test_bpe_merge_ranks_are_contiguous_and_nonincreasing(spark):
+    from mapreduce_sm_spark.registry import REGISTRY
+
+    q = REGISTRY.all()["bpe_vocab_merges"]
+    rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+    assert [r["merge_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # merged pair frequencies can only shrink or re-order below earlier
+    # maxima: each rank's freq is <= the first rank's freq
+    assert all(r["pair_freq"] <= rows[0]["pair_freq"] for r in rows)
+    # a merged symbol from an earlier rank may appear as an operand later;
+    # every symbol is non-empty uppercase/apostrophe text
+    for r in rows:
+        assert r["left_sym"] and r["right_sym"]
+
+
+def test_bpe_oracle_chain_length():
+    sql = _bpe_oracle(3)
+    # one words CTE + seq0 + 3 iterations of (p, best, seq)
+    for name in ("seq0", "p1", "best1", "seq1", "p3", "best3", "seq3"):
+        assert f"{name} AS" in sql
+    assert "best4" not in sql
+
+
+def test_integer_floor_log2_identity():
+    # length(bin(den DIV num)) - 1 == floor(log2(den/num)) for den>num>=1:
+    # exhaustive check over a grid including power-of-two boundaries
+    for num in range(1, 40):
+        for den in range(num + 1, 1200, 7):
+            q = den // num
+            bits = len(bin(q)) - 2 - 1  # python bin() has '0b' prefix
+            assert bits == math.floor(math.log2(den / num)), (num, den)
+
+
+def test_surprisal_bits_nonnegative_and_bounded(spark):
+    from mapreduce_sm_spark.registry import REGISTRY
+
+    q = REGISTRY.all()["doc_lm_surprisal"]
+    rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected scored documents"
+    for r in rows:
+        assert r["total_bits"] >= 0
+        assert r["n_bigrams"] >= 1
+        # avg is the single emitted double: sum/n of the integers
+        assert r["avg_bits"] == r["total_bits"] / r["n_bigrams"]
+
+
+def test_mixture_sample_rates_and_budget(spark):
+    from mapreduce_sm_spark.registry import REGISTRY
+
+    q = REGISTRY.all()["source_mixture_sample"]
+    rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    rates = [r["rate_ppm"] for r in rows]
+    # the smallest source keeps (close to) everything: its rate is 1e6
+    assert max(rates) == 1_000_000
+    assert all(0 < r <= 1_000_000 for r in rates)
+    # kept tokens can never exceed the source's pre-sample total implied
+    # by the exact rate: tokens_kept <= tokens_s, and the hash-mod sample
+    # is per-doc deterministic, so re-running is identical
+    rows2 = q.fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows == rows2
