@@ -1120,3 +1120,190 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_keeper"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# STREAMED semantic-index maintenance (r13) — the embedding-space leg of
+# the index-maintenance story. dedup_minhash_compaction and
+# stream_minhash_index_equality prove the LEXICAL store can absorb
+# deltas without a re-index; this proves the SEMANTIC store can too: the
+# k-means cells are trained once (batch), and arriving vectors are
+# assigned to their _SEM_NPROBE nearest cells by a STATELESS row-local
+# projection against centroid literals — no streaming state, no stream-
+# side shuffle — appended through the exactly-once parquet file sink,
+# then audited against the batch twin with an exact multiset comparison.
+#
+# The row-local projection replaces _semantic_cells' window with
+# slice(array_sort(transform(centroids, c -> (d2, cid))), 1, nprobe):
+# array_sort on struct<d2,cid> is lexicographic, i.e. exactly the
+# window's ORDER BY d2 ASC, cid ASC — the equivalence is pinned in
+# tests/test_similarity_contracts.py. Both audit sides evaluate the SAME
+# expression on the SAME rows from ONE collected centroid list, so
+# equality is a theorem about the exactly-once sink plumbing (the same
+# contract shape as stream_minhash_index_equality; _kmeans_centroids'
+# means are double averages, so centroids are collected once and shared
+# rather than recomputed per side).
+#
+# 100 TB posture: per-micro-batch cost is |batch| x K distance kernels,
+# all codegen'd array math against literal centroids (K is bounded by
+# _MAX_KMEANS_K driver-state guard); the sink append is manifest-
+# committed, so a crashed batch never half-appears; the audit is
+# index-sized. The oracle emits the theorem values (every vector indexed,
+# zero mismatches) computable from the embeddings table alone —
+# k-means itself is iterative and has no SQL oracle (the
+# ann_ivf_recall_check precedent).
+# ---------------------------------------------------------------------------
+
+_STREAM_SEM_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(*) AS BIGINT) AS n_docs_indexed,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       true AS stream_equals_batch
+FROM embeddings
+"""
+
+
+def _sem_probe_cells_expr(
+    cents: list[tuple[int, list[float]]], vcol: F.Column
+) -> F.Column:
+    """array<struct<d2,cid>> of the _SEM_NPROBE nearest cells of vcol,
+    computed row-locally against centroid LITERALS (streaming-safe: no
+    window, no join). Lexicographic array_sort == ORDER BY d2, cid."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            _l2(vcol, c["cvec"]).alias("d2"), c["cid"].alias("cid")
+        ),
+    )
+    return F.slice(F.array_sort(scored), 1, _SEM_NPROBE)
+
+
+def _stream_maintained_semantic_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, str]:
+    """Runs the maintenance stream; returns (committed store frame,
+    batch-twin frame, base dir). Base exposed so tests can assert the
+    sink really committed multiple appends."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from mapreduce_sm_spark.streaming.sketch_stream import (
+        documents_text_stream,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # train once, batch-side; shared verbatim by both audit sides.
+    # The stream path serves the FLAT cell range (every sf fixture and
+    # the x10 rung); past _SEM_FLAT_MAX_K the batch build goes
+    # hierarchical and the streamed assignment would probe coarse-then-
+    # fine the same way — capped here so the centroid literal list stays
+    # plan-sized.
+    k = min(_sem_k(emb.count()), _SEM_FLAT_MAX_K)
+    cents = _kmeans_centroids(spark, emb, k, _IVF_ITERS)
+
+    base = tempfile.mkdtemp(prefix="sem_stream_idx_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    feed_dir, sink, ckpt = (
+        _os.path.join(base, "embeddings.parquet"),
+        _os.path.join(base, "index"),
+        _os.path.join(base, "ckpt"),
+    )
+    # arrival simulation: the vectors land as 4 part files; one file per
+    # trigger => the sink commits (up to) 4 separate appends
+    emb.repartition(4).write.mode("overwrite").parquet(feed_dir)
+
+    stream = documents_text_stream(
+        spark,
+        base,
+        glob="embeddings.parquet",
+        max_files_per_trigger=1,
+        columns=("vec_id", "v"),
+    )
+
+    def _cells(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            F.explode(_sem_probe_cells_expr(cents, F.col("v"))).alias("p"),
+        ).select("vec_id", F.col("p.cid").alias("cid"))
+
+    q = (
+        _cells(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):  # a timeout must be LOUD: a prefix
+        q.stop()  # of the batches would surface as a confusing mismatch
+        raise RuntimeError(
+            "stream_semantic_index_equality: stream did not finish in 120s"
+        )
+    try:
+        maintained = spark.read.parquet(sink)
+    except AnalysisException as e:
+        if (e.getCondition() or "") not in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
+            raise
+        maintained = spark.createDataFrame([], "vec_id bigint, cid int")
+    batch_twin = _cells(spark.read.parquet(feed_dir))
+    return maintained, batch_twin, base
+
+
+@REGISTRY.register(
+    "stream_semantic_index_equality",
+    oracle=_STREAM_SEM_ORACLE,
+    description="streamed semantic-cell index maintenance: stateless "
+    "micro-batch assignment through the exactly-once file sink == batch "
+    "assignment (exact multiset audit)",
+    tags=("streaming", "similarity", "semantic", "ivf", "persist"),
+)
+def stream_semantic_index_equality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    maintained, batch_twin, _ = _stream_maintained_semantic_index(
+        spark, sf_dir
+    )
+    sc = maintained.groupBy("vec_id", "cid").agg(F.count("*").alias("n_s"))
+    bc = batch_twin.groupBy("vec_id", "cid").agg(F.count("*").alias("n_b"))
+    mism = (
+        sc.join(bc, ["vec_id", "cid"], "full_outer")
+        .filter(
+            F.coalesce("n_s", F.lit(0)) != F.coalesce("n_b", F.lit(0))
+        )
+        .agg(F.count("*").cast("long").alias("n_mismatch"))
+    )
+    n_vec = table(spark, sf_dir, "embeddings").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    n_idx = maintained.agg(
+        F.countDistinct("vec_id").cast("long").alias("n_docs_indexed")
+    )
+    return (
+        n_vec.crossJoin(F.broadcast(n_idx))  # 1-row aggregates
+        .crossJoin(F.broadcast(mism))
+        .select(
+            "n_vectors",
+            "n_docs_indexed",
+            "n_mismatch",
+            (F.col("n_mismatch") == 0).alias("stream_equals_batch"),
+        )
+    )

@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_DIR
 
 
@@ -267,3 +269,92 @@ def test_hierarchical_cells_catch_planted_near_duplicates(spark, tmp_path, monke
                for i, s in enumerate(dup_src)]
     hit = sum(1 for p in planted if p in got)
     assert hit / n_dup >= 0.95, f"planted-dup recall {hit}/{n_dup}"
+
+
+def test_stream_semantic_index_commits_multiple_appends(spark):
+    """r13 streamed semantic-index maintenance: the vector feed is split
+    into part files and throttled to one per trigger, so the exactly-once
+    file sink must commit SEVERAL appends — and the committed store must
+    equal the batch assignment as an exact multiset (audit flag true,
+    every vector indexed in exactly _SEM_NPROBE probe rows when K >= 2
+    distinct cells exist)."""
+    import os
+
+    from mapreduce_sm_spark.operators.similarity import (
+        _SEM_NPROBE,
+        _stream_maintained_semantic_index,
+    )
+    from tests.conftest import SF_DIR
+
+    maintained, batch_twin, base = _stream_maintained_semantic_index(
+        spark, SF_DIR
+    )
+    commits = [
+        f
+        for f in os.listdir(os.path.join(base, "index", "_spark_metadata"))
+        if f.isdigit() or f.split(".")[0].isdigit()
+    ]
+    assert len(commits) >= 2, commits
+    got = {
+        (r["vec_id"], r["cid"]): r["n"]
+        for r in maintained.groupBy("vec_id", "cid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    want = {
+        (r["vec_id"], r["cid"]): r["n"]
+        for r in batch_twin.groupBy("vec_id", "cid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    per_vec = {}
+    for (vid, _), n in got.items():
+        per_vec[vid] = per_vec.get(vid, 0) + n
+    assert all(n == _SEM_NPROBE for n in per_vec.values())
+
+
+def test_sem_probe_cells_expr_equals_window_assignment(spark):
+    """The streaming path's row-local slice(array_sort(...)) projection
+    must pick exactly the cells _semantic_cells' window (ORDER BY d2 ASC,
+    cid ASC, row_number <= nprobe) picks — pinned over one SHARED
+    centroid list so k-means' order-dependent double averages cannot
+    confound the comparison."""
+    from pyspark.sql.window import Window as W
+
+    from mapreduce_sm_spark.operators.similarity import (
+        _IVF_ITERS,
+        _SEM_NPROBE,
+        _kmeans_centroids,
+        _l2,
+        _sem_probe_cells_expr,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .limit(120)
+    )
+    cents = _kmeans_centroids(spark, emb, 8, _IVF_ITERS)
+    row_local = (
+        emb.select(
+            "vec_id",
+            F.explode(_sem_probe_cells_expr(cents, F.col("v"))).alias("p"),
+        )
+        .select("vec_id", F.col("p.cid").alias("cid"))
+        .collect()
+    )
+    cdf = spark.createDataFrame(cents, schema="cid int, cvec array<double>")
+    w = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    windowed = (
+        emb.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "cid", _l2(F.col("v"), F.col("cvec")).alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SEM_NPROBE)
+        .select("vec_id", "cid")
+        .collect()
+    )
+    assert sorted((r["vec_id"], r["cid"]) for r in row_local) == sorted(
+        (r["vec_id"], r["cid"]) for r in windowed
+    )
