@@ -357,9 +357,12 @@ def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = (
         F.length(F.bin(F.expr("(c1 + v) div (c12 + 1)"))) - F.lit(1)
     ).cast("long")
+    # fold the unigram prefix counts into the bigram LM table FIRST —
+    # both are vocabulary-sized — so the corpus-sized doc_bi frame is
+    # shuffled into exactly ONE join (on the bigram key), not two
+    lm = c12.join(c1, ["w1"])
     per_doc = (
-        doc_bi.join(c12, ["w1", "w2"])
-        .join(c1, ["w1"])
+        doc_bi.join(lm, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .select("doc_id", "k", bits.alias("bits"))
         .groupBy("doc_id")

@@ -130,15 +130,17 @@ def _adjacent_pairs(syms_col: str):
     )
 
 
-@REGISTRY.register(
-    "bpe_vocab_merges",
-    oracle=_bpe_oracle(N_MERGES),
-    description=f"BPE tokenizer induction: first {N_MERGES} merges learned "
-    "from the word-frequency dictionary (rank, pair, frequency)",
-    headline=True,
-    tags=("text", "tokenizer", "iterative", "scale"),
-)
-def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_learn(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = N_MERGES,
+    apply_last: bool = False,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame | None]:
+    """Run the BPE merge loop; returns (merge table rows, and — when
+    apply_last — the PERSISTED final symbol dictionary (syms, freq) with
+    every merge applied, which the caller must unpersist). The merges
+    query skips the last fold (its output is the merge table alone);
+    bpe_token_stats needs the fully merged dictionary."""
     docs = table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokenize_words("text")).alias("w"))
@@ -155,7 +157,7 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merges: list[tuple[int, str, str, int]] = []
     try:
-        for rank in range(1, N_MERGES + 1):
+        for rank in range(1, n_merges + 1):
             pair_counts = (
                 seq.select(F.explode(_adjacent_pairs("syms")).alias("b"), "freq")
                 .groupBy("b.s1", "b.s2")
@@ -169,7 +171,7 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             bx, by, cnt = best[0]["s1"], best[0]["s2"], int(best[0]["cnt"])
             merges.append((rank, bx, by, cnt))
 
-            if rank == N_MERGES:
+            if rank == n_merges and not apply_last:
                 break
             l = F.split(F.col("syms"), " ")
             # greedy left-to-right merge: fold symbols into a string
@@ -191,9 +193,25 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt.count()  # materialize before dropping the parent generation
             seq.unpersist()
             seq = nxt
-    finally:
+    except Exception:
         seq.unpersist()
+        raise
+    if apply_last:
+        return merges, seq
+    seq.unpersist()
+    return merges, None
 
+
+@REGISTRY.register(
+    "bpe_vocab_merges",
+    oracle=_bpe_oracle(N_MERGES),
+    description=f"BPE tokenizer induction: first {N_MERGES} merges learned "
+    "from the word-frequency dictionary (rank, pair, frequency)",
+    headline=True,
+    tags=("text", "tokenizer", "iterative", "scale"),
+)
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_learn(spark, sf_dir)
     return spark.createDataFrame(
         merges,
         StructType(
@@ -205,3 +223,73 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     ).orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# Applying the learned vocabulary back to the corpus — the induction ->
+# segmentation round trip. The final symbol dictionary (every word
+# segmented under all N_MERGES merges) is exploded to subword symbols
+# and aggregated: which symbols the tokenizer actually produces, how
+# often (word-frequency weighted), and over how many distinct words.
+# The oracle shares the identical CTE chain up to seq{N} and replays the
+# same explode/aggregate, so the whole round trip is value-checked.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_stats_oracle(n_merges: int) -> str:
+    base = _bpe_oracle(n_merges)
+    with_block = base[: base.rindex("\nSELECT * FROM (")]
+    return (
+        with_block
+        + f""",
+exploded AS (
+  SELECT syms, freq, unnest(str_split(syms, ' ')) AS sym FROM seq{n_merges}
+)
+SELECT sym AS symbol,
+       count(DISTINCT syms)::BIGINT AS n_words_with,
+       sum(freq)::BIGINT AS total_occurrences,
+       (length(sym) > 1) AS is_merged
+FROM exploded GROUP BY sym
+ORDER BY total_occurrences DESC, symbol
+LIMIT 30
+"""
+    )
+
+
+@REGISTRY.register(
+    "bpe_token_stats",
+    oracle=_bpe_stats_oracle(N_MERGES),
+    description="BPE segmentation stats: top-30 subword symbols of the "
+    "fully merged dictionary (weighted occurrences, distinct words)",
+    tags=("text", "tokenizer", "iterative"),
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, seq = _bpe_learn(spark, sf_dir, apply_last=True)
+    assert seq is not None
+    try:
+        out = (
+            seq.select(
+                "syms",
+                "freq",
+                F.explode(F.split(F.col("syms"), " ")).alias("symbol"),
+            )
+            .groupBy("symbol")
+            .agg(
+                F.count_distinct("syms").alias("n_words_with"),
+                F.sum("freq").alias("total_occurrences"),
+            )
+            .select(
+                "symbol",
+                "n_words_with",
+                "total_occurrences",
+                (F.length("symbol") > 1).alias("is_merged"),
+            )
+            .orderBy(F.desc("total_occurrences"), "symbol")
+            .limit(30)
+        )
+        rows = out.collect()
+    finally:
+        seq.unpersist()
+    # the 30-row cut is materialized above (the dictionary cache must not
+    # leak past this call); re-emit it as a stable local frame
+    return spark.createDataFrame(rows, out.schema)
