@@ -342,12 +342,24 @@ def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
         ),
     )
+    from pyspark import StorageLevel
+
+    from mapreduce_sm_spark.session import release_caches, track_caches
+
+    # doc_bi feeds BOTH the scoring join and the cascaded LM aggregates;
+    # without a persist Catalyst computes the explode+aggregate subtree
+    # once per consumer (three corpus explode passes in the executed
+    # plan). Cache the finest aggregate so the corpus is exploded ONCE —
+    # the c12/c1 cascade then runs over the cached multiset.
+    release_caches("lm.surprisal")
     doc_bi = (
         docs.select("doc_id", F.explode(pairs).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("k"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    track_caches("lm.surprisal", doc_bi)
     c12 = doc_bi.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = docs.select(F.explode(t).alias("w")).agg(

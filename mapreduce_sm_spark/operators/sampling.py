@@ -346,12 +346,23 @@ ORDER BY k.source
     tags=("sampling", "mixing", "scale"),
 )
 def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from mapreduce_sm_spark.session import release_caches, track_caches
+
     docs = table(spark, sf_dir, "documents")
+    # dt feeds the per-source totals, the budget scalar AND the kept-set
+    # filter; uncached, each consumer re-scans the corpus and re-runs the
+    # tokenize-count regexp (three corpus passes in the executed plan).
+    # dt is 3 narrow columns, one row per doc — cache it so the corpus
+    # text is scanned and tokenized exactly once.
+    release_caches("sampling.mixture")
     dt = docs.select(
         "doc_id",
         "source",
         F.size(tokenize_words("text")).cast("long").alias("toks"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    track_caches("sampling.mixture", dt)
     per_src = dt.groupBy("source").agg(F.sum("toks").alias("tokens_s"))
     budget = per_src.agg(F.min("tokens_s").alias("b"))
     key = F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))

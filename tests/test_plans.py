@@ -432,3 +432,36 @@ def test_no_unpartitioned_window_over_unbounded_subtree(spark):
     # the walker must actually SEE the known sites (15 at r13) — zero
     # would mean the plan API drifted and the tripwire went blind
     assert n_unpartitioned >= 10, n_unpartitioned
+
+
+def test_surprisal_explodes_corpus_once(spark):
+    """doc_lm_surprisal's doc-bigram multiset feeds the scoring join AND
+    the cascaded c12/c1 LM aggregates; without the persist Catalyst
+    computes the corpus explode subtree once per consumer (three passes,
+    measured 2x the x100 wall — SCALING.md r13). The executed plan must
+    read the cached relation everywhere except the single vocab pass."""
+    from mapreduce_sm_spark.operators.language_model import doc_lm_surprisal
+
+    plan = _plan(doc_lm_surprisal(spark, SF_DIR))
+    # every consumer of doc_bi reads the cache...
+    assert plan.count("InMemoryTableScan") >= 3
+    # ...and the only UNCACHED corpus read left is the vocab distinct —
+    # FileScan lines inside the InMemoryRelation definition subtree are
+    # the cache's own (single) build scan, printed under each table scan
+    for block in plan.split("InMemoryRelation")[0].splitlines():
+        # the top section (above the first cache reference on each path)
+        # may contain only the vocab scan
+        if "FileScan parquet" in block:
+            assert "struct<text:string>" in block
+
+
+def test_mixture_sample_tokenizes_corpus_once(spark):
+    """source_mixture_sample's (doc_id, source, toks) frame feeds the
+    per-source totals, the budget scalar, and the kept-set filter; the
+    executed plan must read the cached doc-count-sized frame in all
+    three places rather than re-running the tokenize regexp per
+    consumer."""
+    from mapreduce_sm_spark.operators.sampling import source_mixture_sample
+
+    plan = _plan(source_mixture_sample(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 3
