@@ -124,3 +124,68 @@ def test_mixture_sample_rates_and_budget(spark):
     # is per-doc deterministic, so re-running is identical
     rows2 = q.fn(spark, "/root/testdata/sf0.001").collect()
     assert rows == rows2
+
+
+def test_bin_length_floor_log2_cross_engine(spark, duck):
+    """The surprisal gate leans on length(bin(q))-1 == floor(log2 q) being
+    identical in both engines, including at power-of-two boundaries where
+    a libm log2 could be off by one ulp. Pin the exact grid."""
+    qs = [1, 2, 3, 4, 7, 8, 9, 15, 16, 17, 1023, 1024, 1025,
+          (1 << 40) - 1, 1 << 40, (1 << 40) + 1, (1 << 62) - 1]
+    want = {q: q.bit_length() - 1 for q in qs}
+    dq = duck.execute(
+        "SELECT q, length(bin(q)) - 1 FROM (SELECT unnest(?::BIGINT[]) AS q)",
+        [qs],
+    ).fetchall()
+    assert {int(a): int(b) for a, b in dq} == want
+    sq = (
+        spark.createDataFrame([(q,) for q in qs], "q long")
+        .select("q", (F.length(F.bin("q")) - 1).alias("bits"))
+        .collect()
+    )
+    assert {r["q"]: r["bits"] for r in sq} == want
+
+
+def _py_greedy_merge(syms: list[str], bx: str, by: str) -> list[str]:
+    """Classic BPE single-pass greedy non-overlapping merge (the
+    reference semantics, independent of both engines)."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == bx and syms[i + 1] == by:
+            out.append(bx + by)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_fold_merge_matches_reference_greedy_semantics(spark):
+    """The string-fold merge must equal classic greedy BPE on an
+    adversarial word set (runs, alternations, chained merged symbols) —
+    one Spark job over the whole set, compared element-wise against the
+    independent Python reference."""
+    import itertools
+
+    alphabet = ["A", "B", "AB", "BA"]
+    words = [list(p) for n in (1, 2, 3, 4)
+             for p in itertools.product(alphabet, repeat=n)]
+    cases = [(w, bx, by) for w in words for bx in alphabet for by in alphabet]
+    df = spark.createDataFrame(
+        [(" ".join(w), bx, by) for w, bx, by in cases],
+        "syms string, bx string, by string",
+    )
+    l = F.split(F.col("syms"), " ")
+    folded = F.aggregate(
+        F.slice(l, 2, F.size(l) - 1),
+        F.element_at(l, 1),
+        lambda a, x: F.when(
+            ((a == F.col("bx")) | a.endswith(F.concat(F.lit(" "), F.col("bx"))))
+            & (x == F.col("by")),
+            F.concat(a, F.col("by")),
+        ).otherwise(F.concat(a, F.lit(" "), x)),
+    )
+    got = [r["m"] for r in df.select(folded.alias("m")).collect()]
+    want = [" ".join(_py_greedy_merge(w, bx, by)) for w, bx, by in cases]
+    assert got == want
