@@ -1215,6 +1215,15 @@ def _stream_maintained_semantic_index(
     # plan-sized.
     k = min(_sem_k(emb.count()), _SEM_FLAT_MAX_K)
     cents = _kmeans_centroids(spark, emb, k, _IVF_ITERS)
+    if not cents:
+        # empty corpus -> no centroids -> the literal-array projection
+        # has no elements to type; there is nothing to stream or audit,
+        # so both sides are the empty index (contract row still emits:
+        # 0 vectors, 0 indexed, 0 mismatches, flag true)
+        empty = spark.createDataFrame([], "vec_id bigint, cid int")
+        base = tempfile.mkdtemp(prefix="sem_stream_idx_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        return empty, empty, base
 
     base = tempfile.mkdtemp(prefix="sem_stream_idx_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
