@@ -83,8 +83,8 @@ from mapreduce_sm_spark.registry import REGISTRY
 # fronts in r14, together with the operators added late in r13 after
 # this window was frozen (bpe_vocab_merges, bpe_token_stats,
 # doc_lm_surprisal, source_mixture_sample,
-# stream_semantic_index_equality — never driver-seen, so they take r14
-# priority ahead of the r09 remnant).
+# stream_semantic_index_equality, lm_curation_report — never
+# driver-seen, so they take r14 priority ahead of the r09 remnant).
 REGISTRY.set_front(
     (
         # --- (1) new this round, never driver-seen ---

@@ -469,3 +469,182 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("column_name", "n_rows", "n_null", "n_distinct")
         .orderBy("column_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# LM-based curation pipeline (r13) — the v2 of corpus_curation_report,
+# composing the round's new capabilities into the end-to-end run a
+# training-data pipeline actually executes:
+#
+#   1. QUALITY GATE: drop documents whose average bigram-LM surprisal
+#      exceeds 1.05x the corpus mean (the perplexity-prune step, using
+#      doc_lm_surprisal's exact whole-bit scoring). The cut is the
+#      cross-multiplied integer inequality
+#          20 * total_bits * G_n <= 21 * n_bigrams * G_total
+#      (DECIMAL(38,0)/HUGEINT products — exact at any corpus size), so
+#      no double ever decides membership. Documents with < 2 tokens have
+#      no bigrams and fail the gate by definition (nothing to score).
+#   2. EXACT DEDUP on the survivors (the dedup_exact_normalized rule:
+#      lowercase/punct-collapse, keeper = min doc_id per group).
+#   3. BALANCED MIXTURE: the source_mixture_sample rule on the deduped
+#      survivors — every source hash-downsampled to the smallest
+#      surviving source's token budget, rate test cross-multiplied into
+#      exact integers.
+#
+# Emits the per-source funnel (raw -> quality -> dedup -> sampled with
+# token yields and the exact ppm rate); every stage is replayed by the
+# DuckDB oracle, sharing language_model._SURPRISAL_CTES verbatim.
+#
+# 100 TB shape: the expensive relation (per-doc surprisal) is the cached
+# doc-bigram cascade from _doc_surprisal_frame; the quality/dedup/sample
+# stages add one doc-sized join against that frame, one groupBy on the
+# normalized text (the dedup shuffle), and a broadcast-filtered pass —
+# report aggregates are all source-sized.
+# ---------------------------------------------------------------------------
+
+
+def _curation_oracle() -> str:
+    from mapreduce_sm_spark.functions.text import WORD_TOKEN_RE_SQL
+    from mapreduce_sm_spark.operators.language_model import _SURPRISAL_CTES
+
+    h = hash60_sql("'mix|' || kt.doc_id::VARCHAR")
+    return f"""
+WITH {_SURPRISAL_CTES},
+g AS (SELECT sum(total_bits)::BIGINT AS gt, sum(n_bigrams)::BIGINT AS gn FROM per_doc),
+q AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id CROSS JOIN g
+  WHERE 20 * p.total_bits::HUGEINT * g.gn <= 21 * p.n_bigrams::HUGEINT * g.gt
+),
+dd AS (
+  SELECT min(doc_id) AS keep_doc_id
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nrm FROM q)
+  GROUP BY nrm
+),
+kt AS (
+  SELECT q.doc_id, q.source,
+         len(regexp_extract_all(upper(q.text), '{WORD_TOKEN_RE_SQL}'))::BIGINT AS tk
+  FROM q JOIN dd ON q.doc_id = dd.keep_doc_id
+),
+ps AS (SELECT source, sum(tk)::BIGINT AS tokens_s FROM kt GROUP BY source),
+bud AS (SELECT min(tokens_s)::BIGINT AS b FROM ps),
+samp AS (
+  SELECT kt.doc_id, kt.source, kt.tk
+  FROM kt JOIN ps USING (source) CROSS JOIN bud
+  WHERE ({h} % 1000000) * ps.tokens_s < bud.b * 1000000
+),
+raw AS (SELECT source, count(*)::BIGINT AS n_raw FROM documents GROUP BY source),
+qs AS (SELECT source, count(*)::BIGINT AS n_quality FROM q GROUP BY source),
+ks AS (SELECT source, count(*)::BIGINT AS n_kept_dedup FROM kt GROUP BY source),
+ss AS (SELECT source, count(*)::BIGINT AS n_sampled, sum(tk)::BIGINT AS tokens_sampled FROM samp GROUP BY source)
+SELECT r.source, r.n_raw,
+       coalesce(qs.n_quality, 0)::BIGINT AS n_quality,
+       coalesce(ks.n_kept_dedup, 0)::BIGINT AS n_kept_dedup,
+       coalesce(ss.n_sampled, 0)::BIGINT AS n_sampled,
+       coalesce(ss.tokens_sampled, 0)::BIGINT AS tokens_sampled,
+       coalesce((bud.b * 1000000) // ps.tokens_s, 0)::BIGINT AS rate_ppm
+FROM raw r
+LEFT JOIN qs USING (source)
+LEFT JOIN ks USING (source)
+LEFT JOIN ps USING (source)
+LEFT JOIN ss USING (source)
+CROSS JOIN bud
+ORDER BY r.source
+"""
+
+
+@REGISTRY.register(
+    "lm_curation_report",
+    oracle=_curation_oracle(),
+    description="end-to-end LM curation funnel: surprisal quality gate "
+    "(<= 1.05x corpus mean, exact integers) -> normalized exact dedup -> "
+    "balanced source-mixture sample, per-source yields",
+    tags=("text", "quality", "dedup", "sampling", "mixing", "scale"),
+)
+def lm_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from mapreduce_sm_spark.functions.text import tokenize_words
+    from mapreduce_sm_spark.operators.language_model import (
+        _doc_surprisal_frame,
+    )
+    from mapreduce_sm_spark.session import release_caches, track_caches
+
+    docs = table(spark, sf_dir, "documents")
+    # per_doc is doc-count-sized and 3 narrow columns, but consumed by
+    # the corpus-mean scalar AND the gate join — uncached, each consumer
+    # replays the LM-cascade joins over the (cached) bigram multiset.
+    # Cache it alongside kt under the same tag.
+    release_caches("corpus.lm_curation")
+    per_doc = (
+        _doc_surprisal_frame(spark, sf_dir)
+        .select("doc_id", "n_bigrams", "total_bits")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    track_caches("corpus.lm_curation", per_doc)
+    g = per_doc.agg(
+        F.sum("total_bits").alias("gt"), F.sum("n_bigrams").alias("gn")
+    )
+    # quality gate — exact integer cross-multiply (DECIMAL(38,0) products)
+    q = (
+        docs.join(per_doc, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .filter(
+            F.expr(
+                "20 * CAST(total_bits AS DECIMAL(38,0)) * gn"
+                " <= 21 * CAST(n_bigrams AS DECIMAL(38,0)) * gt"
+            )
+        )
+        .select("doc_id", "source", "text")
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    dd = q.groupBy(norm.alias("nrm")).agg(F.min("doc_id").alias("keep_doc_id"))
+    # kt (doc-count-sized, 3 narrow columns) feeds the budgets AND the
+    # sample AND two report aggregates — cache it (the mixture-sampler
+    # rationale); q itself recomputes from the cached per_doc frame, so
+    # its extra consumers cost a parquet re-scan, not a cascade replay
+    kt = (
+        q.join(dd, q.doc_id == dd.keep_doc_id)
+        .select(
+            "doc_id",
+            "source",
+            F.size(tokenize_words("text")).cast("long").alias("tk"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    track_caches("corpus.lm_curation", kt)
+    ps = kt.groupBy("source").agg(F.sum("tk").alias("tokens_s"))
+    bud = ps.agg(F.min("tokens_s").alias("b"))
+    key = F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))
+    samp = (
+        kt.join(F.broadcast(ps), "source")
+        .crossJoin(F.broadcast(bud))
+        .filter((hash60(key) % 1000000) * F.col("tokens_s") < F.col("b") * 1000000)
+    )
+    raw = docs.groupBy("source").agg(F.count("*").alias("n_raw"))
+    qs = q.groupBy("source").agg(F.count("*").alias("n_quality"))
+    ks = kt.groupBy("source").agg(F.count("*").alias("n_kept_dedup"))
+    ss = samp.groupBy("source").agg(
+        F.count("*").alias("n_sampled"), F.sum("tk").alias("tokens_sampled")
+    )
+    return (
+        raw.join(qs, "source", "left")
+        .join(ks, "source", "left")
+        .join(ps, "source", "left")
+        .join(ss, "source", "left")
+        .crossJoin(F.broadcast(bud))
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce("n_kept_dedup", F.lit(0)).cast("long").alias("n_kept_dedup"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("tokens_sampled", F.lit(0))
+            .cast("long")
+            .alias("tokens_sampled"),
+            F.coalesce(F.expr("(b * 1000000) div tokens_s"), F.lit(0))
+            .cast("long")
+            .alias("rate_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -289,8 +289,8 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-side math.
 # ---------------------------------------------------------------------------
 
-_SURPRISAL_ORACLE = f"""
-WITH {_TOKS_CTE},
+# the WITH-parts up to per_doc, shared with corpus_ops.lm_curation_report
+_SURPRISAL_CTES = f"""{_TOKS_CTE},
 bi AS (
   SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
   FROM toks
@@ -313,7 +313,10 @@ scored AS (
 per_doc AS (
   SELECT doc_id, sum(k)::BIGINT AS n_bigrams, sum(k * bits)::BIGINT AS total_bits
   FROM scored GROUP BY doc_id
-)
+)"""
+
+_SURPRISAL_ORACLE = f"""
+WITH {_SURPRISAL_CTES}
 SELECT doc_id, n_bigrams, total_bits,
        total_bits::DOUBLE / n_bigrams::DOUBLE AS avg_bits
 FROM per_doc
@@ -330,6 +333,18 @@ LIMIT 40
     tags=("text", "ngram", "quality", "scale"),
 )
 def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _doc_surprisal_frame(spark, sf_dir)
+        .orderBy(F.desc("avg_bits"), "doc_id")
+        .limit(40)
+    )
+
+
+def _doc_surprisal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, total_bits, avg_bits) for every document with
+    at least one bigram — the full scoring relation behind
+    doc_lm_surprisal's top-40 cut, shared with
+    corpus_ops.lm_curation_report's quality gate."""
     docs = table(spark, sf_dir, "documents")
     t = tokenize_words("text")
     n = F.size(t)
@@ -383,16 +398,12 @@ def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("k") * F.col("bits")).alias("total_bits"),
         )
     )
-    return (
-        per_doc.select(
-            "doc_id",
-            "n_bigrams",
-            "total_bits",
-            (
-                F.col("total_bits").cast("double")
-                / F.col("n_bigrams").cast("double")
-            ).alias("avg_bits"),
-        )
-        .orderBy(F.desc("avg_bits"), "doc_id")
-        .limit(40)
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "total_bits",
+        (
+            F.col("total_bits").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("avg_bits"),
     )

@@ -189,3 +189,25 @@ def test_fold_merge_matches_reference_greedy_semantics(spark):
     got = [r["m"] for r in df.select(folded.alias("m")).collect()]
     want = [" ".join(_py_greedy_merge(w, bx, by)) for w, bx, by in cases]
     assert got == want
+
+
+def test_lm_curation_funnel_is_monotone_and_discriminating(spark):
+    """The curation funnel can only shrink at every stage, and on the
+    fixture the surprisal gate must actually DROP documents (a vacuous
+    gate would verify trivially — the 1.05x-mean bar was chosen against
+    the fixture distribution to bite)."""
+    from mapreduce_sm_spark.registry import REGISTRY
+
+    rows = REGISTRY.all()["lm_curation_report"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_raw"] >= r["n_quality"] >= r["n_kept_dedup"] >= r["n_sampled"]
+        assert 0 <= r["rate_ppm"] <= 1_000_000
+        assert r["tokens_sampled"] >= 0
+    assert sum(r["n_raw"] - r["n_quality"] for r in rows) > 0, (
+        "quality gate dropped nothing — bar no longer discriminates"
+    )
+    # the smallest surviving source is kept whole
+    assert max(r["rate_ppm"] for r in rows) == 1_000_000
