@@ -465,3 +465,16 @@ def test_mixture_sample_tokenizes_corpus_once(spark):
 
     plan = _plan(source_mixture_sample(spark, SF_DIR))
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_curation_funnel_reuses_cached_frames(spark):
+    """lm_curation_report caches per_doc (mean scalar + gate join) and kt
+    (budgets + sample + report aggregates); the executed plan must read
+    both InMemoryRelations in every downstream consumer instead of
+    replaying the LM cascade — uncached, the x100 wall was 4x worse
+    (SCALING.md r13)."""
+    from mapreduce_sm_spark.operators.corpus_ops import lm_curation_report
+
+    plan = _plan(lm_curation_report(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 5
+    assert plan.count("InMemoryRelation") >= 5
