@@ -82,7 +82,7 @@ from mapreduce_sm_spark.registry import REGISTRY
 # (sf0.001) and by the sf0.01 pandas-path local gate; the r09 remnant
 # fronts in r14, together with the operators added late in r13 after
 # this window was frozen (bpe_vocab_merges, bpe_token_stats,
-# doc_lm_surprisal, source_mixture_sample,
+# bpe_dict_compaction, doc_lm_surprisal, source_mixture_sample,
 # stream_semantic_index_equality, lm_curation_report — never
 # driver-seen, so they take r14 priority ahead of the r09 remnant).
 REGISTRY.set_front(

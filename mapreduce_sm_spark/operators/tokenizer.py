@@ -52,6 +52,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from mapreduce_sm_spark.functions.hashing import hash60, hash60_sql
 from mapreduce_sm_spark.functions.text import WORD_TOKEN_RE_SQL, tokenize_words
 from mapreduce_sm_spark.registry import REGISTRY
 from mapreduce_sm_spark.session import table
@@ -293,3 +294,136 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 30-row cut is materialized above (the dictionary cache must not
     # leak past this call); re-emit it as a stable local frame
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Dictionary compaction law (r13) — the tokenizer family's maintenance
+# story, mirroring dedup_minhash_compaction: when a delta batch arrives,
+# the word-frequency dictionary (the ONLY corpus-scale input BPE needs)
+# is maintained by merging the STORED dictionary with the delta batch's
+# dictionary — freq sums are a commutative monoid, so
+#     merge(dict(old), dict(delta)) == dict(old UNION delta)
+# row-for-row (the incremental-view-maintenance theorem for partial
+# aggregates, applied to the tokenizer's input). The old corpus is never
+# re-tokenized: the merge plan scans the stored parquet plus the delta
+# text only (plan-asserted in tests/test_tokenizer.py). Dictionary
+# equality implies every downstream BPE merge decision is identical, so
+# vocabulary updates on corpus growth never need a from-scratch re-read.
+#
+# Contract row mirrors the band-index law: dictionary digest (word count,
+# total token count, mod-sum over word hashes weighted by freq) plus
+# n_mismatch from an exact full-outer per-word comparison against the
+# from-scratch rebuild — 0 iff the law holds. The oracle recomputes the
+# digest from its own full-corpus dictionary and emits the theorem
+# values (n_mismatch 0, flag true).
+# ---------------------------------------------------------------------------
+
+_DICT_MOD = 999_983  # prime modulus for the digest mod-sums
+
+_DICT_COMPACT_ORACLE = f"""
+WITH words AS (
+  SELECT w, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(regexp_extract_all(upper(text), '{WORD_TOKEN_RE_SQL}')) AS w
+        FROM documents)
+  GROUP BY w
+)
+SELECT count(*)::BIGINT AS n_words,
+       sum(freq)::BIGINT AS total_freq,
+       sum(freq * ({hash60_sql("w")} % {_DICT_MOD}))::BIGINT AS sum_whash_mod,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       true AS dict_merge_equals_rebuild
+FROM words
+"""
+
+
+def _word_dict(docs: DataFrame) -> DataFrame:
+    """(w, freq) word-frequency dictionary of a (doc_id, text) frame."""
+    return (
+        docs.select(F.explode(tokenize_words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _compaction_merged_dict(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, str]:
+    """Phases 1+2 of the dictionary-compaction cycle: write the OLD
+    corpus' dictionary to the per-(process, sf) store, return (merged,
+    compact_path) where merged = stored dict (parquet scan, no
+    re-tokenize) partial-aggregate-merged with the delta batch's dict.
+    Split out so the plan test can pin the no-re-tokenize shape."""
+    import os as _os
+
+    from mapreduce_sm_spark.session import fan_out, shared_tmpdir
+
+    raw = fan_out(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    thr = raw.agg(
+        F.expr("4 * max(doc_id) div 5").cast("long").alias("new_min")
+    )
+    store = shared_tmpdir("bpe_dict_", sf_dir)
+    dict_path = _os.path.join(store, "word_dict")
+    compact_path = _os.path.join(store, "word_dict_compacted")
+
+    old = (
+        raw.crossJoin(F.broadcast(thr))
+        .filter(F.col("doc_id") < F.col("new_min"))
+        .drop("new_min")
+    )
+    _word_dict(old).write.mode("overwrite").parquet(dict_path)
+
+    delta = (
+        raw.crossJoin(F.broadcast(thr))
+        .filter(F.col("doc_id") >= F.col("new_min"))
+        .drop("new_min")
+    )
+    merged = (
+        spark.read.parquet(dict_path)
+        .unionByName(_word_dict(delta))
+        .groupBy("w")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    return merged, compact_path
+
+
+@REGISTRY.register(
+    "bpe_dict_compaction",
+    oracle=_DICT_COMPACT_ORACLE,
+    description="tokenizer dictionary compaction law: merge(stored dict, "
+    "delta dict) rewritten to parquet == from-scratch dictionary over the "
+    "union corpus (exact per-word audit)",
+    tags=("text", "tokenizer", "incremental", "persist", "scale"),
+)
+def bpe_dict_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged, compact_path = _compaction_merged_dict(spark, sf_dir)
+    merged.write.mode("overwrite").parquet(compact_path)
+    compacted = spark.read.parquet(compact_path)
+
+    rebuild = _word_dict(table(spark, sf_dir, "documents").select("text"))
+    zero = F.lit(0).cast("long")
+    mism = (
+        compacted.select("w", F.col("freq").alias("fa"))
+        .join(rebuild.select("w", F.col("freq").alias("fb")), "w", "full_outer")
+        .select(
+            F.when(F.coalesce("fa", zero) != F.coalesce("fb", zero), 1)
+            .otherwise(0)
+            .alias("bad")
+        )
+        .agg(F.coalesce(F.sum("bad"), zero).cast("long").alias("n_mismatch"))
+    )
+    dig = compacted.agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("freq").cast("long").alias("total_freq"),
+        F.sum(F.col("freq") * (hash60(F.col("w")) % _DICT_MOD))
+        .cast("long")
+        .alias("sum_whash_mod"),
+    )
+    return dig.crossJoin(F.broadcast(mism)).select(
+        "n_words",
+        "total_freq",
+        "sum_whash_mod",
+        "n_mismatch",
+        (F.col("n_mismatch") == 0).alias("dict_merge_equals_rebuild"),
+    )

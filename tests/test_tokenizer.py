@@ -211,3 +211,34 @@ def test_lm_curation_funnel_is_monotone_and_discriminating(spark):
     )
     # the smallest surviving source is kept whole
     assert max(r["rate_ppm"] for r in rows) == 1_000_000
+
+
+def test_dict_compaction_merge_never_retokenizes_old_corpus(spark):
+    """Plan shape for the dictionary-compaction MERGE (the
+    dedup-compaction discipline applied to the tokenizer): the merged
+    frame scans the STORED dictionary as parquet and tokenizes ONLY the
+    delta batch — exactly one documents scan reads the text column, and
+    the delta id restriction survives into the physical plan."""
+    from mapreduce_sm_spark.operators.tokenizer import _compaction_merged_dict
+    from tests.conftest import SF_DIR
+
+    merged, _ = _compaction_merged_dict(spark, SF_DIR)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "word_dict" in plan, "merge does not scan the stored dictionary"
+    text_scans = [
+        l
+        for l in plan.splitlines()
+        if "FileScan" in l and "documents.parquet" in l and "text#" in l
+    ]
+    assert len(text_scans) == 1, plan
+    assert "new_min" in plan
+
+
+def test_dict_compaction_law_holds(spark):
+    from mapreduce_sm_spark.registry import REGISTRY
+
+    row = REGISTRY.all()["bpe_dict_compaction"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["n_mismatch"] == 0 and row["dict_merge_equals_rebuild"]
+    assert row["n_words"] > 0 and row["total_freq"] >= row["n_words"]
