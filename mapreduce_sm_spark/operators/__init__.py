@@ -50,98 +50,87 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
 
 from mapreduce_sm_spark.registry import REGISTRY
 
-# Round-13 driver window: the external correctness gate verifies the first
-# 50 entries of queries(). The r12 window retired the r07 cohort; after it
-# the staleness histogram of freshest driver rows was 34 x r08, 50 x r09,
-# 50 x r11, 50 x r12. This window finishes the promised rotation
-# (VERDICT r12 item 1). Composition (3 + 34 + 13 = 50):
-# (1) the 3 queries NEW this round, never driver-seen:
-#     dedup_semantic_embedding (VERDICT r12 item 2 — SemDeDup-style
-#     embedding-space semantic dedup: k-means cells + probe-adjacent
-#     assignment, cell-blocked exact-cosine pairs, audited per-doc
-#     against the exact relation with an aggregate recall floor) and
-#     dedup_connected_components60 (the CC rung swap: cluster resolution
-#     over the 60-bit banded pairs — the 32-bit rung's x100 sitting died
-#     on candidate-join disk spill, so the scale rung takes the slot)
-#     and semantic_dedup_clusters (end-to-end embedding dedup with a full
-#     value oracle: banded-LSH cosine pairs -> connected components ->
-#     keeper per cluster).
-# (2) ALL 34 rows whose freshest driver row is r08 (computed from the
-#     CORRECTNESS_r01..r12 union) — after this window no registered
-#     query's freshest driver row predates r09. Includes both headline
-#     reference queries (wordcount, string_match) and the q6/q7/q13/q16
-#     TPC-H spine.
-# (3) the remaining 13 slots go to the riskiest-oracle r09 rows: the ANN
-#     trio (bruteforce / LSH / IVF recall contract), the near-dedup deep
-#     DAGs (corpus_near_dedup, minhash, ngram_jaccard, cluster-size
-#     histogram), the triangle kernel, the stateful/sketch streaming trio,
-#     the Arrow-UDAF surface, multimodal resize, and the KMV / Count-Min
-#     sketches.
-# Still out after this round: the 35 remaining r09 rows + the r11/r12
+# Round-14 driver window: the external correctness gate verifies the first
+# 50 entries of queries(). Entering this round the staleness histogram of
+# freshest driver rows (CORRECTNESS_r01..r13 union) was 37 x r09,
+# 50 x r11, 50 x r12, 50 x r13, plus 7 never-seen (the operators added
+# after the r13 window froze). Composition (7 + 37 + 6 = 50):
+# (1) the 7 queries registered late in r13, never driver-seen — the
+#     promised first obligation of this round (VERDICT r13 item 1):
+#     the BPE tokenizer-induction trio (bpe_vocab_merges,
+#     bpe_token_stats, bpe_dict_compaction), integer-exact LM surprisal
+#     (doc_lm_surprisal), balanced source-mixture sampling
+#     (source_mixture_sample), streamed semantic-index maintenance
+#     (stream_semantic_index_equality), and the composed LM curation
+#     funnel (lm_curation_report).
+# (2) ALL 37 rows whose freshest driver row is r09 — after this window
+#     no registered query's freshest driver row predates r11. Includes
+#     the q1/q3/q5/q10/q11/q15/q17(q18) TPC-H spine, the bloom pair,
+#     KMV, grouping-sets/cube/pivot, outer/anti/semi joins, the
+#     CSV/ORC roundtrips, and the sampling family.
+# (3) the remaining 6 slots go to the riskiest-oracle r11 rows: the
+#     PageRank kernel (deep iterative DAG), the persisted-MinHash and
+#     incremental-agg maintenance laws (multi-stage write/read state),
+#     the embedding-pair deep DAG, the SCD2 point-in-time join, and the
+#     streamed-quantile equality twin.
+# Still out after this round: the 44 remaining r11 rows + the r12/r13
 # cohorts — all covered every pytest run by tests/test_oracle_parity.py
-# (sf0.001) and by the sf0.01 pandas-path local gate; the r09 remnant
-# fronts in r14, together with the operators added late in r13 after
-# this window was frozen (bpe_vocab_merges, bpe_token_stats,
-# bpe_dict_compaction, doc_lm_surprisal, source_mixture_sample,
-# stream_semantic_index_equality, lm_curation_report — never
-# driver-seen, so they take r14 priority ahead of the r09 remnant).
+# (sf0.001) and by the sf0.01 pandas-path local gate; the r11 remnant
+# fronts in r15.
 REGISTRY.set_front(
     (
-        # --- (1) new this round, never driver-seen ---
-        "dedup_semantic_embedding",
-        "dedup_connected_components60",
-        "semantic_dedup_clusters",
-        # --- (2) the complete r08 remnant (34 rows) ---
-        "approx_distinct_users",
-        "approx_percentiles_lineitem",
-        "benchmark_contamination",
-        "bigram_lm_counts",
-        "case_bucket_orders",
-        "corpus_clean_pipeline",
-        "corpus_source_rollup",
-        "dedup_exact",
-        "dedup_exact_normalized",
-        "dedup_exact_substring",
-        "dedup_simhash",
-        "dedup_simhash_pairs",
-        "denylist_scrub_stats",
-        "doc_fingerprint",
-        "hll_user_reach",
-        "join_asof_events_orders",
-        "join_range_value_bands",
-        "json_extract_events",
-        "lang_id_heuristic",
-        "map_functions_surface",
-        "posexplode_first_tokens",
-        "q13_customer_distribution",
-        "q16_part_supplier_variety",
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "retention_cohorts_weekly",
-        "sequence_packing_plan",
-        "sessionize_events",
-        "sliding_window_events",
-        "string_match",
-        "token_count",
-        "tumbling_window_events",
-        "wordcount",
-        "zipf_token_stats",
-        # --- (3) 13 riskiest-oracle r09 rows (countmin_token_freq and
-        #     kmv_audience_overlap yielded their slots to the late new
-        #     queries: both are re-probed every round by drift_probe, and
-        #     stream_countmin_equality keeps the sketch family here) ---
-        "ann_bruteforce_topk",
-        "ann_ivf_recall_check",
-        "ann_lsh_topk",
-        "corpus_near_dedup",
-        "dedup_minhash",
-        "dedup_ngram_jaccard",
-        "dedup_cluster_size_histogram",
-        "graph_triangle_count",
-        "stream_bloom_scrub_events",
-        "stream_countmin_equality",
-        "stream_session_windows",
-        "udaf_weighted_avg",
-        "multimodal_resize_features",
+        # --- (1) the 7 late-r13 registrations, never driver-seen ---
+        "bpe_vocab_merges",
+        "bpe_token_stats",
+        "bpe_dict_compaction",
+        "doc_lm_surprisal",
+        "source_mixture_sample",
+        "stream_semantic_index_equality",
+        "lm_curation_report",
+        # --- (2) the complete r09 remnant (37 rows) ---
+        "agg_distinct_segments",
+        "bloom_reuse_prune_orders",
+        "bloom_semi_prune_orders",
+        "collect_set_statuses",
+        "countmin_token_freq",
+        "csv_roundtrip_stats",
+        "cube_orders",
+        "dataset_mixture_weights",
+        "date_arithmetic_orders",
+        "exists_discounted_orders",
+        "funnel_view_click_purchase",
+        "fuzzy_source_names",
+        "grouping_sets_orders",
+        "inverted_index_topdocs",
+        "join_anti_no_orders",
+        "join_outer_order_counts",
+        "join_semi_big_spenders",
+        "json_schema_parse_events",
+        "kmv_audience_overlap",
+        "lateral_top2_orders",
+        "mode_event_type_per_user",
+        "null_semantics_outer",
+        "or_predicate_revenue",
+        "orc_roundtrip_stats",
+        "pivot_orders_by_priority",
+        "priority_sample_documents",
+        "profile_orders_columns",
+        "q10_top_lost_revenue",
+        "q11_revenue_concentration",
+        "q15_top_supplier",
+        "q18_large_quantity_orders",
+        "q1_pricing_summary",
+        "q2_min_per_group",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "recursive_month_spine",
+        "stratified_sample_quota",
+        # --- (3) 6 riskiest-oracle r11 rows ---
+        "pagerank_supply_graph",
+        "dedup_minhash_persisted",
+        "incremental_agg_maintenance",
+        "embedding_similar_pairs",
+        "scd2_point_in_time_join",
+        "stream_quantile_equality",
     )
 )
