@@ -191,7 +191,11 @@ def _bpe_learn(
                 ).otherwise(F.concat(a, F.lit(" "), x)),
             )
             nxt = seq.select(folded.alias("syms"), "freq").persist()
-            nxt.count()  # materialize before dropping the parent generation
+            try:
+                nxt.count()  # materialize before dropping the parent generation
+            except Exception:
+                nxt.unpersist()  # don't leak the half-materialized generation
+                raise
             seq.unpersist()
             seq = nxt
     except Exception:
@@ -318,7 +322,15 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # values (n_mismatch 0, flag true).
 # ---------------------------------------------------------------------------
 
-_DICT_MOD = 999_983  # prime modulus for the digest mod-sums
+_DICT_MOD = 999_983  # prime modulus for the per-word digest terms
+# The freq-weighted term sum reaches ~1e6 x total_tokens (~2e19 at the
+# claimed 100 TB posture, past int64 — Spark's long sum would wrap
+# silently while DuckDB's HUGEINT::BIGINT cast raises, diverging the
+# engines differently). So both engines sum EXACTLY in wide integers
+# (Spark DECIMAL(38,0), DuckDB HUGEINT — exact to 1e38, headroom ~1e19x)
+# and reduce modulo the largest int64 prime so the emitted digest stays
+# BIGINT and bit-identical at any corpus size.
+_DICT_SUM_MOD = 9_223_372_036_854_775_783  # largest prime < 2^63
 
 _DICT_COMPACT_ORACLE = f"""
 WITH words AS (
@@ -329,7 +341,8 @@ WITH words AS (
 )
 SELECT count(*)::BIGINT AS n_words,
        sum(freq)::BIGINT AS total_freq,
-       sum(freq * ({hash60_sql("w")} % {_DICT_MOD}))::BIGINT AS sum_whash_mod,
+       (sum(freq::HUGEINT * ({hash60_sql("w")} % {_DICT_MOD}))
+        % {_DICT_SUM_MOD})::BIGINT AS sum_whash_mod,
        CAST(0 AS BIGINT) AS n_mismatch,
        true AS dict_merge_equals_rebuild
 FROM words
@@ -416,7 +429,13 @@ def bpe_dict_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     dig = compacted.agg(
         F.count("*").cast("long").alias("n_words"),
         F.sum("freq").cast("long").alias("total_freq"),
-        F.sum(F.col("freq") * (hash60(F.col("w")) % _DICT_MOD))
+        (
+            F.sum(
+                F.col("freq").cast("decimal(38,0)")
+                * (hash60(F.col("w")) % _DICT_MOD)
+            )
+            % F.lit(_DICT_SUM_MOD)
+        )
         .cast("long")
         .alias("sum_whash_mod"),
     )

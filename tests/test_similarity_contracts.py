@@ -311,7 +311,14 @@ def test_stream_semantic_index_commits_multiple_appends(spark):
     per_vec = {}
     for (vid, _), n in got.items():
         per_vec[vid] = per_vec.get(vid, 0) + n
-    assert all(n == _SEM_NPROBE for n in per_vec.values())
+    # per the docstring's contract, exactly nprobe rows per vector only
+    # holds when the build produced >= nprobe distinct cells (a k-means
+    # collapse on a degenerate fixture yields fewer)
+    n_cells = len({cid for (_, cid) in got})
+    if n_cells >= _SEM_NPROBE:
+        assert all(n == _SEM_NPROBE for n in per_vec.values())
+    else:
+        assert all(n == n_cells for n in per_vec.values())
 
 
 def test_sem_probe_cells_expr_equals_window_assignment(spark):

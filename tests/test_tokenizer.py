@@ -11,6 +11,8 @@ import math
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_DIR
+
 from mapreduce_sm_spark.operators.tokenizer import _adjacent_pairs, _bpe_oracle
 
 
@@ -67,7 +69,7 @@ def test_bpe_merge_ranks_are_contiguous_and_nonincreasing(spark):
     from mapreduce_sm_spark.registry import REGISTRY
 
     q = REGISTRY.all()["bpe_vocab_merges"]
-    rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+    rows = q.fn(spark, SF_DIR).collect()
     assert [r["merge_rank"] for r in rows] == list(range(1, len(rows) + 1))
     # merged pair frequencies can only shrink or re-order below earlier
     # maxima: each rank's freq is <= the first rank's freq
@@ -100,7 +102,7 @@ def test_surprisal_bits_nonnegative_and_bounded(spark):
     from mapreduce_sm_spark.registry import REGISTRY
 
     q = REGISTRY.all()["doc_lm_surprisal"]
-    rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+    rows = q.fn(spark, SF_DIR).collect()
     assert rows, "expected scored documents"
     for r in rows:
         assert r["total_bits"] >= 0
@@ -113,7 +115,7 @@ def test_mixture_sample_rates_and_budget(spark):
     from mapreduce_sm_spark.registry import REGISTRY
 
     q = REGISTRY.all()["source_mixture_sample"]
-    rows = q.fn(spark, "/root/testdata/sf0.001").collect()
+    rows = q.fn(spark, SF_DIR).collect()
     assert rows
     rates = [r["rate_ppm"] for r in rows]
     # the smallest source keeps (close to) everything: its rate is 1e6
@@ -122,7 +124,7 @@ def test_mixture_sample_rates_and_budget(spark):
     # kept tokens can never exceed the source's pre-sample total implied
     # by the exact rate: tokens_kept <= tokens_s, and the hash-mod sample
     # is per-doc deterministic, so re-running is identical
-    rows2 = q.fn(spark, "/root/testdata/sf0.001").collect()
+    rows2 = q.fn(spark, SF_DIR).collect()
     assert rows == rows2
 
 
@@ -199,7 +201,7 @@ def test_lm_curation_funnel_is_monotone_and_discriminating(spark):
     from mapreduce_sm_spark.registry import REGISTRY
 
     rows = REGISTRY.all()["lm_curation_report"].fn(
-        spark, "/root/testdata/sf0.001"
+        spark, SF_DIR
     ).collect()
     assert rows
     for r in rows:
@@ -238,7 +240,7 @@ def test_dict_compaction_law_holds(spark):
     from mapreduce_sm_spark.registry import REGISTRY
 
     row = REGISTRY.all()["bpe_dict_compaction"].fn(
-        spark, "/root/testdata/sf0.001"
+        spark, SF_DIR
     ).collect()[0]
     assert row["n_mismatch"] == 0 and row["dict_merge_equals_rebuild"]
     assert row["n_words"] > 0 and row["total_freq"] >= row["n_words"]
