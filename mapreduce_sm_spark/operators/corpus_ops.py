@@ -560,6 +560,9 @@ ORDER BY r.source
     "(<= 1.05x corpus mean, exact integers) -> normalized exact dedup -> "
     "balanced source-mixture sample, per-source yields",
     tags=("text", "quality", "dedup", "sampling", "mixing", "scale"),
+    headline=True,  # r14: the most expensive registered query joins the
+    # headline set so the 2x gate grades exactly where a plan regression
+    # would cost the most (VERDICT r13 item 3)
 )
 def lm_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel

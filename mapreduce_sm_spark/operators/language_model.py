@@ -331,6 +331,8 @@ LIMIT 40
     description="per-doc bigram-LM surprisal in exact whole bits "
     "(integer floor of -log2 p), top-40 most surprising documents",
     tags=("text", "ngram", "quality", "scale"),
+    headline=True,  # r14: #3 most expensive registered query — graded by
+    # the 2x gate every sitting (VERDICT r13 item 3)
 )
 def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
