@@ -1241,9 +1241,12 @@ def _hier_probe_cells_expr(
     with NO fine centroids (possible only when the cell owns no home
     vectors) is dropped, matching the batch path's inner join on c1.
 
-    Literal budget: K1 coarse + K1*K2 fine vectors = the same K
-    centroid literals the flat expression carries, bounded by
-    _MAX_KMEANS_K — plan-sized, never corpus-sized."""
+    Centroid transport: small K builds them as literals (this wrapper —
+    used by the pinned equivalence test); the streamed operator carries
+    them as broadcast DATA via _hier_probe_static instead, because a
+    K=1600 literal tree (~100k literal doubles) pushed plan compilation
+    past the stream's own timeout at the x100 rung — the expression
+    logic (_hier_probe_cells_col) is shared verbatim by both."""
     lit_vec = lambda v: F.array(*[F.lit(float(x)) for x in v])  # noqa: E731
     coarse_arr = F.array(
         *[
@@ -1251,21 +1254,7 @@ def _hier_probe_cells_expr(
             for c1, v in coarse
         ]
     )
-    probes = F.slice(
-        F.array_sort(
-            F.transform(
-                coarse_arr,
-                lambda c: F.struct(
-                    _l2(vcol, c["cvec"]).alias("d1"), c["c1"].alias("c1")
-                ),
-            )
-        ),
-        1,
-        _SEM_NPROBE,
-    )
-    by_c1: dict[int, list] = {c1: [] for c1 in range(k1)}
-    for (c1, c2), fv in sorted(fine.items()):
-        by_c1[c1].append((c2, fv))
+    by_c1 = _fine_by_c1(k1, fine)
     # element_at(fine_arr, c1 + 1) = coarse cell c1's fine centroids;
     # cast() types the empty arrays a home-vector-less cell leaves behind
     fine_arr = F.array(
@@ -1280,6 +1269,33 @@ def _hier_probe_cells_expr(
             ).cast("array<struct<c2:int,fvec:array<double>>>")
             for c1 in range(k1)
         ]
+    )
+    return _hier_probe_cells_col(k2, coarse_arr, fine_arr, vcol)
+
+
+def _fine_by_c1(k1: int, fine: dict) -> dict[int, list]:
+    by_c1: dict[int, list] = {c1: [] for c1 in range(k1)}
+    for (c1, c2), fv in sorted(fine.items()):
+        by_c1[c1].append((c2, fv))
+    return by_c1
+
+
+def _hier_probe_cells_col(
+    k2: int, coarse_arr: F.Column, fine_arr: F.Column, vcol: F.Column
+) -> F.Column:
+    """The two-level probe over centroid ARRAYS given as columns —
+    literal-built (small K) or broadcast data (_hier_probe_static)."""
+    probes = F.slice(
+        F.array_sort(
+            F.transform(
+                coarse_arr,
+                lambda c: F.struct(
+                    _l2(vcol, c["cvec"]).alias("d1"), c["c1"].alias("c1")
+                ),
+            )
+        ),
+        1,
+        _SEM_NPROBE,
     )
     cells = F.transform(
         probes,
@@ -1305,6 +1321,30 @@ def _hier_probe_cells_expr(
         ),
     )
     return F.filter(composed, lambda s: s["cid"].isNotNull())
+
+
+def _hier_probe_static(
+    spark: SparkSession, k1: int, coarse: list, fine: dict
+) -> DataFrame:
+    """ONE-ROW static frame (coarse_arr, fine_arr) carrying the trained
+    centroids as broadcast DATA: the stream cross-joins it (stream-
+    static broadcast joins are stateless and supported) and the probe
+    expression operates on column references, keeping the plan O(1)
+    regardless of K — at K=1600 x 64 dims this is ~820 KB of row data
+    per executor vs a literal tree whose codegen took minutes."""
+    by_c1 = _fine_by_c1(k1, fine)
+    row = (
+        [(int(c1), [float(x) for x in v]) for c1, v in coarse],
+        [
+            [(int(c2), [float(x) for x in fv]) for c2, fv in by_c1[c1]]
+            for c1 in range(k1)
+        ],
+    )
+    return spark.createDataFrame(
+        [row],
+        schema="coarse_arr array<struct<c1:int,cvec:array<double>>>, "
+        "fine_arr array<array<struct<c2:int,fvec:array<double>>>>",
+    )
 
 
 def _stream_maintained_semantic_index(
@@ -1344,15 +1384,35 @@ def _stream_maintained_semantic_index(
         a1.unpersist()  # streamed assignment is row-local: probe frame unused
         release_caches("similarity.semantic.hier")
         cents = coarse  # non-empty iff the corpus is (guard below)
+        cent_static = _hier_probe_static(spark, k1, coarse, fine)
 
-        def _probe(vcol: F.Column) -> F.Column:
-            return _hier_probe_cells_expr(k1, k2, coarse, fine, vcol)
+        def _cells(df: DataFrame) -> DataFrame:
+            # centroids as broadcast DATA (stream-static cross join is
+            # stateless): the probe expression stays O(1)-sized at any K
+            return (
+                df.crossJoin(F.broadcast(cent_static))
+                .select(
+                    "vec_id",
+                    F.explode(
+                        _hier_probe_cells_col(
+                            k2,
+                            F.col("coarse_arr"),
+                            F.col("fine_arr"),
+                            F.col("v"),
+                        )
+                    ).alias("p"),
+                )
+                .select("vec_id", F.col("p.cid").alias("cid"))
+            )
 
     else:
         cents = _kmeans_centroids(spark, emb, k, _IVF_ITERS)
 
-        def _probe(vcol: F.Column) -> F.Column:
-            return _sem_probe_cells_expr(cents, vcol)
+        def _cells(df: DataFrame) -> DataFrame:
+            return df.select(
+                "vec_id",
+                F.explode(_sem_probe_cells_expr(cents, F.col("v"))).alias("p"),
+            ).select("vec_id", F.col("p.cid").alias("cid"))
 
     if not cents:
         # empty corpus -> no centroids -> the literal-array projection
@@ -1371,23 +1431,22 @@ def _stream_maintained_semantic_index(
         _os.path.join(base, "index"),
         _os.path.join(base, "ckpt"),
     )
-    # arrival simulation: the vectors land as 4 part files; one file per
-    # trigger => the sink commits (up to) 4 separate appends
-    emb.repartition(4).write.mode("overwrite").parquet(feed_dir)
+    # arrival simulation: the vectors land as 32 part files consumed 8
+    # per trigger => the sink commits (up to) 4 separate appends, and
+    # each micro-batch runs 8 tasks. Files-per-trigger is the micro-
+    # batch PARALLELISM axis (a file-source micro-batch gets one task
+    # per file): the 1-file-per-trigger variant ran each x100 append on
+    # a single core at the same per-core rate the 32-core batch twin
+    # sustains — measured 73 s/append vs ~9 s here, SCALING.md r14.
+    emb.repartition(32).write.mode("overwrite").parquet(feed_dir)
 
     stream = documents_text_stream(
         spark,
         base,
         glob="embeddings.parquet",
-        max_files_per_trigger=1,
+        max_files_per_trigger=8,
         columns=("vec_id", "v"),
     )
-
-    def _cells(df: DataFrame) -> DataFrame:
-        return df.select(
-            "vec_id",
-            F.explode(_probe(F.col("v"))).alias("p"),
-        ).select("vec_id", F.col("p.cid").alias("cid"))
 
     q = (
         _cells(stream)
