@@ -1075,3 +1075,221 @@ def tf_cosine_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos2_ppm") >= _COS2_THRESH_PPM)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# The full Gopher char-mass repetition gate (Rae et al. 2021, Table A1)
+# — the character-fraction family doc_repetition_stats' count-share pair
+# approximates: for each document, the fraction of CHARACTERS in the
+# most frequent {2,3,4}-gram and the fraction of characters in
+# duplicated {1,2}-grams, each gated by a threshold, rolled up to a
+# per-source quality report.
+#
+# Scale shape — deliberately different from doc_repetition_stats (which
+# explodes grams and groupBys corpus-sized rows): every metric here is
+# ROW-LOCAL — build the doc's sorted n-gram array once per n, then fold
+# it (total char mass = one sum; duplicated mass = neighbor-equality
+# flags on the sorted array; top-gram mass = a single run-length fold
+# carrying struct(prev, run_chars, best)). The only exchange in the
+# whole plan is the final source-sized groupBy — at 100 TB this is one
+# embarrassingly-parallel corpus scan, plan-asserted shuffle-free in
+# tests/test_plans.py. Per-doc cost is O(L log L) for the sorts with L
+# bounded by document length, never corpus-coupled.
+#
+# Exactness: char masses are exact int64 (gram length includes the n-1
+# joining spaces — same convention both engines); gates are integer
+# cross-multiplications (mass * 100 > pct * total), no division at all.
+#
+# Thresholds: Gopher production values (top-2/3/4-gram char fraction
+# > 0.20/0.18/0.16, dup-n-gram families ~0.10-0.15) never trip on the
+# synthetic fixture corpus (its ~45-token vocabulary random texts top
+# out near 0.16), which would leave the oracle an all-zeros hash — so
+# the registered gate uses fixture-discriminating percentages (each
+# trips on ~5-10% of docs, measured) and documents the production knob.
+# ---------------------------------------------------------------------------
+
+_GQ_PCT = {"top2": 8, "top3": 7, "top4": 7, "dup1": 80, "dup2": 12}
+
+
+def _gq_sorted_grams_sql(n: int) -> str:
+    """SQL: the doc's sorted n-gram array from token array w (empty when
+    the doc has fewer than n tokens)."""
+    if n == 1:
+        return "array_sort(w)"
+    return (
+        f"IF(size(w) >= {n}, "
+        f"array_sort(transform(sequence(1, size(w) - {n} + 1), "
+        f"i -> array_join(slice(w, i, {n}), ' '))), "
+        "CAST(array() AS ARRAY<STRING>))"
+    )
+
+
+_GQ_TOTAL_SQL = "aggregate({s}, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+
+# an occurrence is duplicated iff it equals a neighbor in the sorted
+# array; greatest/least keep the probe indices in-bounds so the guard
+# conjuncts stay safe under eager evaluation
+_GQ_DUP_SQL = (
+    "aggregate(sequence(1, size({s})), CAST(0 AS BIGINT), (a, i) -> a + "
+    "IF((i > 1 AND element_at({s}, greatest(i - 1, 1)) = element_at({s}, i))"
+    " OR (i < size({s}) AND element_at({s}, least(i + 1, size({s})))"
+    " = element_at({s}, i)), "
+    "CAST(length(element_at({s}, i)) AS BIGINT), CAST(0 AS BIGINT)))"
+)
+
+# run-length fold over the sorted array: rc = char mass of the current
+# run, best = max completed run mass; finish folds the last run in
+_GQ_TOP_SQL = (
+    "aggregate({s}, "
+    "named_struct('prev', CAST(NULL AS STRING), 'rc', CAST(0 AS BIGINT), "
+    "'best', CAST(0 AS BIGINT)), "
+    "(st, x) -> IF(st.prev IS NOT NULL AND x = st.prev, "
+    "named_struct('prev', x, 'rc', st.rc + CAST(length(x) AS BIGINT), "
+    "'best', st.best), "
+    "named_struct('prev', x, 'rc', CAST(length(x) AS BIGINT), "
+    "'best', greatest(st.best, st.rc))), "
+    "st -> greatest(st.best, st.rc))"
+)
+
+
+def _gq_oracle() -> str:
+    def gram_cte(n: int) -> str:
+        if n == 1:
+            grams = f"SELECT doc_id, u.g AS g FROM toks, UNNEST(t) AS u(g)"
+        else:
+            grams = (
+                f"SELECT doc_id, array_to_string(t[u.r : u.r + {n - 1}], ' ') AS g "
+                f"FROM toks, UNNEST(range(1, len(t) - {n} + 2)) AS u(r) "
+                f"WHERE len(t) >= {n}"
+            )
+        return f"""
+g{n} AS ({grams}),
+gc{n} AS (
+  SELECT doc_id, g, count(*)::BIGINT AS cnt, length(g)::BIGINT AS glen
+  FROM g{n} GROUP BY doc_id, g
+),
+m{n} AS (
+  SELECT doc_id,
+         sum(cnt * glen)::BIGINT AS total,
+         max(cnt * glen)::BIGINT AS top,
+         coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * glen END), 0)::BIGINT AS dup
+  FROM gc{n} GROUP BY doc_id
+)"""
+
+    p = _GQ_PCT
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_extract_all(upper(text), '[A-Z][A-Z'']*') AS t
+  FROM documents
+),
+{gram_cte(1)},
+{gram_cte(2)},
+{gram_cte(3)},
+{gram_cte(4)},
+per_doc AS (
+  SELECT toks.doc_id, toks.source,
+    coalesce(m2.top * 100 > {p['top2']} * m2.total, false) AS f_top2,
+    coalesce(m3.top * 100 > {p['top3']} * m3.total, false) AS f_top3,
+    coalesce(m4.top * 100 > {p['top4']} * m4.total, false) AS f_top4,
+    coalesce(m1.dup * 100 > {p['dup1']} * m1.total, false) AS f_dup1,
+    coalesce(m2.dup * 100 > {p['dup2']} * m2.total, false) AS f_dup2
+  FROM toks
+  LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id)
+  LEFT JOIN m3 USING (doc_id) LEFT JOIN m4 USING (doc_id)
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(f_top2::INT)::BIGINT AS n_fail_top2,
+       sum(f_top3::INT)::BIGINT AS n_fail_top3,
+       sum(f_top4::INT)::BIGINT AS n_fail_top4,
+       sum(f_dup1::INT)::BIGINT AS n_fail_dup1,
+       sum(f_dup2::INT)::BIGINT AS n_fail_dup2,
+       sum(CASE WHEN NOT (f_top2 OR f_top3 OR f_top4 OR f_dup1 OR f_dup2)
+                THEN 1 ELSE 0 END)::BIGINT AS n_clean
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@REGISTRY.register(
+    "gopher_quality_gate",
+    oracle=_gq_oracle(),
+    description="Gopher char-mass repetition gate (top-2/3/4-gram and "
+    "dup-1/2-gram character fractions), row-local folds, per-source "
+    "quality report",
+    tags=("text", "quality", "scale"),
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.functions.text import tokenize_words
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", tokenize_words("text").alias("w")
+    )
+    # stage the sorted gram arrays as real columns so each is computed
+    # once per row (CollapseProject keeps multi-use non-cheap aliases
+    # staged); metrics then fold the staged arrays
+    staged = docs
+    for n in (1, 2, 3, 4):
+        staged = staged.withColumn(f"s{n}", F.expr(_gq_sorted_grams_sql(n)))
+    metrics = staged
+    for n, want_top, want_dup in (
+        (1, False, True),
+        (2, True, True),
+        (3, True, False),
+        (4, True, False),
+    ):
+        metrics = metrics.withColumn(
+            f"total{n}", F.expr(_GQ_TOTAL_SQL.format(s=f"s{n}"))
+        )
+        if want_top:
+            metrics = metrics.withColumn(
+                f"top{n}", F.expr(_GQ_TOP_SQL.format(s=f"s{n}"))
+            )
+        if want_dup:
+            metrics = metrics.withColumn(
+                f"dup{n}", F.expr(_GQ_DUP_SQL.format(s=f"s{n}"))
+            )
+    p = _GQ_PCT
+
+    def gate(mass: str, n: int, pct: int) -> F.Column:
+        return (F.col(f"total{n}") > 0) & (
+            F.col(mass) * 100 > F.lit(pct) * F.col(f"total{n}")
+        )
+
+    flags = metrics.select(
+        "source",
+        gate("top2", 2, p["top2"]).alias("f_top2"),
+        gate("top3", 3, p["top3"]).alias("f_top3"),
+        gate("top4", 4, p["top4"]).alias("f_top4"),
+        gate("dup1", 1, p["dup1"]).alias("f_dup1"),
+        gate("dup2", 2, p["dup2"]).alias("f_dup2"),
+    )
+    cnt = lambda c: F.sum(F.col(c).cast("int")).cast("long")  # noqa: E731
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            cnt("f_top2").alias("n_fail_top2"),
+            cnt("f_top3").alias("n_fail_top3"),
+            cnt("f_top4").alias("n_fail_top4"),
+            cnt("f_dup1").alias("n_fail_dup1"),
+            cnt("f_dup2").alias("n_fail_dup2"),
+            F.sum(
+                F.when(
+                    ~(
+                        F.col("f_top2")
+                        | F.col("f_top3")
+                        | F.col("f_top4")
+                        | F.col("f_dup1")
+                        | F.col("f_dup2")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clean"),
+        )
+        .orderBy("source")
+    )

@@ -478,3 +478,16 @@ def test_curation_funnel_reuses_cached_frames(spark):
     plan = _plan(lm_curation_report(spark, SF_DIR))
     assert plan.count("InMemoryTableScan") >= 5
     assert plan.count("InMemoryRelation") >= 5
+
+
+def test_gopher_gate_single_exchange(spark):
+    """gopher_quality_gate's metrics are row-local folds: the ONLY hash
+    exchange in the plan is the final source-sized rollup (plus its
+    tiny ORDER BY) — no gram explode, no per-gram groupBy, no join."""
+    from mapreduce_sm_spark.operators.text_analysis import gopher_quality_gate
+
+    plan = _plan(gopher_quality_gate(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(source" in plan
+    assert "Generate explode" not in plan
+    assert "Join" not in plan

@@ -1,0 +1,95 @@
+"""gopher_quality_gate semantics the sf0.001 oracle-parity test cannot
+pin on its own: the char-mass definitions (top-run fold, duplicated-
+neighbor mass, space-inclusive gram length) on crafted documents with
+hand-computed values, and the short-doc / empty-doc guards."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _metrics(spark, text: str) -> dict:
+    """Run the operator's staged metric expressions on one document."""
+    from mapreduce_sm_spark.operators.text_analysis import (
+        _GQ_DUP_SQL,
+        _GQ_TOP_SQL,
+        _GQ_TOTAL_SQL,
+        _gq_sorted_grams_sql,
+    )
+    from mapreduce_sm_spark.functions.text import tokenize_words
+
+    df = spark.createDataFrame([(text,)], "text string").select(
+        tokenize_words("text").alias("w")
+    )
+    for n in (1, 2, 3, 4):
+        df = df.withColumn(f"s{n}", F.expr(_gq_sorted_grams_sql(n)))
+    cols = []
+    for n in (1, 2, 3, 4):
+        cols += [
+            F.expr(_GQ_TOTAL_SQL.format(s=f"s{n}")).alias(f"total{n}"),
+            F.expr(_GQ_TOP_SQL.format(s=f"s{n}")).alias(f"top{n}"),
+            F.expr(_GQ_DUP_SQL.format(s=f"s{n}")).alias(f"dup{n}"),
+        ]
+    return df.select(*cols).collect()[0].asDict()
+
+
+def test_gopher_char_masses_hand_computed(spark):
+    # tokens: AB AB CD  (upper-cased by the tokenizer)
+    m = _metrics(spark, "ab ab cd")
+    # 1-grams: AB AB CD -> total 6 chars; AB run = 4 (top); dup = 4
+    assert (m["total1"], m["top1"], m["dup1"]) == (6, 4, 4)
+    # 2-grams: "AB AB", "AB CD" -> total 10 (space counted), top 5, dup 0
+    assert (m["total2"], m["top2"], m["dup2"]) == (10, 5, 0)
+    # 3-grams: one gram "AB AB CD" (8 chars)
+    assert (m["total3"], m["top3"], m["dup3"]) == (8, 8, 8 * 0)
+    # 4-grams: none (doc has 3 tokens)
+    assert (m["total4"], m["top4"], m["dup4"]) == (0, 0, 0)
+
+
+def test_gopher_duplicated_runs_and_top_run(spark):
+    # tokens: X X X Y Y Z -> sorted 1-grams: X X X Y Y Z
+    m = _metrics(spark, "x x x y y z")
+    assert m["total1"] == 6
+    assert m["top1"] == 3  # the X run: 3 single-char occurrences
+    assert m["dup1"] == 5  # X X X + Y Y duplicated; Z unique
+    # 2-grams: "X X","X X","X Y","Y Y","Y Z" -> dup mass = the two "X X"
+    assert m["dup2"] == 6
+    assert m["top2"] == 6
+
+
+def test_gopher_empty_and_single_token_docs(spark):
+    m = _metrics(spark, "")
+    assert all(m[k] == 0 for k in m)
+    m = _metrics(spark, "hello")
+    assert (m["total1"], m["top1"], m["dup1"]) == (5, 5, 0)
+    assert m["total2"] == 0 and m["total3"] == 0 and m["total4"] == 0
+
+
+def test_gopher_gate_rollup_counts(spark):
+    """The per-source rollup counts each doc once and n_clean is the
+    complement of the flag union (checked against a brute recount)."""
+    from tests.conftest import SF_DIR
+
+    from mapreduce_sm_spark.operators.text_analysis import gopher_quality_gate
+
+    rows = gopher_quality_gate(spark, SF_DIR).collect()
+    assert rows == sorted(rows, key=lambda r: r["source"])
+    for r in rows:
+        fails = [
+            r["n_fail_top2"],
+            r["n_fail_top3"],
+            r["n_fail_top4"],
+            r["n_fail_dup1"],
+            r["n_fail_dup2"],
+        ]
+        assert all(0 <= f <= r["n_docs"] for f in fails)
+        # clean docs fail nothing: n_clean >= n_docs - sum(fails)
+        assert r["n_clean"] >= r["n_docs"] - sum(fails)
+        assert r["n_clean"] <= r["n_docs"] - max(fails)
+    total = sum(r["n_docs"] for r in rows)
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    assert total == n
