@@ -1293,3 +1293,133 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-passage coverage (the C4 / MassiveText
+# "repeated passages" signal, Raffel et al. 2020 / Rae et al. 2021):
+# for every document, the fraction of its tokens covered by 4-grams
+# that also occur in at least one OTHER document — the cross-document
+# complement of gopher_quality_gate's within-document repetition.
+# Emits the top-40 most-covered documents (exact ppm, deterministic
+# ties on doc_id).
+#
+# Plan shape — two shuffles, zero joins: the exploded (doc, pos, gram)
+# rows are shuffled ONCE on the gram (a window partitioned by gram
+# computes min/max doc_id over the partition; min != max IS "appears in
+# >= 2 distinct docs" — no countDistinct expansion, no df-frame
+# join-back), then ONCE on doc_id where the per-doc covered-token count
+# folds the sorted position list row-locally: union of [pos, pos+3]
+# intervals = sum(min(next_pos - pos, 4)) + 4 for the last. Coverage is
+# floor(1e6 * covered / n_tokens), exact integers end to end.
+#
+# 100 TB posture: the gram shuffle is the canonical inverted-index
+# exchange (same class as dedup_ngram_jaccard's miner); per-doc state
+# is one position list bounded by document length. The window is
+# PARTITIONED by gram — bounded partitions, inside the plan tripwire.
+# ---------------------------------------------------------------------------
+
+_RPC_N = 4  # gram width
+
+_REPEATED_PASSAGE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(upper(text), '[A-Z][A-Z'']*') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens, u.r AS pos,
+         array_to_string(t[u.r : u.r + {_RPC_N - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - {_RPC_N} + 2)) AS u(r)
+  WHERE len(t) >= {_RPC_N}
+),
+rep AS (
+  SELECT doc_id, n_tokens, pos
+  FROM (SELECT doc_id, n_tokens, pos,
+               min(doc_id) OVER (PARTITION BY g) AS dmin,
+               max(doc_id) OVER (PARTITION BY g) AS dmax
+        FROM g)
+  WHERE dmin <> dmax
+),
+iv AS (
+  SELECT doc_id, n_tokens, pos,
+         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS np
+  FROM rep
+),
+cov AS (
+  SELECT doc_id, any_value(n_tokens) AS n_tokens,
+         sum(CASE WHEN np IS NULL THEN {_RPC_N}
+                  ELSE least(np - pos, {_RPC_N}) END)::BIGINT AS covered
+  FROM iv GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, covered,
+       CAST((covered * 1000000) // n_tokens AS BIGINT) AS coverage_ppm
+FROM cov
+ORDER BY coverage_ppm DESC, doc_id
+LIMIT 40
+"""
+
+
+@REGISTRY.register(
+    "repeated_passage_coverage",
+    oracle=_REPEATED_PASSAGE_ORACLE,
+    description="cross-document repeated-passage coverage: fraction of "
+    "each doc's tokens covered by 4-grams occurring in >= 2 distinct "
+    "docs (interval-union fold), top-40 by exact ppm",
+    tags=("text", "quality", "dedup", "scale"),
+)
+def repeated_passage_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from mapreduce_sm_spark.functions.text import tokenize_words
+
+    n = _RPC_N
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_words("text").alias("w")
+    )
+    ex = (
+        docs.filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_tokens"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - n + 1),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.array_join(
+                            F.slice("w", i, F.lit(n)), " "
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", "n_tokens", F.col("pg.pos"), F.col("pg.g"))
+    )
+    wg = Window.partitionBy("g")
+    rep = (
+        ex.withColumn("dmin", F.min("doc_id").over(wg))
+        .withColumn("dmax", F.max("doc_id").over(wg))
+        .filter(F.col("dmin") != F.col("dmax"))
+        .select("doc_id", "n_tokens", "pos")
+    )
+    # per-doc interval union over the sorted positions: each [pos, pos+3]
+    # contributes min(gap to the next start, 4); the last contributes 4
+    covered = F.expr(
+        f"aggregate(sequence(1, size(ps)), CAST(0 AS BIGINT), (a, i) -> "
+        f"a + IF(i < size(ps), "
+        f"least(element_at(ps, least(i + 1, size(ps))) - element_at(ps, i), "
+        f"CAST({n} AS BIGINT)), CAST({n} AS BIGINT)))"
+    )
+    return (
+        rep.groupBy("doc_id")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.sort_array(F.collect_list("pos")).alias("ps"),
+        )
+        .select("doc_id", "n_tokens", covered.alias("covered"))
+        .withColumn(
+            "coverage_ppm", F.expr("covered * 1000000 DIV n_tokens")
+        )
+        .orderBy(F.desc("coverage_ppm"), "doc_id")
+        .limit(40)
+    )

@@ -491,3 +491,18 @@ def test_gopher_gate_single_exchange(spark):
     assert "Exchange hashpartitioning(source" in plan
     assert "Generate explode" not in plan
     assert "Join" not in plan
+
+
+def test_repeated_passage_two_exchanges_no_join(spark):
+    """repeated_passage_coverage shuffles the exploded grams ONCE (the
+    gram-partitioned window replaces a countDistinct df frame + join-
+    back) and the doc rollup once; no join anywhere, and the final
+    top-40 is TakeOrdered, not a global sort."""
+    from mapreduce_sm_spark.operators.text_analysis import (
+        repeated_passage_coverage,
+    )
+
+    plan = _plan(repeated_passage_coverage(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -93,3 +93,43 @@ def test_gopher_gate_rollup_counts(spark):
         f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'"
     ).fetchone()[0]
     assert total == n
+
+
+def test_repeated_passage_interval_union(spark, tmp_path):
+    """Two docs share the passage 'A B C D E' (overlapping repeated
+    4-grams -> interval union, not double counting); a third is unique.
+    Hand-computed coverage on both sides of the overlap fold."""
+    import duckdb
+
+    from mapreduce_sm_spark.operators.text_analysis import (
+        _REPEATED_PASSAGE_ORACLE,
+        repeated_passage_coverage,
+    )
+
+    rows = [
+        (0, "src0", "a b c d e x y z"),      # 8 tokens, covered 1..5 -> 5
+        (1, "src0", "q a b c d e"),          # 6 tokens, covered 2..6 -> 5
+        (2, "src1", "u v w t u v w t u v"),  # self-repeats only: no other doc
+    ]
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(d)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered"], r["coverage_ppm"])
+        for r in repeated_passage_coverage(spark, str(tmp_path)).collect()
+    }
+    # doc0: 4-grams ABCD (pos1), BCDE (pos2) repeated in doc1 -> union
+    # [1,4] U [2,5] = 5 tokens; ppm = floor(5e6/8)
+    assert got[0] == (8, 5, 625000)
+    # doc1: same grams at pos2,3 -> 5 of 6 tokens
+    assert got[1] == (6, 5, 833333)
+    # doc2 never appears: its repeated 4-grams live only in itself
+    assert 2 not in got
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(_REPEATED_PASSAGE_ORACLE).fetchall()
+    }
+    assert oracle == got
