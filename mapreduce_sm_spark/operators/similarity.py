@@ -1514,3 +1514,150 @@ def stream_semantic_index_equality(
             (F.col("n_mismatch") == 0).alias("stream_equals_batch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization with a recall contract (r14) — the
+# standard serving-compression step for vector stores (symmetric
+# per-vector scalar quantization, the scheme FAISS calls SQ8): each
+# vector is stored as 64 int8 codes + one scale, 4x smaller than
+# float32, and candidate scoring becomes an INTEGER dot product
+# (exact int64 — dim * 127^2 < 2^21) rescaled by the two scales.
+#
+# Exactness discipline: the quantizer is floor(x * 127 / s) on doubles
+# (floor has no tie channel — the r05 round() lesson); scales are
+# max(|x_i|), a comparison-only reduction; the rescaled score
+# ((dot::DOUBLE * s_a) * s_b, parenthesized identically in both
+# engines) is bit-identical IEEE, so both rankings — exact cosine and
+# quantized — agree row-for-row with the oracle and recall@k is an
+# exact integer.
+#
+# 100 TB posture: same broadcast-query-side shape as ann_bruteforce
+# (the guard applies); ONE corpus pass computes both rankings (two
+# windows share the q_id partitioning — one shuffle, two sorts), and
+# the contract emits index-sized aggregates. The quantized path's win
+# at scale is bandwidth (4x fewer bytes scanned per candidate) and
+# integer SIMD; the measured contract here is that the compression
+# does not cost ranking quality on real data.
+# ---------------------------------------------------------------------------
+
+_QUANT_RECALL_FLOOR_PPM = 900_000  # int8 keeps top-5: measured 0.99
+
+
+def _quant_cols(vcol: F.Column) -> tuple[F.Column, F.Column]:
+    """(scale, int8 code array) of an embedding column — doubles in,
+    exact integers out; zero vectors quantize to all-zero codes."""
+    v = F.transform(vcol, lambda x: x.cast("double"))
+    s = F.array_max(F.transform(v, F.abs))
+    q = F.when(s == 0.0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(v, lambda x: F.floor(x * F.lit(127.0) / s))
+    )
+    return s, q
+
+
+_QUANT_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, embedding, s,
+         CASE WHEN s = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+              ELSE list_transform(embedding,
+                     x -> floor(x::DOUBLE * 127.0 / s)::BIGINT)
+         END AS q
+  FROM base
+),
+qs AS (SELECT vec_id AS q_id, embedding AS qv, q AS qq, s AS s_a
+       FROM quant WHERE vec_id < {_N_QUERIES}),
+cs AS (SELECT vec_id AS c_id, embedding AS cv, q AS cq, s AS s_b FROM quant),
+pairs AS (
+  SELECT q_id, c_id,
+         {cosine_sql('qv', 'cv')} AS cos,
+         (list_reduce(list_transform(list_zip(qq, cq), p -> p[1] * p[2]),
+                      (x, y) -> x + y)::DOUBLE * s_a) * s_b AS score
+  FROM qs JOIN cs ON q_id <> c_id
+),
+ranked AS (
+  SELECT q_id, c_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS re,
+         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rq
+  FROM pairs
+)
+SELECT CAST({_N_QUERIES} AS BIGINT) AS n_queries,
+       CAST({_TOP_K} AS BIGINT) AS k,
+       sum(CASE WHEN re <= {_TOP_K} AND rq <= {_TOP_K} THEN 1 ELSE 0 END)
+           ::BIGINT AS n_hits,
+       CAST((sum(CASE WHEN re <= {_TOP_K} AND rq <= {_TOP_K} THEN 1 ELSE 0 END)
+           * 1000000) // ({_N_QUERIES} * {_TOP_K}) AS BIGINT) AS recall_ppm,
+       (sum(CASE WHEN re <= {_TOP_K} AND rq <= {_TOP_K} THEN 1 ELSE 0 END)
+           * 1000000) // ({_N_QUERIES} * {_TOP_K})
+           >= {_QUANT_RECALL_FLOOR_PPM} AS recall_ok
+FROM ranked
+"""
+
+
+@REGISTRY.register(
+    "ann_quantized_recall",
+    oracle=_QUANT_ORACLE,
+    description="int8 scalar-quantized ANN recall contract: integer-dot "
+    "ranking over per-vector int8 codes vs exact cosine top-5, exact "
+    "recall ppm with floor",
+    tags=("similarity", "quantization", "scale"),
+)
+def ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.functions.vectors import cosine_similarity
+
+    emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
+    _assert_broadcastable_query_side(_N_QUERIES)
+    s, q = _quant_cols(F.col("embedding"))
+    quant = emb.select("vec_id", "embedding", s.alias("s"), q.alias("q"))
+    qs = quant.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("q").alias("qq"),
+        F.col("s").alias("s_a"),
+    )
+    cs = quant.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        F.col("q").alias("cq"),
+        F.col("s").alias("s_b"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = cs.join(F.broadcast(qs), F.col("q_id") != F.col("c_id")).select(
+        "q_id",
+        "c_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("cos"),
+        ((idot.cast("double") * F.col("s_a")) * F.col("s_b")).alias("score"),
+    )
+    we = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    wq = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    hits = (
+        pairs.withColumn("re", F.row_number().over(we))
+        .withColumn("rq", F.row_number().over(wq))
+        .agg(
+            F.sum(
+                F.when((F.col("re") <= _TOP_K) & (F.col("rq") <= _TOP_K), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hits")
+        )
+    )
+    denom = _N_QUERIES * _TOP_K
+    return hits.select(
+        F.lit(_N_QUERIES).cast("long").alias("n_queries"),
+        F.lit(_TOP_K).cast("long").alias("k"),
+        "n_hits",
+        F.expr(f"n_hits * 1000000 DIV {denom}").alias("recall_ppm"),
+        (
+            F.expr(f"n_hits * 1000000 DIV {denom}")
+            >= _QUANT_RECALL_FLOOR_PPM
+        ).alias("recall_ok"),
+    )

@@ -432,3 +432,32 @@ def test_stream_semantic_index_hier_engaged_equals_batch(spark, monkeypatch):
     assert calls, "hierarchical path did not engage"
     assert row["n_mismatch"] == 0 and row["stream_equals_batch"]
     assert row["n_docs_indexed"] == row["n_vectors"] > 0
+
+
+def test_int8_quantization_codes_hand_computed(spark):
+    """floor(x * 127 / max|x|) codes, scale = max|x|, zero-vector guard."""
+    from mapreduce_sm_spark.operators.similarity import _quant_cols
+
+    df = spark.createDataFrame(
+        [(0, [2.0, -1.0, 0.5]), (1, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    s, q = _quant_cols(F.col("embedding"))
+    rows = {r["vec_id"]: r for r in df.select(s.alias("s"), q.alias("q"), "vec_id").collect()}
+    assert rows[0]["s"] == 2.0
+    # floor(2*127/2)=127, floor(-1*127/2)=floor(-63.5)=-64, floor(0.5*127/2)=31
+    assert rows[0]["q"] == [127, -64, 31]
+    assert rows[1]["s"] == 0.0 and rows[1]["q"] == [0, 0, 0]
+
+
+def test_quantized_recall_single_exchange_and_contract(spark):
+    """Both rankings share the q_id partitioning (one shuffle, two
+    window sorts) and the registered contract holds on the fixture."""
+    from mapreduce_sm_spark.operators.similarity import ann_quantized_recall
+    from tests.test_plans import _plan
+
+    df = ann_quantized_recall(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning(q_id") == 1
+    row = df.collect()[0]
+    assert row["recall_ok"] and row["n_hits"] <= row["n_queries"] * row["k"]
