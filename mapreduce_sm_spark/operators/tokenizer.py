@@ -446,3 +446,158 @@ def bpe_dict_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_mismatch",
         (F.col("n_mismatch") == 0).alias("dict_merge_equals_rebuild"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMED dictionary maintenance (r14) — the tokenizer leg of the
+# index-maintenance triple (lexical band index: stream_minhash_index_
+# equality; semantic cells: stream_semantic_index_equality; and now the
+# BPE word dictionary). bpe_dict_compaction proves the batch merge law;
+# this proves the dictionary can be maintained CONTINUOUSLY: arriving
+# document batches flow through an Arrow-batched partial word count
+# (mapInPandas — stateless, so the append-mode exactly-once file sink
+# applies; a streaming groupBy would demand update mode and lose the
+# manifest-committed store), the sink accumulates (w, freq) PARTIALS,
+# and compaction is the partial-aggregate merge groupBy(w).sum(freq).
+# Partial boundaries follow Arrow batch boundaries — explicitly NOT
+# deterministic — but the compacted totals are boundary-invariant (freq
+# sums are a commutative monoid), which is exactly the law under audit:
+# compact(stream partials) == from-scratch dictionary, exact per-word
+# full-outer comparison, plus the engine-portable digest.
+#
+# 100 TB posture: per-micro-batch work is tokenize + hash-count within
+# each Arrow batch (no stream-side shuffle, no state store); the store
+# grows by the per-batch DISTINCT-word count, not the token count, and
+# any reader compacts lazily. The Python tokenizer is pinned equal to
+# the Spark column tokenizer (tests/test_properties.py); the digest
+# oracle is the same theorem row bpe_dict_compaction uses.
+# ---------------------------------------------------------------------------
+
+_STREAM_DICT_ORACLE = f"""
+WITH words AS (
+  SELECT w, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(regexp_extract_all(upper(text), '{WORD_TOKEN_RE_SQL}')) AS w
+        FROM documents)
+  GROUP BY w
+)
+SELECT count(*)::BIGINT AS n_words,
+       sum(freq)::BIGINT AS total_freq,
+       (sum(freq::HUGEINT * ({hash60_sql("w")} % {_DICT_MOD}))
+        % {_DICT_SUM_MOD})::BIGINT AS sum_whash_mod,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       true AS stream_equals_batch
+FROM words
+"""
+
+
+def _count_words_arrow(batches):
+    """mapInPandas kernel: (w, freq) partial counts per Arrow batch.
+    The regex replays tokenize_words exactly (pinned equal in
+    tests/test_properties.py)."""
+    import re
+
+    import pandas as pd
+
+    pat = re.compile(r"[A-Z][A-Z']*")
+    for pdf in batches:
+        counts: dict[str, int] = {}
+        for t in pdf["text"]:
+            if t is None:
+                continue
+            for w in pat.findall(t.upper()):
+                counts[w] = counts.get(w, 0) + 1
+        yield pd.DataFrame(
+            {"w": list(counts.keys()), "freq": list(counts.values())}
+        )
+
+
+@REGISTRY.register(
+    "stream_bpe_dict_equality",
+    oracle=_STREAM_DICT_ORACLE,
+    description="streamed tokenizer-dictionary maintenance: Arrow-batch "
+    "partial word counts through the exactly-once file sink, compacted "
+    "== from-scratch dictionary (exact per-word audit + digest)",
+    tags=("streaming", "text", "tokenizer", "incremental", "persist"),
+)
+def stream_bpe_dict_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from mapreduce_sm_spark.streaming.sketch_stream import (
+        documents_text_stream,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("text")
+    base = tempfile.mkdtemp(prefix="bpe_dict_stream_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    feed_dir, sink, ckpt = (
+        _os.path.join(base, "documents.parquet"),
+        _os.path.join(base, "dict"),
+        _os.path.join(base, "ckpt"),
+    )
+    # 8 part files consumed 2 per trigger => 4 separate sink commits
+    docs.repartition(8).write.mode("overwrite").parquet(feed_dir)
+    stream = documents_text_stream(
+        spark, base, glob="documents.parquet", max_files_per_trigger=2
+    )
+    q = (
+        stream.mapInPandas(_count_words_arrow, "w string, freq long")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):  # loud, never a silent prefix
+        q.stop()
+        raise RuntimeError(
+            "stream_bpe_dict_equality: stream did not finish in 120s"
+        )
+    try:
+        partials = spark.read.parquet(sink)
+    except AnalysisException as e:
+        if (e.getCondition() or "") not in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
+            raise
+        partials = spark.createDataFrame([], "w string, freq long")
+    compacted = partials.groupBy("w").agg(F.sum("freq").alias("freq"))
+    rebuild = _word_dict(table(spark, sf_dir, "documents").select("text"))
+    zero = F.lit(0).cast("long")
+    mism = (
+        compacted.select("w", F.col("freq").alias("fa"))
+        .join(rebuild.select("w", F.col("freq").alias("fb")), "w", "full_outer")
+        .select(
+            F.when(F.coalesce("fa", zero) != F.coalesce("fb", zero), 1)
+            .otherwise(0)
+            .alias("bad")
+        )
+        .agg(F.coalesce(F.sum("bad"), zero).cast("long").alias("n_mismatch"))
+    )
+    dig = compacted.agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.coalesce(F.sum("freq"), zero).cast("long").alias("total_freq"),
+        F.coalesce(
+            (
+                F.sum(
+                    F.col("freq").cast("decimal(38,0)")
+                    * (hash60(F.col("w")) % _DICT_MOD)
+                )
+                % F.lit(_DICT_SUM_MOD)
+            ).cast("long"),
+            zero,
+        ).alias("sum_whash_mod"),
+    )
+    return dig.crossJoin(F.broadcast(mism)).select(
+        "n_words",
+        "total_freq",
+        "sum_whash_mod",
+        "n_mismatch",
+        (F.col("n_mismatch") == 0).alias("stream_equals_batch"),
+    )

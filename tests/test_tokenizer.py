@@ -244,3 +244,57 @@ def test_dict_compaction_law_holds(spark):
     ).collect()[0]
     assert row["n_mismatch"] == 0 and row["dict_merge_equals_rebuild"]
     assert row["n_words"] > 0 and row["total_freq"] >= row["n_words"]
+
+
+def test_stream_bpe_dict_commits_multiple_appends(spark, tmp_path, monkeypatch):
+    """The streamed dictionary really lands as MULTIPLE exactly-once
+    commits (the law is about partial-merge across appends, so a
+    single-commit run would vacuously pass), and the python Arrow
+    kernel's tokenizer matches the column tokenizer on adversarial
+    text (apostrophes, digits, mixed case)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from mapreduce_sm_spark.operators.tokenizer import (
+        _count_words_arrow,
+        stream_bpe_dict_equality,
+    )
+
+    made: list[str] = []
+    real_mkdtemp = tempfile.mkdtemp
+
+    def spy(*a, **kw):
+        d = real_mkdtemp(*a, **kw)
+        if kw.get("prefix", "").startswith("bpe_dict_stream_"):
+            made.append(d)
+        return d
+
+    monkeypatch.setattr(tempfile, "mkdtemp", spy)
+    row = stream_bpe_dict_equality(spark, SF_DIR).collect()[0]
+    assert row["n_mismatch"] == 0 and row["stream_equals_batch"]
+    assert row["n_words"] > 0 and row["total_freq"] >= row["n_words"]
+    (base,) = made
+    commits = [
+        f
+        for f in os.listdir(os.path.join(base, "dict", "_spark_metadata"))
+        if f.isdigit() or f.split(".")[0].isdigit()
+    ]
+    assert len(commits) >= 2, commits
+
+    texts = ["it's O'Neil's 2nd try", "", None, "DON'T don't Don't"]
+    out = pd.concat(list(_count_words_arrow([pd.DataFrame({"text": texts})])))
+    got = dict(zip(out["w"], out["freq"]))
+    spark_counts = {
+        r["w"]: r["freq"]
+        for r in spark.createDataFrame(
+            [(t,) for t in texts], "text string"
+        )
+        .select(F.explode(F.expr("regexp_extract_all(upper(text), \"[A-Z][A-Z']*\", 0)")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    }
+    assert got == spark_counts
+    assert got["DON'T"] == 3  # upper() folds the case variants together
