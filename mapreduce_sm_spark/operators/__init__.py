@@ -54,7 +54,7 @@ from mapreduce_sm_spark.registry import REGISTRY
 # 50 entries of queries(). Entering this round the staleness histogram of
 # freshest driver rows (CORRECTNESS_r01..r13 union) was 37 x r09,
 # 50 x r11, 50 x r12, 50 x r13, plus 7 never-seen (the operators added
-# after the r13 window froze). Composition (7 + 37 + 6 = 50):
+# after the r13 window froze). Composition (7 + 37 + 4 + 2 = 50):
 # (1) the 7 queries registered late in r13, never driver-seen — the
 #     promised first obligation of this round (VERDICT r13 item 1):
 #     the BPE tokenizer-induction trio (bpe_vocab_merges,
@@ -68,12 +68,13 @@ from mapreduce_sm_spark.registry import REGISTRY
 #     the q1/q3/q5/q10/q11/q15/q17(q18) TPC-H spine, the bloom pair,
 #     KMV, grouping-sets/cube/pivot, outer/anti/semi joins, the
 #     CSV/ORC roundtrips, and the sampling family.
-# (3) the remaining 6 slots go to the riskiest-oracle r11 rows: the
-#     PageRank kernel (deep iterative DAG), the persisted-MinHash and
-#     incremental-agg maintenance laws (multi-stage write/read state),
-#     the embedding-pair deep DAG, the SCD2 point-in-time join, and the
-#     streamed-quantile equality twin.
-# Still out after this round: the 44 remaining r11 rows + the r12/r13
+# (3) the 4 queries NEW this round (gopher_quality_gate,
+#     repeated_passage_coverage, ann_quantized_recall,
+#     stream_bpe_dict_equality) — fronted the round they are registered
+#     so the r13 never-driver-seen debt does not repeat — plus the 2
+#     riskiest-oracle r11 rows (the PageRank deep iterative DAG and the
+#     persisted-MinHash multi-stage write/read law).
+# Still out after this round: the 48 remaining r11 rows + the r12/r13
 # cohorts — all covered every pytest run by tests/test_oracle_parity.py
 # (sf0.001) and by the sf0.01 pandas-path local gate; the r11 remnant
 # fronts in r15.
@@ -125,12 +126,12 @@ REGISTRY.set_front(
         "q5_local_supplier_volume",
         "recursive_month_spine",
         "stratified_sample_quota",
-        # --- (3) 6 riskiest-oracle r11 rows ---
+        # --- (3) the 4 new-this-round queries + 2 riskiest-oracle r11 ---
+        "gopher_quality_gate",
+        "repeated_passage_coverage",
+        "ann_quantized_recall",
+        "stream_bpe_dict_equality",
         "pagerank_supply_graph",
         "dedup_minhash_persisted",
-        "incremental_agg_maintenance",
-        "embedding_similar_pairs",
-        "scd2_point_in_time_join",
-        "stream_quantile_equality",
     )
 )
