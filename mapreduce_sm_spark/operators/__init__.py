@@ -68,12 +68,12 @@ from mapreduce_sm_spark.registry import REGISTRY
 #     the q1/q3/q5/q10/q11/q15/q17(q18) TPC-H spine, the bloom pair,
 #     KMV, grouping-sets/cube/pivot, outer/anti/semi joins, the
 #     CSV/ORC roundtrips, and the sampling family.
-# (3) the 4 queries NEW this round (gopher_quality_gate,
+# (3) the 5 queries NEW this round (gopher_quality_gate,
 #     repeated_passage_coverage, ann_quantized_recall,
-#     stream_bpe_dict_equality) — fronted the round they are registered
-#     so the r13 never-driver-seen debt does not repeat — plus the 2
-#     riskiest-oracle r11 rows (the PageRank deep iterative DAG and the
-#     persisted-MinHash multi-stage write/read law).
+#     stream_bpe_dict_equality, bpe_fertility_stats) — fronted the round
+#     they are registered so the r13 never-driver-seen debt does not
+#     repeat — plus the riskiest-oracle r11 row (the PageRank deep
+#     iterative DAG).
 # Still out after this round: the 48 remaining r11 rows + the r12/r13
 # cohorts — all covered every pytest run by tests/test_oracle_parity.py
 # (sf0.001) and by the sf0.01 pandas-path local gate; the r11 remnant
@@ -126,12 +126,12 @@ REGISTRY.set_front(
         "q5_local_supplier_volume",
         "recursive_month_spine",
         "stratified_sample_quota",
-        # --- (3) the 4 new-this-round queries + 2 riskiest-oracle r11 ---
+        # --- (3) the 5 new-this-round queries + riskiest-oracle r11 ---
         "gopher_quality_gate",
         "repeated_passage_coverage",
         "ann_quantized_recall",
         "stream_bpe_dict_equality",
+        "bpe_fertility_stats",
         "pagerank_supply_graph",
-        "dedup_minhash_persisted",
     )
 )

@@ -77,11 +77,17 @@ best{i} AS (
   SELECT s1, s2, cnt FROM p{i} ORDER BY cnt DESC, s1, s2 LIMIT 1
 ),
 seq{i} AS (
-  SELECT list_reduce(str_split(q.syms, ' '), (a, x) ->
-           CASE WHEN (a = b.s1 OR a LIKE '% ' || b.s1) AND x = b.s2
-                THEN a || b.s2 ELSE a || ' ' || x END) AS syms,
+  -- LEFT JOIN ON true: when the merge supply runs dry (best{i} empty —
+  -- a corpus with < n_merges distinct pairs) the fold degrades to the
+  -- identity, matching the Spark loop's early break; a cross join would
+  -- annihilate the dictionary instead
+  SELECT CASE WHEN b.s1 IS NULL THEN q.syms
+              ELSE list_reduce(str_split(q.syms, ' '), (a, x) ->
+                     CASE WHEN (a = b.s1 OR a LIKE '% ' || b.s1) AND x = b.s2
+                          THEN a || b.s2 ELSE a || ' ' || x END)
+         END AS syms,
          q.freq
-  FROM seq{prev} q, best{i} b
+  FROM seq{prev} q LEFT JOIN best{i} b ON true
 )"""
 
 
@@ -601,3 +607,99 @@ def stream_bpe_dict_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_mismatch",
         (F.col("n_mismatch") == 0).alias("stream_equals_batch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility / compression stats (r14) — the standard
+# tokenizer-evaluation metrics over the learned vocabulary: average
+# subword tokens emitted per word occurrence (fertility) and average
+# characters per emitted token (compression), corpus-frequency
+# weighted. Both are exact integer ppm via wide-integer
+# cross-multiplication (the occurrence-weighted sums reach ~6e19 at the
+# module's 100 TB posture, past int64 — same DECIMAL(38,0)/HUGEINT
+# discipline as the dictionary digest). The oracle replays the full
+# merge-fold CTE chain, so the metric is value-checked end to end
+# against an independently segmented dictionary.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_fertility_oracle(n_merges: int) -> str:
+    base = _bpe_oracle(n_merges)
+    with_block = base[: base.rindex("\nSELECT * FROM (")]
+    return (
+        with_block
+        + f""",
+per_word AS (
+  SELECT freq,
+         len(str_split(syms, ' '))::BIGINT AS n_sub,
+         length(replace(syms, ' ', ''))::BIGINT AS n_chars
+  FROM seq{n_merges}
+)
+SELECT count(*)::BIGINT AS n_words,
+       sum(freq)::BIGINT AS total_word_occurrences,
+       sum(freq * n_sub)::BIGINT AS total_subword_tokens,
+       sum(freq * n_chars)::BIGINT AS total_chars,
+       ((sum(freq * n_sub)::HUGEINT * 1000000)
+            // sum(freq)::HUGEINT)::BIGINT AS fertility_ppm,
+       ((sum(freq * n_chars)::HUGEINT * 1000000)
+            // sum(freq * n_sub)::HUGEINT)::BIGINT AS chars_per_token_ppm
+FROM per_word
+"""
+    )
+
+
+@REGISTRY.register(
+    "bpe_fertility_stats",
+    oracle=_bpe_fertility_oracle(N_MERGES),
+    description="tokenizer fertility/compression under the learned BPE "
+    "vocabulary: subword tokens per word occurrence and chars per "
+    "token, exact frequency-weighted ppm",
+    tags=("text", "tokenizer", "iterative"),
+)
+def bpe_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, seq = _bpe_learn(spark, sf_dir, apply_last=True)
+    assert seq is not None
+    try:
+        per_word = seq.select(
+            "freq",
+            F.size(F.split(F.col("syms"), " ")).cast("long").alias("n_sub"),
+            F.length(F.replace(F.col("syms"), F.lit(" "), F.lit("")))
+            .cast("long")
+            .alias("n_chars"),
+        )
+        dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+        out = per_word.agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("total_word_occurrences"),
+            F.sum(F.col("freq") * F.col("n_sub"))
+            .cast("long")
+            .alias("total_subword_tokens"),
+            F.sum(F.col("freq") * F.col("n_chars"))
+            .cast("long")
+            .alias("total_chars"),
+        ).select(
+            "n_words",
+            "total_word_occurrences",
+            "total_subword_tokens",
+            "total_chars",
+            (dec("total_subword_tokens") * 1000000)
+            .cast("decimal(38,0)")
+            .alias("_a"),
+            (dec("total_chars") * 1000000).cast("decimal(38,0)").alias("_b"),
+        )
+        out = out.select(
+            "n_words",
+            "total_word_occurrences",
+            "total_subword_tokens",
+            "total_chars",
+            F.expr("CAST(_a div total_word_occurrences AS BIGINT)").alias(
+                "fertility_ppm"
+            ),
+            F.expr("CAST(_b div total_subword_tokens AS BIGINT)").alias(
+                "chars_per_token_ppm"
+            ),
+        )
+        rows = out.collect()
+    finally:
+        seq.unpersist()
+    return spark.createDataFrame(rows, out.schema)

@@ -298,3 +298,33 @@ def test_stream_bpe_dict_commits_multiple_appends(spark, tmp_path, monkeypatch):
     }
     assert got == spark_counts
     assert got["DON'T"] == 3  # upper() folds the case variants together
+
+
+def test_bpe_fertility_hand_computed(spark, tmp_path):
+    """Fertility/compression on a corpus tiny enough to trace by hand:
+    'aa aa b' -> dict {AA: 2, B: 1}; the first (and only effective)
+    merge fuses (A, A), so AA segments to one 2-char token and B to one
+    1-char token. fertility = 3 tokens / 3 occurrences = 1.0;
+    chars/token = 5/3."""
+    import duckdb
+
+    from mapreduce_sm_spark.operators.tokenizer import (
+        _bpe_fertility_oracle,
+        bpe_fertility_stats,
+        N_MERGES,
+    )
+
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(0, "s", "aa aa b")], "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(d)
+    row = bpe_fertility_stats(spark, str(tmp_path)).collect()[0]
+    assert row["n_words"] == 2
+    assert row["total_word_occurrences"] == 3
+    assert row["total_subword_tokens"] == 3
+    assert row["total_chars"] == 5
+    assert row["fertility_ppm"] == 1_000_000
+    assert row["chars_per_token_ppm"] == 1_666_666
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    assert con.sql(_bpe_fertility_oracle(N_MERGES)).fetchall()[0] == tuple(row)
