@@ -54,7 +54,7 @@ from mapreduce_sm_spark.registry import REGISTRY
 # 50 entries of queries(). Entering this round the staleness histogram of
 # freshest driver rows (CORRECTNESS_r01..r13 union) was 37 x r09,
 # 50 x r11, 50 x r12, 50 x r13, plus 7 never-seen (the operators added
-# after the r13 window froze). Composition (7 + 37 + 4 + 2 = 50):
+# after the r13 window froze). Composition (7 + 37 + 6 = 50):
 # (1) the 7 queries registered late in r13, never driver-seen — the
 #     promised first obligation of this round (VERDICT r13 item 1):
 #     the BPE tokenizer-induction trio (bpe_vocab_merges,
@@ -68,12 +68,11 @@ from mapreduce_sm_spark.registry import REGISTRY
 #     the q1/q3/q5/q10/q11/q15/q17(q18) TPC-H spine, the bloom pair,
 #     KMV, grouping-sets/cube/pivot, outer/anti/semi joins, the
 #     CSV/ORC roundtrips, and the sampling family.
-# (3) the 5 queries NEW this round (gopher_quality_gate,
+# (3) the 6 queries NEW this round (gopher_quality_gate,
 #     repeated_passage_coverage, ann_quantized_recall,
-#     stream_bpe_dict_equality, bpe_fertility_stats) — fronted the round
-#     they are registered so the r13 never-driver-seen debt does not
-#     repeat — plus the riskiest-oracle r11 row (the PageRank deep
-#     iterative DAG).
+#     stream_bpe_dict_equality, bpe_fertility_stats,
+#     fuzzy_decontamination_split) — fronted the round they are
+#     registered so the r13 never-driver-seen debt does not repeat.
 # Still out after this round: the 48 remaining r11 rows + the r12/r13
 # cohorts — all covered every pytest run by tests/test_oracle_parity.py
 # (sf0.001) and by the sf0.01 pandas-path local gate; the r11 remnant
@@ -126,12 +125,12 @@ REGISTRY.set_front(
         "q5_local_supplier_volume",
         "recursive_month_spine",
         "stratified_sample_quota",
-        # --- (3) the 5 new-this-round queries + riskiest-oracle r11 ---
+        # --- (3) the 6 new-this-round queries ---
         "gopher_quality_gate",
         "repeated_passage_coverage",
         "ann_quantized_recall",
         "stream_bpe_dict_equality",
         "bpe_fertility_stats",
-        "pagerank_supply_graph",
+        "fuzzy_decontamination_split",
     )
 )

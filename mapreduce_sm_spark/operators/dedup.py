@@ -1801,3 +1801,117 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.col("dist").cast("long").alias("dist"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy decontamination split (r14) — the eval-leakage guard every
+# pretraining pipeline runs before training: pick the held-out eval set
+# (deterministically: doc_id % 10 == 0), then EXCLUDE from the training
+# split every document that is a near-duplicate CANDIDATE of any eval
+# document — sharing at least one MinHash LSH band bucket, the same
+# banding the dedup family uses (exact-dup decontamination misses
+# paraphrased leaks; benchmark_contamination covers the n-gram overlap
+# angle; this is the similarity angle). Conservative by design: band
+# candidacy (not verified Jaccard) decides exclusion, because a false
+# exclusion costs one training doc while a false keep leaks eval data.
+#
+# Plan shape: signatures and band rows are ROW-LOCAL (the stored-index
+# affordance of _band_rows); the only corpus-scale exchanges are the
+# band-bucket semi join (train bands probed against the distinct eval
+# band keys — the asymmetric index-probe shape of the incremental
+# dedup) and the final source rollup. At 100 TB the eval side is ~10%
+# of the corpus reduced to DISTINCT band keys, and the semi join never
+# materializes pairs.
+# ---------------------------------------------------------------------------
+
+_DECON_CTES = _MINHASH_CTES[: _MINHASH_CTES.rindex(", cand AS (")]
+
+_DECON_ORACLE = f"""
+WITH {_DECON_CTES},
+test AS (
+  SELECT DISTINCT band_idx, bh FROM bands WHERE doc_id % 10 = 0
+),
+leaky AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands b JOIN test USING (band_idx, bh)
+  WHERE b.doc_id % 10 <> 0
+),
+flagged AS (
+  SELECT d.source, d.doc_id, d.n_chars,
+         (d.doc_id % 10 = 0) AS ev,
+         (l.doc_id IS NOT NULL) AS lk
+  FROM documents d LEFT JOIN leaky l USING (doc_id)
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS n_eval,
+       sum(CASE WHEN NOT ev THEN 1 ELSE 0 END)::BIGINT AS n_train,
+       sum(CASE WHEN NOT ev AND lk THEN 1 ELSE 0 END)::BIGINT
+           AS n_train_excluded,
+       sum(CASE WHEN NOT ev AND NOT lk THEN 1 ELSE 0 END)::BIGINT
+           AS n_train_kept,
+       sum(CASE WHEN NOT ev AND NOT lk THEN n_chars ELSE 0 END)::BIGINT
+           AS chars_train_kept
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@REGISTRY.register(
+    "fuzzy_decontamination_split",
+    oracle=_DECON_ORACLE,
+    description="eval-leakage guard: train/eval split where any train "
+    "doc sharing a MinHash LSH band bucket with an eval doc is "
+    "excluded, per-source yield report",
+    tags=("dedup", "lsh", "sampling", "quality", "scale"),
+)
+def fuzzy_decontamination_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(char_shingles("text", _JACCARD_K)),
+            lambda s: hash60(s),
+        ).alias("h60"),
+    )
+    bands = _band_rows(_minhash_sigs(docs))
+    eval_keys = (
+        bands.filter(F.col("doc_id") % 10 == 0)
+        .select("band_idx", "bh")
+        .distinct()
+    )
+    leaky = (
+        bands.filter(F.col("doc_id") % 10 != 0)
+        .join(eval_keys, ["band_idx", "bh"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("lk", F.lit(True))
+    )
+    attrs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    flagged = attrs.join(leaky, "doc_id", "left").select(
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("doc_id") % 10 == 0).alias("ev"),
+        F.coalesce("lk", F.lit(False)).alias("lk"),
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            one(F.col("ev")).alias("n_eval"),
+            one(~F.col("ev")).alias("n_train"),
+            one(~F.col("ev") & F.col("lk")).alias("n_train_excluded"),
+            one(~F.col("ev") & ~F.col("lk")).alias("n_train_kept"),
+            F.sum(
+                F.when(~F.col("ev") & ~F.col("lk"), F.col("n_chars")).otherwise(0)
+            )
+            .cast("long")
+            .alias("chars_train_kept"),
+        )
+        .orderBy("source")
+    )

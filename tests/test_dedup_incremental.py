@@ -123,3 +123,40 @@ def test_compaction_merge_never_reshingles_old_corpus(spark):
     assert len(text_scans) == 1, plan
     # the delta restriction survives into the physical plan
     assert "new_min" in plan
+
+
+def test_decontamination_excludes_planted_near_duplicate(spark, tmp_path):
+    """Plant a near-verbatim copy of an EVAL doc (doc_id % 10 == 0) into
+    the train split; the band probe must exclude it while an unrelated
+    train doc survives. Counts cross-checked against the oracle."""
+    import duckdb
+
+    from mapreduce_sm_spark.operators.dedup import (
+        _DECON_ORACLE,
+        fuzzy_decontamination_split,
+    )
+
+    eval_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (10, "sA", eval_text, len(eval_text)),                 # eval (10%10==0)
+        (11, "sA", eval_text + " extra", len(eval_text) + 6),  # leaky train
+        (12, "sB", "completely different content about spark engines and parquet files", 68),
+    ]
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    ).coalesce(1).write.parquet(d)
+    got = {
+        r["source"]: r.asDict()
+        for r in fuzzy_decontamination_split(spark, str(tmp_path)).collect()
+    }
+    assert got["sA"]["n_eval"] == 1
+    assert got["sA"]["n_train_excluded"] == 1  # the planted near-dup
+    assert got["sA"]["n_train_kept"] == 0
+    assert got["sB"]["n_train_kept"] == 1 and got["sB"]["n_train_excluded"] == 0
+    assert got["sB"]["chars_train_kept"] == 68
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    oracle = {r[0]: r for r in con.sql(_DECON_ORACLE).fetchall()}
+    for src, r in got.items():
+        assert oracle[src] == tuple(r.values())
