@@ -506,3 +506,75 @@ def test_repeated_passage_two_exchanges_no_join(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_unbounded_cartesian_product(spark):
+    """Generic tripwire (r14): a cross join that is NOT against a
+    bounded side plans as CartesianProduct/Join Cross over two unbounded
+    subtrees — the canonical scale killer. Walk every registered batch
+    query's optimized logical plan and assert every Cross-type Join has
+    at least one BOUNDED side (aggregate / limit / local relation — the
+    1-row scalar frames and <=K centroid frames the codebase broadcasts).
+    Streaming queries excluded as in the window tripwire."""
+    from mapreduce_sm_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+
+    bounded_gate = {"Aggregate", "GlobalLimit", "LocalLimit", "Limit",
+                    "Deduplicate"}
+    leaf_ok = {"LocalRelation", "OneRowRelation"}
+
+    def children(n):
+        ch = n.children()
+        return [ch.apply(i) for i in range(ch.length())]
+
+    def cls(n):
+        return n.getClass().getSimpleName()
+
+    def bounded(n):
+        c = cls(n)
+        if c in bounded_gate:
+            return True
+        kids = children(n)
+        if not kids:
+            return c in leaf_ok
+        return all(bounded(k) for k in kids)
+
+    def walk(n):
+        yield n
+        for k in children(n):
+            yield from walk(k)
+
+    # Hand-audited sites the SYNTACTIC gate cannot prove bounded — each
+    # cross side is bounded by construction, not by node type:
+    #   ann_ivf_recall_check — both sides are rank<=K windows over <=20
+    #     broadcast query vectors (<=100 rows each; the recall-contract
+    #     comparison of two top-k frames);
+    #   bloom_reuse_prune_orders — the reloaded bloom filter is a 1-ROW
+    #     stored parquet table (self-describing geometry + map), which
+    #     scans as an unbounded-looking LogicalRelation;
+    #   quantile_sketch_order_price — the bottom-k synopsis is h%32
+    #     shards x k rank-limited rows (<=32k rows), rank filters over a
+    #     fixed shard count.
+    # Any OTHER query planning a both-sides-unbounded cross join fails.
+    audited = {
+        "ann_ivf_recall_check",
+        "bloom_reuse_prune_orders",
+        "quantile_sketch_order_price",
+    }
+    offenders, n_cross = [], 0
+    for name, q in REGISTRY._queries.items():
+        if name.startswith("stream_"):
+            continue
+        plan = q.fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan()
+        for node in walk(plan):
+            if cls(node) == "Join" and "Cross" in str(node.joinType()):
+                n_cross += 1
+                kids = children(node)
+                if not (bounded(kids[0]) or bounded(kids[1])):
+                    if name not in audited:
+                        offenders.append(name)
+    assert not offenders, f"unbounded cartesian products in: {offenders}"
+    # the walker must actually SEE the known cross-join sites (scalar
+    # 1-row aggregates, centroid frames) — zero means the API drifted
+    assert n_cross >= 5, n_cross
