@@ -1915,3 +1915,69 @@ def fuzzy_decontamination_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (r14) — crawl-overlap diagnostics:
+# which SOURCES near-duplicate each other. Two crawls of the same site,
+# a mirror, or a dataset vendored into another show up as hot
+# (source_a, source_b) cells long before per-document inspection would
+# find them; the per-source mixture weights (sampling.py) are only
+# meaningful if sources are actually distinct populations. Rolls the
+# verified near-dup pairs (banded MinHash candidates, exact-Jaccard
+# gate — the dedup_minhash relation) up to canonically-ordered source
+# pairs with exact pair counts and the max observed Jaccard.
+#
+# 100 TB posture: everything corpus-scale is inherited from
+# _minhash_verified_pairs (measured at the x100 decade, SCALING.md
+# r10); this adds two doc-keyed broadcast-able attribute joins and a
+# source-pair-sized rollup.
+# ---------------------------------------------------------------------------
+
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH {_MINHASH_CTES},
+pairs AS (
+{_MINHASH_PAIRS_SELECT}
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*)::BIGINT AS n_pairs,
+       max(jaccard_pm4)::BIGINT AS max_jaccard_pm4
+FROM pairs
+JOIN documents da ON pairs.doc_a = da.doc_id
+JOIN documents db ON pairs.doc_b = db.doc_id
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
+@REGISTRY.register(
+    "source_overlap_matrix",
+    oracle=_SOURCE_OVERLAP_ORACLE,
+    description="cross-source duplication matrix: verified near-dup "
+    "pairs rolled up to canonical source pairs (crawl-overlap "
+    "diagnostics), exact counts + max Jaccard pm4",
+    tags=("dedup", "lsh", "quality", "scale"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_verified_pairs(
+        spark, sf_dir, tag="dedup.source_overlap_docs"
+    )
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard_pm4",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.max("jaccard_pm4").cast("long").alias("max_jaccard_pm4"),
+        )
+        .orderBy("source_a", "source_b")
+    )
