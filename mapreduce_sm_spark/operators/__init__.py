@@ -77,8 +77,8 @@ from mapreduce_sm_spark.registry import REGISTRY
 # cohorts — all covered every pytest run by tests/test_oracle_parity.py
 # (sf0.001) and by the sf0.01 pandas-path local gate; the r11 remnant
 # fronts in r15, TOGETHER WITH any r14 registration landed after this
-# window filled (source_overlap_matrix — the r09 remnant is mandatory
-# this round, so it takes the first r15 slot instead).
+# window filled (source_overlap_matrix, repeated_passage_prune — the r09 remnant is
+# mandatory this round, so they take the first r15 slots instead).
 REGISTRY.set_front(
     (
         # --- (1) the 7 late-r13 registrations, never driver-seen ---

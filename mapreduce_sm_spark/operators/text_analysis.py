@@ -1423,3 +1423,146 @@ def repeated_passage_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("coverage_ppm"), "doc_id")
         .limit(40)
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-passage prune yield (r14) — the TRANSFORM accounting for the
+# C4-style cross-document passage removal: if every token covered by a
+# cross-document repeated 4-gram were dropped (the coverage relation of
+# repeated_passage_coverage), what survives per source? Reports exact
+# token yields and the docs the prune would empty or halve — the
+# numbers a pipeline operator looks at before enabling the transform.
+# Same two-shuffle / zero-join plan as the coverage query, with the
+# source carried through the gram window so the rollup needs no
+# attribute join-back.
+# ---------------------------------------------------------------------------
+
+_RPP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(upper(text), '[A-Z][A-Z'']*') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source, len(t)::BIGINT AS n_tokens, u.r AS pos,
+         array_to_string(t[u.r : u.r + {_RPC_N - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - {_RPC_N} + 2)) AS u(r)
+  WHERE len(t) >= {_RPC_N}
+),
+rep AS (
+  SELECT doc_id, source, n_tokens, pos
+  FROM (SELECT doc_id, source, n_tokens, pos,
+               min(doc_id) OVER (PARTITION BY g) AS dmin,
+               max(doc_id) OVER (PARTITION BY g) AS dmax
+        FROM g)
+  WHERE dmin <> dmax
+),
+iv AS (
+  SELECT doc_id, source, n_tokens, pos,
+         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS np
+  FROM rep
+),
+cov AS (
+  SELECT doc_id, any_value(source) AS source,
+         any_value(n_tokens) AS n_tokens,
+         sum(CASE WHEN np IS NULL THEN {_RPC_N}
+                  ELSE least(np - pos, {_RPC_N}) END)::BIGINT AS covered
+  FROM iv GROUP BY doc_id
+),
+per_doc AS (
+  SELECT d.source,
+         len(regexp_extract_all(upper(d.text), '[A-Z][A-Z'']*'))::BIGINT
+             AS n_tokens,
+         coalesce(c.covered, 0)::BIGINT AS covered
+  FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS tokens_in,
+       sum(n_tokens - covered)::BIGINT AS tokens_out,
+       sum(CASE WHEN covered = n_tokens AND n_tokens > 0 THEN 1 ELSE 0 END)
+           ::BIGINT AS docs_emptied,
+       sum(CASE WHEN 2 * covered > n_tokens THEN 1 ELSE 0 END)::BIGINT
+           AS docs_halved
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@REGISTRY.register(
+    "repeated_passage_prune",
+    oracle=_RPP_ORACLE,
+    description="C4-style passage-removal yield: exact per-source token "
+    "counts before/after dropping tokens covered by cross-doc repeated "
+    "4-grams, plus docs the prune empties or halves",
+    tags=("text", "quality", "dedup", "scale"),
+)
+def repeated_passage_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from mapreduce_sm_spark.functions.text import tokenize_words
+
+    n = _RPC_N
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokenize_words("text").alias("w")
+    )
+    base = docs.select(
+        "doc_id", "source", F.size("w").cast("long").alias("n_tokens")
+    )
+    ex = (
+        docs.filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            "source",
+            F.size("w").cast("long").alias("n_tokens"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - n + 1),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.array_join(F.slice("w", i, F.lit(n)), " ").alias("g"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", "source", "n_tokens", F.col("pg.pos"), F.col("pg.g"))
+    )
+    wg = Window.partitionBy("g")
+    rep = (
+        ex.withColumn("dmin", F.min("doc_id").over(wg))
+        .withColumn("dmax", F.max("doc_id").over(wg))
+        .filter(F.col("dmin") != F.col("dmax"))
+        .select("doc_id", "pos")
+    )
+    covered = F.expr(
+        f"aggregate(sequence(1, size(ps)), CAST(0 AS BIGINT), (a, i) -> "
+        f"a + IF(i < size(ps), "
+        f"least(element_at(ps, least(i + 1, size(ps))) - element_at(ps, i), "
+        f"CAST({n} AS BIGINT)), CAST({n} AS BIGINT)))"
+    )
+    cov = (
+        rep.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+        .select("doc_id", covered.alias("covered"))
+    )
+    per_doc = base.join(cov, "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        F.coalesce("covered", F.lit(0).cast("long")).alias("covered"),
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_in"),
+            F.sum(F.col("n_tokens") - F.col("covered"))
+            .cast("long")
+            .alias("tokens_out"),
+            one(
+                (F.col("covered") == F.col("n_tokens")) & (F.col("n_tokens") > 0)
+            ).alias("docs_emptied"),
+            one(2 * F.col("covered") > F.col("n_tokens")).alias("docs_halved"),
+        )
+        .orderBy("source")
+    )
