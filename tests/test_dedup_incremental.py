@@ -160,3 +160,24 @@ def test_decontamination_excludes_planted_near_duplicate(spark, tmp_path):
     oracle = {r[0]: r for r in con.sql(_DECON_ORACLE).fetchall()}
     for src, r in got.items():
         assert oracle[src] == tuple(r.values())
+
+
+def test_source_overlap_matrix_conserves_pairs(spark):
+    """Every verified near-dup pair lands in exactly one canonical
+    source cell: the matrix's pair total equals dedup_minhash's row
+    count, cells are canonically ordered, and max_jaccard is within
+    the gate's range."""
+    from tests.conftest import SF_DIR
+
+    from mapreduce_sm_spark.operators.dedup import (
+        _JACCARD_PM4,
+        dedup_minhash,
+        source_overlap_matrix,
+    )
+
+    cells = source_overlap_matrix(spark, SF_DIR).collect()
+    n_pairs = dedup_minhash(spark, SF_DIR).count()
+    assert sum(r["n_pairs"] for r in cells) == n_pairs
+    for r in cells:
+        assert r["source_a"] <= r["source_b"]
+        assert _JACCARD_PM4 <= r["max_jaccard_pm4"] <= 10_000

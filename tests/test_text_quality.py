@@ -133,3 +133,52 @@ def test_repeated_passage_interval_union(spark, tmp_path):
         for r in con.sql(_REPEATED_PASSAGE_ORACLE).fetchall()
     }
     assert oracle == got
+
+
+def test_prune_yield_consistent_with_coverage(spark):
+    """repeated_passage_prune's per-source token arithmetic must agree
+    with repeated_passage_coverage's per-doc relation: total pruned
+    tokens == total covered tokens over ALL docs (coverage's top-40 cut
+    is a subset, so compare via the oracle-side full relation), and
+    yields are bounded sanely."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    from mapreduce_sm_spark.operators.text_analysis import (
+        repeated_passage_prune,
+    )
+
+    rows = repeated_passage_prune(spark, SF_DIR).collect()
+    pruned = sum(r["tokens_in"] - r["tokens_out"] for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    # independent full-relation covered-token total (no LIMIT 40)
+    want = con.sql(f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(upper(text), '[A-Z][A-Z'']*') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, u.r AS pos, array_to_string(t[u.r : u.r + 3], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - 2)) AS u(r) WHERE len(t) >= 4
+),
+rep AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, min(doc_id) OVER (PARTITION BY g) dmin,
+           max(doc_id) OVER (PARTITION BY g) dmax FROM g)
+  WHERE dmin <> dmax
+),
+iv AS (SELECT doc_id, pos,
+              lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) np FROM rep)
+SELECT coalesce(sum(CASE WHEN np IS NULL THEN 4 ELSE least(np - pos, 4) END), 0)
+FROM iv
+""").fetchone()[0]
+    assert pruned == want
+    for r in rows:
+        assert 0 <= r["tokens_out"] <= r["tokens_in"]
+        assert 0 <= r["docs_emptied"] <= r["n_docs"]
+        # covered == n_tokens > 0 implies 2*covered > n_tokens
+        assert r["docs_emptied"] <= r["docs_halved"] <= r["n_docs"]
