@@ -44,6 +44,17 @@ def hash60_sql(expr: str, salt: str = "") -> str:
     return f"('0x' || substr(md5({inner}), 1, 15))::BIGINT"
 
 
+def hash60_py(s: str, salt: str = "") -> int:
+    """Driver-side Python twin of hash60 — used by tests that need the
+    exact hash value to construct boundary fixtures (e.g. the digest
+    wrap-threshold test) without a Spark round trip."""
+    import hashlib
+
+    if salt:
+        s = f"{salt}|{s}"
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def minhash_permutation_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) coefficients for MinHash permutations
     h_i(x) = (a_i * x + b_i) mod MERSENNE_61, identical for Spark and oracle.

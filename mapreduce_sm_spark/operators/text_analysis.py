@@ -1128,13 +1128,18 @@ _GQ_TOTAL_SQL = "aggregate({s}, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
 
 # an occurrence is duplicated iff it equals a neighbor in the sorted
 # array; greatest/least keep the probe indices in-bounds so the guard
-# conjuncts stay safe under eager evaluation
+# conjuncts stay safe under eager evaluation. The outer IF skips the
+# fold entirely for an empty array: sequence(1, 0) is Spark's
+# DESCENDING [1, 0], and relying on the conjuncts to short-circuit
+# before element_at({s}, 0) is fragile against codegen/ANSI changes
+# (ADVICE r14) — never build the index sequence for empty input.
 _GQ_DUP_SQL = (
+    "IF(size({s}) = 0, CAST(0 AS BIGINT), "
     "aggregate(sequence(1, size({s})), CAST(0 AS BIGINT), (a, i) -> a + "
     "IF((i > 1 AND element_at({s}, greatest(i - 1, 1)) = element_at({s}, i))"
     " OR (i < size({s}) AND element_at({s}, least(i + 1, size({s})))"
     " = element_at({s}, i)), "
-    "CAST(length(element_at({s}, i)) AS BIGINT), CAST(0 AS BIGINT)))"
+    "CAST(length(element_at({s}, i)) AS BIGINT), CAST(0 AS BIGINT))))"
 )
 
 # run-length fold over the sorted array: rc = char mass of the current

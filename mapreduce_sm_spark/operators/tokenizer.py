@@ -338,6 +338,35 @@ _DICT_MOD = 999_983  # prime modulus for the per-word digest terms
 # BIGINT and bit-identical at any corpus size.
 _DICT_SUM_MOD = 9_223_372_036_854_775_783  # largest prime < 2^63
 
+
+def _whash_sum_sql(coalesce_empty: bool = False) -> str:
+    """DuckDB fragment of the freq-weighted word-hash digest over a
+    (w, freq) relation — HUGEINT-exact sum reduced mod the int64 prime.
+    Single definition shared by both dictionary oracles and the wrap-
+    threshold boundary test (tests/test_tokenizer.py)."""
+    expr = (
+        f"sum(freq::HUGEINT * ({hash60_sql('w')} % {_DICT_MOD}))"
+        f" % {_DICT_SUM_MOD}"
+    )
+    if coalesce_empty:
+        expr = f"coalesce({expr}, 0)"
+    return f"({expr})::BIGINT"
+
+
+def _whash_sum_col():
+    """Spark twin of _whash_sum_sql: DECIMAL(38,0)-exact sum mod the
+    int64 prime (emitted BIGINT). int64 alone wraps once
+    sum(freq * (hash60 % _DICT_MOD)) passes 2^63 — ~9e12 tokens at the
+    ~1e6 average term, under the module's 100 TB (~2e13-token) posture."""
+    return (
+        F.sum(
+            F.col("freq").cast("decimal(38,0)")
+            * (hash60(F.col("w")) % _DICT_MOD)
+        )
+        % F.lit(_DICT_SUM_MOD)
+    ).cast("long")
+
+
 _DICT_COMPACT_ORACLE = f"""
 WITH words AS (
   SELECT w, count(*)::BIGINT AS freq
@@ -347,8 +376,7 @@ WITH words AS (
 )
 SELECT count(*)::BIGINT AS n_words,
        sum(freq)::BIGINT AS total_freq,
-       (sum(freq::HUGEINT * ({hash60_sql("w")} % {_DICT_MOD}))
-        % {_DICT_SUM_MOD})::BIGINT AS sum_whash_mod,
+       {_whash_sum_sql()} AS sum_whash_mod,
        CAST(0 AS BIGINT) AS n_mismatch,
        true AS dict_merge_equals_rebuild
 FROM words
@@ -435,15 +463,7 @@ def bpe_dict_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     dig = compacted.agg(
         F.count("*").cast("long").alias("n_words"),
         F.sum("freq").cast("long").alias("total_freq"),
-        (
-            F.sum(
-                F.col("freq").cast("decimal(38,0)")
-                * (hash60(F.col("w")) % _DICT_MOD)
-            )
-            % F.lit(_DICT_SUM_MOD)
-        )
-        .cast("long")
-        .alias("sum_whash_mod"),
+        _whash_sum_col().alias("sum_whash_mod"),
     )
     return dig.crossJoin(F.broadcast(mism)).select(
         "n_words",
@@ -487,9 +507,8 @@ WITH words AS (
   GROUP BY w
 )
 SELECT count(*)::BIGINT AS n_words,
-       sum(freq)::BIGINT AS total_freq,
-       (sum(freq::HUGEINT * ({hash60_sql("w")} % {_DICT_MOD}))
-        % {_DICT_SUM_MOD})::BIGINT AS sum_whash_mod,
+       coalesce(sum(freq), 0)::BIGINT AS total_freq,
+       {_whash_sum_sql(coalesce_empty=True)} AS sum_whash_mod,
        CAST(0 AS BIGINT) AS n_mismatch,
        true AS stream_equals_batch
 FROM words
@@ -589,16 +608,7 @@ def stream_bpe_dict_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     dig = compacted.agg(
         F.count("*").cast("long").alias("n_words"),
         F.coalesce(F.sum("freq"), zero).cast("long").alias("total_freq"),
-        F.coalesce(
-            (
-                F.sum(
-                    F.col("freq").cast("decimal(38,0)")
-                    * (hash60(F.col("w")) % _DICT_MOD)
-                )
-                % F.lit(_DICT_SUM_MOD)
-            ).cast("long"),
-            zero,
-        ).alias("sum_whash_mod"),
+        F.coalesce(_whash_sum_col(), zero).alias("sum_whash_mod"),
     )
     return dig.crossJoin(F.broadcast(mism)).select(
         "n_words",

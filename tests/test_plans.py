@@ -520,8 +520,7 @@ def test_no_unbounded_cartesian_product(spark):
 
     load_all_operators()
 
-    bounded_gate = {"Aggregate", "GlobalLimit", "LocalLimit", "Limit",
-                    "Deduplicate"}
+    bounded_gate = {"GlobalLimit", "LocalLimit", "Limit", "Deduplicate"}
     leaf_ok = {"LocalRelation", "OneRowRelation"}
 
     def children(n):
@@ -533,6 +532,20 @@ def test_no_unbounded_cartesian_product(spark):
 
     def bounded(n):
         c = cls(n)
+        if c == "Aggregate":
+            # only a SCALAR aggregate (empty grouping expressions) is
+            # bounded by node type; a grouped aggregate (groupBy(doc_id))
+            # is corpus-sized (ADVICE r14) and is bounded only if its
+            # INPUT is bounded (group count <= input rows) — grouped-agg
+            # cross sides otherwise go through the audited allowlist
+            if n.groupingExpressions().isEmpty():
+                return True
+            return all(bounded(k) for k in children(n))
+        if c == "Range":
+            # spark.range(...) leaf: size is a plan-time literal — bounded
+            # iff that literal is genuinely small (the 10-row decile /
+            # constant generator frames), never a billion-row generator
+            return int(n.numElements()) <= 10_000
         if c in bounded_gate:
             return True
         kids = children(n)
@@ -562,11 +575,39 @@ def test_no_unbounded_cartesian_product(spark):
         "bloom_reuse_prune_orders",
         "quantile_sketch_order_price",
     }
-    offenders, n_cross = [], 0
+    # Operators that execute EAGERLY inside fn (bounded collect ->
+    # createDataFrame, the tokenizer family's documented cache-lifetime
+    # scoping) expose only a LocalRelation plan here, so their REAL
+    # corpus DAGs are never inspected by this tripwire (ADVICE r14).
+    # That gap is covered by the dedicated tokenizer plan/property
+    # tests; the set below keeps it EXPLICIT — a new eager operator
+    # must be added here consciously, and a listed one that stops
+    # being local-only re-enters the tripwire's coverage.
+    eager_local_only = {
+        # tokenizer family: bounded collect -> createDataFrame, the
+        # documented cache-lifetime scoping (tokenizer.py)
+        "bpe_vocab_merges",
+        "bpe_token_stats",
+        "bpe_fertility_stats",
+        # SQL scripting (BEGIN...END) executes at spark.sql() time and
+        # hands back the final statement's materialized result
+        "sql_scripting_rollup",
+    }
+    offenders, n_cross, local_only = [], 0, set()
     for name, q in REGISTRY._queries.items():
         if name.startswith("stream_"):
             continue
         plan = q.fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan()
+        # LogicalRDD is what createDataFrame(<driver rows>) plans as —
+        # a driver-local leaf for DETECTION purposes only (it stays
+        # outside bounded()'s leaf_ok: an arbitrary RDD leaf is not
+        # provably small, the collected row lists here just happen to be)
+        if all(
+            cls(node) in (leaf_ok | {"LogicalRDD"})
+            for node in walk(plan)
+            if not children(node)
+        ):
+            local_only.add(name)
         for node in walk(plan):
             if cls(node) == "Join" and "Cross" in str(node.joinType()):
                 n_cross += 1
@@ -575,6 +616,7 @@ def test_no_unbounded_cartesian_product(spark):
                     if name not in audited:
                         offenders.append(name)
     assert not offenders, f"unbounded cartesian products in: {offenders}"
+    assert local_only == eager_local_only, local_only ^ eager_local_only
     # the walker must actually SEE the known cross-join sites (scalar
     # 1-row aggregates, centroid frames) — zero means the API drifted
     assert n_cross >= 5, n_cross

@@ -328,3 +328,96 @@ def test_bpe_fertility_hand_computed(spark, tmp_path):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
     assert con.sql(_bpe_fertility_oracle(N_MERGES)).fetchall()[0] == tuple(row)
+
+
+def test_dict_digest_agrees_across_engines_past_int64_wrap(spark):
+    """VERDICT r14 item 2's Done criterion: the freq-weighted word-hash
+    digest must be identical in both engines AT AND PAST the int64 wrap
+    threshold. A plain BIGINT sum of freq * (hash60 % _DICT_MOD) wraps
+    once it passes 2^63 (~9e12 tokens at the ~1e6 average term) — Spark
+    would wrap silently, DuckDB's HUGEINT::BIGINT cast would raise. The
+    shared digest (_whash_sum_col / _whash_sum_sql: DECIMAL(38,0) /
+    HUGEINT exact sums reduced mod the largest int64 prime) must agree
+    bit-for-bit on a dictionary whose term sum straddles the boundary."""
+    import duckdb
+
+    from mapreduce_sm_spark.functions.hashing import hash60_py
+    from mapreduce_sm_spark.operators.tokenizer import (
+        _DICT_MOD,
+        _DICT_SUM_MOD,
+        _whash_sum_col,
+        _whash_sum_sql,
+    )
+
+    term = lambda w: hash60_py(w) % _DICT_MOD  # noqa: E731
+    # freqs sized so the running term sum crosses 2^63 mid-aggregation:
+    # one word just UNDER the boundary, one that pushes it far past.
+    under = (2**63 - 1) // term("ALPHA")  # max freq keeping ALPHA under 2^63
+    rows = [("ALPHA", under), ("BETA", 10**15), ("GAMMA'S", 7)]
+    exact = sum(f * term(w) for w, f in rows)
+    assert exact > 2**63  # the dictionary genuinely straddles the wrap
+    want = exact % _DICT_SUM_MOD
+
+    got_spark = (
+        spark.createDataFrame(rows, "w string, freq long")
+        .agg(_whash_sum_col().alias("d"))
+        .collect()[0]["d"]
+    )
+    con = duckdb.connect()
+    con.register("words_df", __import__("pandas").DataFrame(rows, columns=["w", "freq"]))
+    got_duck = con.sql(
+        f"SELECT {_whash_sum_sql()} AS d FROM words_df"
+    ).fetchall()[0][0]
+    assert got_spark == want
+    assert got_duck == want
+
+
+def test_stream_dict_oracle_empty_corpus_matches_spark(spark, tmp_path):
+    """ADVICE r14 item 1: on an EMPTY corpus the Spark side coalesces
+    total_freq / sum_whash_mod to 0 while the oracle's bare sum() was
+    NULL — the oracle now coalesces too. Degenerate-corpus hand test
+    (the repo convention): run BOTH engines on an empty documents table
+    and compare the full row."""
+    import duckdb
+
+    from mapreduce_sm_spark.operators.tokenizer import (
+        _STREAM_DICT_ORACLE,
+        stream_bpe_dict_equality,
+    )
+
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [], "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(d)
+    row = stream_bpe_dict_equality(spark, str(tmp_path)).collect()[0]
+    assert tuple(row) == (0, 0, 0, 0, True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    assert con.sql(_STREAM_DICT_ORACLE).fetchall()[0] == tuple(row)
+
+
+def test_bpe_learn_exception_path_leaves_no_cached_generations(
+    spark, monkeypatch
+):
+    """VERDICT r14 item 4's Done criterion: force the mid-merge
+    materialization (nxt.count()) to throw and assert _bpe_learn
+    unpersists BOTH generations — the freshly persisted nxt (inner
+    except) and the parent seq (outer except) — leaving zero residual
+    cached blocks beyond what the session already held."""
+    import pytest
+
+    from mapreduce_sm_spark.operators import tokenizer as tk
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+
+    def boom(self):
+        raise RuntimeError("forced mid-merge failure")
+
+    # patch the CONCRETE class (pyspark.sql.DataFrame is an ABC in
+    # Spark 4; instances are pyspark.sql.classic.dataframe.DataFrame)
+    monkeypatch.setattr(type(spark.range(1)), "count", boom)
+    with pytest.raises(RuntimeError, match="forced mid-merge"):
+        tk._bpe_learn(spark, SF_DIR)
+    monkeypatch.undo()
+    assert jsc.getPersistentRDDs().size() == before
