@@ -1227,15 +1227,23 @@ ORDER BY source
     tags=("text", "quality", "scale"),
 )
 def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    return _gq_report(_gq_flags(docs))
+
+
+def _gq_flags(docs: DataFrame) -> DataFrame:
+    """(source, f_top2..f_dup2) per-doc gate flags from a (source, text)
+    frame — pure row-local column expressions, shared VERBATIM by the
+    batch report and the streamed twin (the folds stay JVM-side in
+    both, so the stream audit never rests on a Python re-implementation
+    of the gate semantics). Works on batch and streaming frames alike:
+    nothing here shuffles or holds state."""
     from mapreduce_sm_spark.functions.text import tokenize_words
 
-    docs = table(spark, sf_dir, "documents").select(
-        "source", tokenize_words("text").alias("w")
-    )
     # stage the sorted gram arrays as real columns so each is computed
     # once per row (CollapseProject keeps multi-use non-cheap aliases
     # staged); metrics then fold the staged arrays
-    staged = docs
+    staged = docs.select("source", tokenize_words("text").alias("w"))
     for n in (1, 2, 3, 4):
         staged = staged.withColumn(f"s{n}", F.expr(_gq_sorted_grams_sql(n)))
     metrics = staged
@@ -1263,7 +1271,7 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(mass) * 100 > F.lit(pct) * F.col(f"total{n}")
         )
 
-    flags = metrics.select(
+    return metrics.select(
         "source",
         gate("top2", 2, p["top2"]).alias("f_top2"),
         gate("top3", 3, p["top3"]).alias("f_top3"),
@@ -1271,6 +1279,10 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate("dup1", 1, p["dup1"]).alias("f_dup1"),
         gate("dup2", 2, p["dup2"]).alias("f_dup2"),
     )
+
+
+def _gq_report(flags: DataFrame) -> DataFrame:
+    """Per-source rollup of the gate flags (the registered report shape)."""
     cnt = lambda c: F.sum(F.col(c).cast("int")).cast("long")  # noqa: E731
     return (
         flags.groupBy("source")
@@ -1297,6 +1309,197 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clean"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# STREAMED Gopher gate (r15 — VERDICT r14 item 6): the quality-filter
+# leg of the maintenance story. A crawl pipeline re-runs its quality
+# gates on every arriving batch; the Gopher gate is entirely row-local,
+# so its streamed twin is stateless: arriving documents flow through
+# the IDENTICAL JVM column expressions as the batch report (_gq_flags —
+# shared code, not a re-implementation), a tiny Arrow-batched rollup
+# (mapInPandas over the five boolean flags — counting, no gate
+# semantics) sinks per-source PARTIAL counts through the append-mode
+# exactly-once file sink, and compaction is the partial-aggregate merge
+# groupBy(source).sum(...). Partial boundaries follow micro-batch /
+# Arrow batch boundaries — explicitly NOT deterministic — but the
+# compacted totals are boundary-invariant (count sums are a commutative
+# monoid), which is the law under audit: compact(stream partials) ==
+# batch report, exact per-source full-outer comparison on all seven
+# counters, plus the one-row corpus digest.
+#
+# 100 TB posture: per-micro-batch work is the row-local folds plus a
+# per-Arrow-batch pandas rollup bounded by sources-per-batch; no
+# stream-side shuffle, no state store; the sink grows by n_sources x
+# n_commits, not docs. Micro-batch parallelism = files-per-trigger
+# (the stream_semantic_index_equality lesson). The cross-doc
+# repeated-passage signal is the one quality gate that does NOT get a
+# streamed twin — it needs cross-batch gram state; SCALING.md r15
+# records that decision.
+# ---------------------------------------------------------------------------
+
+_STREAM_GQ_ORACLE = f"""
+WITH report AS ({_gq_oracle()})
+SELECT count(*)::BIGINT AS n_sources,
+       coalesce(sum(n_docs), 0)::BIGINT AS n_docs,
+       coalesce(sum(n_fail_top2 + n_fail_top3 + n_fail_top4
+                    + n_fail_dup1 + n_fail_dup2), 0)::BIGINT AS n_fails,
+       coalesce(sum(n_clean), 0)::BIGINT AS n_clean,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       true AS stream_equals_batch
+FROM report
+"""
+
+_GQ_FLAG_COLS = ("f_top2", "f_top3", "f_top4", "f_dup1", "f_dup2")
+
+_GQ_PARTIAL_SCHEMA = (
+    "source string, n_docs long, n_fail_top2 long, n_fail_top3 long, "
+    "n_fail_top4 long, n_fail_dup1 long, n_fail_dup2 long, n_clean long"
+)
+
+
+def _gq_partial_counts_arrow(batches):
+    """mapInPandas kernel: per-source PARTIAL gate counters within each
+    Arrow batch. Pure counting over the JVM-computed boolean flags —
+    the gate semantics never leave the JVM."""
+    import pandas as pd
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        pdf = pdf.copy()
+        pdf["clean"] = ~pdf[list(_GQ_FLAG_COLS)].any(axis=1)
+        agg = pdf.groupby("source", sort=False).agg(
+            n_docs=("clean", "size"),
+            n_fail_top2=("f_top2", "sum"),
+            n_fail_top3=("f_top3", "sum"),
+            n_fail_top4=("f_top4", "sum"),
+            n_fail_dup1=("f_dup1", "sum"),
+            n_fail_dup2=("f_dup2", "sum"),
+            n_clean=("clean", "sum"),
+        )
+        yield agg.astype("int64").reset_index()
+
+
+@REGISTRY.register(
+    "stream_gopher_gate_equality",
+    oracle=_STREAM_GQ_ORACLE,
+    description="streamed Gopher quality gate: row-local JVM gate flags "
+    "on arriving batches, per-source partial counters through the "
+    "exactly-once sink, compacted == batch report (exact per-source "
+    "audit + corpus digest)",
+    tags=("streaming", "text", "quality", "incremental"),
+)
+def stream_gopher_gate_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from mapreduce_sm_spark.streaming.sketch_stream import (
+        documents_text_stream,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    base = tempfile.mkdtemp(prefix="gopher_gate_stream_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    feed_dir, sink, ckpt = (
+        _os.path.join(base, "documents.parquet"),
+        _os.path.join(base, "gate"),
+        _os.path.join(base, "ckpt"),
+    )
+    # 8 part files consumed 2 per trigger => 4 separate sink commits
+    docs.repartition(8).write.mode("overwrite").parquet(feed_dir)
+    stream = documents_text_stream(
+        spark,
+        base,
+        glob="documents.parquet",
+        max_files_per_trigger=2,
+        columns=("source", "text"),
+    )
+    q = (
+        _gq_flags(stream)
+        .mapInPandas(_gq_partial_counts_arrow, _GQ_PARTIAL_SCHEMA)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):  # loud, never a silent prefix
+        q.stop()
+        raise RuntimeError(
+            "stream_gopher_gate_equality: stream did not finish in 120s"
+        )
+    try:
+        partials = spark.read.parquet(sink)
+    except AnalysisException as e:
+        if (e.getCondition() or "") not in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
+            raise
+        partials = spark.createDataFrame([], _GQ_PARTIAL_SCHEMA)
+    counters = (
+        "n_docs",
+        "n_fail_top2",
+        "n_fail_top3",
+        "n_fail_top4",
+        "n_fail_dup1",
+        "n_fail_dup2",
+        "n_clean",
+    )
+    compacted = partials.groupBy("source").agg(
+        *[F.sum(c).alias(c) for c in counters]
+    )
+    batch = gopher_quality_gate(spark, sf_dir)
+    zero = F.lit(0).cast("long")
+    neg = F.lit(-1).cast("long")  # absent-side sentinel (counters are >= 0)
+    mism = (
+        compacted.select(
+            "source", *[F.col(c).alias(f"a_{c}") for c in counters]
+        )
+        .join(
+            batch.select(
+                "source", *[F.col(c).alias(f"b_{c}") for c in counters]
+            ),
+            "source",
+            "full_outer",
+        )
+        .select(
+            F.when(
+                sum(
+                    (
+                        F.coalesce(f"a_{c}", neg) != F.coalesce(f"b_{c}", neg)
+                    ).cast("int")
+                    for c in counters
+                )
+                > 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("bad")
+        )
+        .agg(F.coalesce(F.sum("bad"), zero).cast("long").alias("n_mismatch"))
+    )
+    fails = sum(F.col(c) for c in counters[1:6])
+    dig = compacted.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.coalesce(F.sum("n_docs"), zero).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(fails), zero).cast("long").alias("n_fails"),
+        F.coalesce(F.sum("n_clean"), zero).cast("long").alias("n_clean"),
+    )
+    return dig.crossJoin(F.broadcast(mism)).select(
+        "n_sources",
+        "n_docs",
+        "n_fails",
+        "n_clean",
+        "n_mismatch",
+        (F.col("n_mismatch") == 0).alias("stream_equals_batch"),
     )
 
 

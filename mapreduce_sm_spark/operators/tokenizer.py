@@ -665,6 +665,9 @@ FROM per_word
     "vocabulary: subword tokens per word occurrence and chars per "
     "token, exact frequency-weighted ppm",
     tags=("text", "tokenizer", "iterative"),
+    headline=True,  # r15: the most expensive registered query outside the
+    # headline set (5.5-6.2 s at sf0.1, SCALING.md r14) joins it so the
+    # 2x gate grades it every sitting (VERDICT r14 item 3)
 )
 def bpe_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, seq = _bpe_learn(spark, sf_dir, apply_last=True)

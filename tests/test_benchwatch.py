@@ -197,7 +197,7 @@ def test_bench_compact_line_fits_driver_tail_and_parses():
 
     from bench import compact_line
 
-    times = {f"some_operator_name_{i:02d}": 1.234 for i in range(30)}
+    times = {f"some_operator_name_{i:02d}": 1.234 for i in range(31)}
     cold = {k: 2.5 for k in times}
     contaminated: dict = {k: False for k in times}
     line = compact_line(times, cold, contaminated, True, 0.42, 0.1)
@@ -205,7 +205,7 @@ def test_bench_compact_line_fits_driver_tail_and_parses():
     doc = json.loads(line)
     assert doc["value"] == round(sum(times.values()), 3)
     assert doc["contaminated_queries"] == []
-    assert len(doc["queries"]) == 30 and doc["settled_start"] is True
+    assert len(doc["queries"]) == 31 and doc["settled_start"] is True
 
     # pathological growth: 200 queries cannot fit — totals still survive
     big = {f"q_{'x' * 40}_{i:03d}": float(i) for i in range(200)}

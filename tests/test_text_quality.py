@@ -182,3 +182,73 @@ FROM iv
         assert 0 <= r["docs_emptied"] <= r["n_docs"]
         # covered == n_tokens > 0 implies 2*covered > n_tokens
         assert r["docs_emptied"] <= r["docs_halved"] <= r["n_docs"]
+
+
+def test_stream_gopher_gate_equality_law(spark, monkeypatch):
+    """The streamed gate's compacted per-source counters must equal the
+    batch report exactly (n_mismatch 0), the corpus digest must match a
+    direct recount, and the sink must hold MULTIPLE commits (partial
+    boundaries genuinely exercised, not one giant batch)."""
+    import os
+    import tempfile
+
+    from tests.conftest import SF_DIR
+
+    from mapreduce_sm_spark.operators.text_analysis import (
+        gopher_quality_gate,
+        stream_gopher_gate_equality,
+    )
+
+    made: list[str] = []
+    real_mkdtemp = tempfile.mkdtemp
+
+    def spy(*a, **kw):
+        d = real_mkdtemp(*a, **kw)
+        if kw.get("prefix", "").startswith("gopher_gate_stream_"):
+            made.append(d)
+        return d
+
+    monkeypatch.setattr(tempfile, "mkdtemp", spy)
+    row = stream_gopher_gate_equality(spark, SF_DIR).collect()[0]
+    assert row["n_mismatch"] == 0 and row["stream_equals_batch"]
+    (base,) = made
+    commits = [
+        f
+        for f in os.listdir(os.path.join(base, "gate", "_spark_metadata"))
+        if f.isdigit() or f.split(".")[0].isdigit()
+    ]
+    assert len(commits) >= 2, commits
+    batch = gopher_quality_gate(spark, SF_DIR).collect()
+    assert row["n_sources"] == len(batch)
+    assert row["n_docs"] == sum(r["n_docs"] for r in batch)
+    assert row["n_clean"] == sum(r["n_clean"] for r in batch)
+    assert row["n_fails"] == sum(
+        r["n_fail_top2"]
+        + r["n_fail_top3"]
+        + r["n_fail_top4"]
+        + r["n_fail_dup1"]
+        + r["n_fail_dup2"]
+        for r in batch
+    )
+
+
+def test_stream_gopher_gate_empty_corpus_matches_oracle(spark, tmp_path):
+    """Degenerate-corpus hand test (the repo convention): both engines
+    on an EMPTY documents table — the Spark side's coalesces and the
+    oracle's coalesced one-row rollup must agree on all-zeros."""
+    import duckdb
+
+    from mapreduce_sm_spark.operators.text_analysis import (
+        _STREAM_GQ_ORACLE,
+        stream_gopher_gate_equality,
+    )
+
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [], "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(d)
+    row = stream_gopher_gate_equality(spark, str(tmp_path)).collect()[0]
+    assert tuple(row) == (0, 0, 0, 0, 0, True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    assert con.sql(_STREAM_GQ_ORACLE).fetchall()[0] == tuple(row)
