@@ -78,7 +78,8 @@ from mapreduce_sm_spark.registry import REGISTRY
 # AFTER this window is frozen gets a named r16-front slot here (the
 # r14 convention, VERDICT r14 item 7) rather than displacing the
 # judge-mandated 2+48 composition. r15 late registrations →
-# r16 front, after the two carries: stream_gopher_gate_equality.
+# r16 front, after the two carries: stream_gopher_gate_equality,
+# exact_ngram_decontamination.
 REGISTRY.set_front(
     (
         # --- (1) the 2 late-r14 registrations, never driver-seen ---

@@ -1981,3 +1981,148 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT n-gram eval decontamination (r15) — the verbatim-overlap guard
+# of the published decontamination recipes (GPT-3 appendix C / PaLM /
+# Llama: drop a training document if any of its N-grams appears
+# verbatim in an evaluation document). The lexical complement of
+# fuzzy_decontamination_split: LSH banding catches whole-document
+# near-duplicates, but a short eval passage QUOTED inside a long,
+# otherwise-novel train document moves the doc-level Jaccard almost
+# nothing — only the exact n-gram probe sees it. Same train/eval split
+# convention (doc_id % 10 = 0 is eval) and the same per-source yield
+# report shape, so the two guards read side by side.
+#
+# N = 8 word tokens here (the published 13 assumes web-scale docs; the
+# fixture corpus discriminates at 8 — measured ~1.5% of train docs
+# flagged — while 13 behaves identically on planted duplicates).
+# Grams travel as hash60 values, not strings: 8 bytes per gram on the
+# shuffle instead of ~50, with the oracle hashing identically so the
+# 60-bit collision posture is shared and bit-exact (the house
+# convention, functions/hashing.py).
+#
+# 100 TB posture: in production the eval suite is FIXED and tiny
+# (benchmarks, not a corpus slice), so the distinct eval-gram set
+# broadcasts and the train side never shuffles — a scan + broadcast
+# semi probe. The fixture's 10% eval slice deliberately exercises the
+# general path instead: one exchange of distinct eval gram keys + the
+# gram-partitioned left_semi probe (never pair materialization — the
+# same asymmetry the fuzzy guard uses), then a doc-keyed attribute
+# join and a source-sized rollup.
+# ---------------------------------------------------------------------------
+
+_XNGRAM_N = 8
+
+_XNGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(upper(text), '[A-Z][A-Z'']*') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         {hash60_sql(f"array_to_string(t[u.r : u.r + {_XNGRAM_N - 1}], ' ')")}
+             AS gh
+  FROM toks, UNNEST(range(1, len(t) - {_XNGRAM_N} + 2)) AS u(r)
+  WHERE len(t) >= {_XNGRAM_N}
+),
+ev AS (
+  SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 0
+),
+leaky AS (
+  SELECT DISTINCT g.doc_id
+  FROM g JOIN ev USING (gh)
+  WHERE g.doc_id % 10 <> 0
+),
+flagged AS (
+  SELECT d.source, d.doc_id, d.n_chars,
+         (d.doc_id % 10 = 0) AS ev,
+         (l.doc_id IS NOT NULL) AS lk
+  FROM documents d LEFT JOIN leaky l USING (doc_id)
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS n_eval,
+       sum(CASE WHEN NOT ev THEN 1 ELSE 0 END)::BIGINT AS n_train,
+       sum(CASE WHEN NOT ev AND lk THEN 1 ELSE 0 END)::BIGINT
+           AS n_train_excluded,
+       sum(CASE WHEN NOT ev AND NOT lk THEN 1 ELSE 0 END)::BIGINT
+           AS n_train_kept,
+       sum(CASE WHEN NOT ev AND NOT lk THEN n_chars ELSE 0 END)::BIGINT
+           AS chars_train_kept
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@REGISTRY.register(
+    "exact_ngram_decontamination",
+    oracle=_XNGRAM_ORACLE,
+    description="verbatim-overlap eval decontamination: train docs "
+    "sharing any exact 8-gram with an eval doc are excluded (GPT-3/"
+    "PaLM recipe), per-source yield report — the lexical complement "
+    "of the fuzzy LSH guard",
+    tags=("dedup", "text", "sampling", "quality", "scale"),
+)
+def exact_ngram_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from mapreduce_sm_spark.functions.text import tokenize_words
+
+    n = _XNGRAM_N
+    toks = (
+        fan_out(
+            table(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id",
+        )
+        .select("doc_id", tokenize_words("text").alias("t"))
+        .filter(F.size("t") >= n)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - n + 1),
+                lambda i: hash60(F.array_join(F.slice("t", i, n), " ")),
+            )
+        ).alias("gh"),
+    )
+    eval_keys = (
+        grams.filter(F.col("doc_id") % 10 == 0).select("gh").distinct()
+    )
+    leaky = (
+        grams.filter(F.col("doc_id") % 10 != 0)
+        .join(eval_keys, "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("lk", F.lit(True))
+    )
+    attrs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    flagged = attrs.join(leaky, "doc_id", "left").select(
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("doc_id") % 10 == 0).alias("ev"),
+        F.coalesce("lk", F.lit(False)).alias("lk"),
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            one(F.col("ev")).alias("n_eval"),
+            one(~F.col("ev")).alias("n_train"),
+            one(~F.col("ev") & F.col("lk")).alias("n_train_excluded"),
+            one(~F.col("ev") & ~F.col("lk")).alias("n_train_kept"),
+            F.sum(
+                F.when(~F.col("ev") & ~F.col("lk"), F.col("n_chars")).otherwise(0)
+            )
+            .cast("long")
+            .alias("chars_train_kept"),
+        )
+        .orderBy("source")
+    )

@@ -181,3 +181,66 @@ def test_source_overlap_matrix_conserves_pairs(spark):
     for r in cells:
         assert r["source_a"] <= r["source_b"]
         assert _JACCARD_PM4 <= r["max_jaccard_pm4"] <= 10_000
+
+
+def test_exact_ngram_decontamination_catches_quoted_passage(spark, tmp_path):
+    """The guard's reason to exist: a short eval passage QUOTED inside a
+    long, otherwise-novel train doc. Doc-level fuzzy similarity barely
+    moves (the quote is a small fraction of the train doc's shingles)
+    but the verbatim 8-gram probe must flag it; a train doc with no
+    8-gram overlap survives, and a train doc SHORTER than 8 tokens can
+    never be flagged. Counts cross-checked against the oracle."""
+    import duckdb
+
+    from mapreduce_sm_spark.operators.dedup import (
+        _XNGRAM_ORACLE,
+        exact_ngram_decontamination,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    filler = " ".join(f"novel{i} content{i}" for i in range(40))
+    rows = [
+        (10, "sA", quote, len(quote)),                    # eval (10%10==0)
+        (11, "sA", f"{filler} {quote} {filler}", 100),    # leaky: quotes it
+        (12, "sB", filler + " something else entirely", 80),  # clean train
+        (13, "sB", "too short for any gram", 22),         # <8 tokens: safe
+    ]
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    ).coalesce(1).write.parquet(d)
+    got = {
+        r["source"]: r.asDict()
+        for r in exact_ngram_decontamination(spark, str(tmp_path)).collect()
+    }
+    assert got["sA"]["n_eval"] == 1
+    assert got["sA"]["n_train_excluded"] == 1  # the quoting doc
+    assert got["sA"]["n_train_kept"] == 0
+    assert got["sB"]["n_train_excluded"] == 0
+    assert got["sB"]["n_train_kept"] == 2  # clean + too-short both survive
+    assert got["sB"]["chars_train_kept"] == 102
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    oracle = {r[0]: r for r in con.sql(_XNGRAM_ORACLE).fetchall()}
+    for src, r in got.items():
+        assert oracle[src] == tuple(r.values())
+
+
+def test_exact_ngram_decontamination_empty_corpus(spark, tmp_path):
+    """Degenerate-corpus hand test (the repo convention): zero docs ->
+    zero report rows in both engines."""
+    import duckdb
+
+    from mapreduce_sm_spark.operators.dedup import (
+        _XNGRAM_ORACLE,
+        exact_ngram_decontamination,
+    )
+
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [], "doc_id long, source string, text string, n_chars long"
+    ).coalesce(1).write.parquet(d)
+    assert exact_ngram_decontamination(spark, str(tmp_path)).collect() == []
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    assert con.sql(_XNGRAM_ORACLE).fetchall() == []
