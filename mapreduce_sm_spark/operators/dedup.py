@@ -2126,3 +2126,216 @@ def exact_ngram_decontamination(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMED decontamination (r15) — the decontamination leg of the
+# maintenance story, and the operator whose streamed shape IS the
+# production shape: the eval suite is FIXED (benchmarks, not a corpus
+# slice), so its distinct gram-hash set ships as broadcast DATA in a
+# one-row static frame (the stream_semantic_index_equality house
+# pattern — never a plan literal) and arriving TRAIN documents are
+# probed entirely row-locally: doc gram hashes as a column array,
+# leaky iff arrays_overlap with the eval set. No stream-side shuffle,
+# no state store, stateless stream-static cross join against one row;
+# per-source PARTIAL counters flow through the exactly-once append
+# sink (counting-only Arrow kernel) and compaction is groupBy(source)
+# .sum. Law under audit: compact(stream partials) == the TRAIN columns
+# of exact_ngram_decontamination's batch report, exact per-source
+# full-outer comparison plus the one-row corpus digest.
+#
+# 100 TB posture: per-micro-batch work is tokenize + hash + one
+# O(grams + |eval|) overlap probe per doc against an eval array that
+# is CONSTANT in corpus size; the sink grows by n_sources x n_commits.
+# The only corpus-scale exchange anywhere is on the batch AUDIT side.
+# ---------------------------------------------------------------------------
+
+_STREAM_DECON_ORACLE = f"""
+WITH report AS ({_XNGRAM_ORACLE})
+SELECT count(*) FILTER (WHERE n_train > 0)::BIGINT AS n_sources,
+       coalesce(sum(n_train), 0)::BIGINT AS n_train,
+       coalesce(sum(n_train_excluded), 0)::BIGINT AS n_train_excluded,
+       coalesce(sum(n_train_kept), 0)::BIGINT AS n_train_kept,
+       coalesce(sum(chars_train_kept), 0)::BIGINT AS chars_train_kept,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       true AS stream_equals_batch
+FROM report
+"""
+
+_DECON_PARTIAL_SCHEMA = (
+    "source string, n_train long, n_train_excluded long, "
+    "n_train_kept long, chars_train_kept long"
+)
+
+
+def _decon_partial_counts_arrow(batches):
+    """mapInPandas kernel: per-source PARTIAL decontamination counters
+    within each Arrow batch. Pure counting over the JVM-computed leaky
+    flag — the probe semantics never leave the JVM."""
+    import pandas as pd
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        pdf = pdf.copy()
+        pdf["kept"] = ~pdf["lk"]
+        pdf["kept_chars"] = pdf["n_chars"].where(pdf["kept"], 0)
+        agg = pdf.groupby("source", sort=False).agg(
+            n_train=("lk", "size"),
+            n_train_excluded=("lk", "sum"),
+            n_train_kept=("kept", "sum"),
+            chars_train_kept=("kept_chars", "sum"),
+        )
+        yield agg.astype("int64").reset_index()
+
+
+@REGISTRY.register(
+    "stream_decontamination_equality",
+    oracle=_STREAM_DECON_ORACLE,
+    description="streamed eval decontamination: fixed eval gram set as "
+    "broadcast data, arriving train docs probed row-locally "
+    "(arrays_overlap), per-source partials through the exactly-once "
+    "sink, compacted == batch guard's train report",
+    tags=("streaming", "dedup", "text", "quality", "incremental"),
+)
+def stream_decontamination_equality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from mapreduce_sm_spark.functions.text import tokenize_words
+    from mapreduce_sm_spark.streaming.sketch_stream import (
+        documents_text_stream,
+    )
+
+    n = _XNGRAM_N
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+
+    def gram_hashes(col: str) -> F.Column:
+        t = tokenize_words(col)
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - n + 1),
+                lambda i: hash60(F.array_join(F.slice(t, i, n), " ")),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+
+    # the FIXED eval suite, reduced to one broadcastable row of
+    # distinct gram hashes (array may be empty; never a plan literal)
+    eval_static = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(gram_hashes("text")).alias("gh"))
+        .agg(
+            F.array_sort(F.collect_set("gh")).alias("ev_grams")
+        )
+    )
+
+    base = tempfile.mkdtemp(prefix="decon_stream_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    feed_dir, sink, ckpt = (
+        _os.path.join(base, "documents.parquet"),
+        _os.path.join(base, "decon"),
+        _os.path.join(base, "ckpt"),
+    )
+    # 8 part files consumed 2 per trigger => 4 separate sink commits
+    docs.repartition(8).write.mode("overwrite").parquet(feed_dir)
+    stream = documents_text_stream(
+        spark,
+        base,
+        glob="documents.parquet",
+        max_files_per_trigger=2,
+        columns=("doc_id", "source", "text", "n_chars"),
+    )
+    flagged = (
+        stream.filter(F.col("doc_id") % 10 != 0)
+        .crossJoin(F.broadcast(eval_static))
+        .select(
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.arrays_overlap(gram_hashes("text"), F.col("ev_grams")).alias(
+                "lk"
+            ),
+        )
+    )
+    q = (
+        flagged.mapInPandas(_decon_partial_counts_arrow, _DECON_PARTIAL_SCHEMA)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):  # loud, never a silent prefix
+        q.stop()
+        raise RuntimeError(
+            "stream_decontamination_equality: stream did not finish in 120s"
+        )
+    try:
+        partials = spark.read.parquet(sink)
+    except AnalysisException as e:
+        if (e.getCondition() or "") not in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
+            raise
+        partials = spark.createDataFrame([], _DECON_PARTIAL_SCHEMA)
+    counters = (
+        "n_train",
+        "n_train_excluded",
+        "n_train_kept",
+        "chars_train_kept",
+    )
+    compacted = partials.groupBy("source").agg(
+        *[F.sum(c).alias(c) for c in counters]
+    )
+    batch = exact_ngram_decontamination(spark, sf_dir).select(
+        "source", *counters
+    )
+    zero = F.lit(0).cast("long")
+    mism = (
+        compacted.select(
+            "source", *[F.col(c).alias(f"a_{c}") for c in counters]
+        )
+        .join(
+            batch.select(
+                "source", *[F.col(c).alias(f"b_{c}") for c in counters]
+            ),
+            "source",
+            "full_outer",
+        )
+        .select(
+            F.when(
+                sum(
+                    (
+                        F.coalesce(f"a_{c}", zero) != F.coalesce(f"b_{c}", zero)
+                    ).cast("int")
+                    for c in counters
+                )
+                > 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("bad")
+        )
+        .agg(F.coalesce(F.sum("bad"), zero).cast("long").alias("n_mismatch"))
+    )
+    dig = compacted.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        *[
+            F.coalesce(F.sum(c), zero).cast("long").alias(c)
+            for c in counters
+        ],
+    )
+    return dig.crossJoin(F.broadcast(mism)).select(
+        "n_sources",
+        *counters,
+        "n_mismatch",
+        (F.col("n_mismatch") == 0).alias("stream_equals_batch"),
+    )

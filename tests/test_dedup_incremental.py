@@ -244,3 +244,89 @@ def test_exact_ngram_decontamination_empty_corpus(spark, tmp_path):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
     assert con.sql(_XNGRAM_ORACLE).fetchall() == []
+
+
+def test_stream_decontamination_equality_law(spark, monkeypatch):
+    """The streamed guard's compacted per-source counters must equal the
+    batch guard's train report exactly (n_mismatch 0), the digest must
+    match a direct recount of the batch report, and the sink must hold
+    MULTIPLE commits (partial boundaries genuinely exercised)."""
+    import os
+    import tempfile
+
+    from tests.conftest import SF_DIR
+
+    from mapreduce_sm_spark.operators.dedup import (
+        exact_ngram_decontamination,
+        stream_decontamination_equality,
+    )
+
+    made: list[str] = []
+    real_mkdtemp = tempfile.mkdtemp
+
+    def spy(*a, **kw):
+        d = real_mkdtemp(*a, **kw)
+        if kw.get("prefix", "").startswith("decon_stream_"):
+            made.append(d)
+        return d
+
+    monkeypatch.setattr(tempfile, "mkdtemp", spy)
+    row = stream_decontamination_equality(spark, SF_DIR).collect()[0]
+    assert row["n_mismatch"] == 0 and row["stream_equals_batch"]
+    (base,) = made
+    commits = [
+        f
+        for f in os.listdir(os.path.join(base, "decon", "_spark_metadata"))
+        if f.isdigit() or f.split(".")[0].isdigit()
+    ]
+    assert len(commits) >= 2, commits
+    batch = exact_ngram_decontamination(spark, SF_DIR).collect()
+    assert row["n_sources"] == sum(1 for r in batch if r["n_train"] > 0)
+    for c in ("n_train", "n_train_excluded", "n_train_kept",
+              "chars_train_kept"):
+        assert row[c] == sum(r[c] for r in batch)
+
+
+def test_stream_decontamination_quoted_passage_and_empty(spark, tmp_path):
+    """Planted + degenerate hand tests: on the quoted-passage corpus the
+    streamed probe must flag exactly the quoting doc (train columns
+    match the batch guard row-for-row via n_mismatch==0, and the digest
+    is hand-checkable); on an empty corpus both engines emit all-zeros."""
+    import duckdb
+
+    from mapreduce_sm_spark.operators.dedup import (
+        _STREAM_DECON_ORACLE,
+        stream_decontamination_equality,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"novel{i} content{i}" for i in range(40))
+    rows = [
+        (10, "sA", quote, len(quote)),
+        (11, "sA", f"{filler} {quote} {filler}", 100),
+        (12, "sB", filler + " something else entirely", 80),
+        (13, "sB", "too short for any gram", 22),
+    ]
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    ).coalesce(1).write.parquet(d)
+    row = stream_decontamination_equality(spark, str(tmp_path)).collect()[0]
+    # hand-computed: 3 train docs, 1 excluded (the quoting doc),
+    # 2 kept with 80 + 22 chars
+    assert tuple(row) == (2, 3, 1, 2, 102, 0, True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    assert con.sql(_STREAM_DECON_ORACLE).fetchall()[0] == tuple(row)
+
+    d2 = str(tmp_path / "empty" / "documents.parquet")
+    spark.createDataFrame(
+        [], "doc_id long, source string, text string, n_chars long"
+    ).coalesce(1).write.parquet(d2)
+    row2 = stream_decontamination_equality(
+        spark, str(tmp_path / "empty")
+    ).collect()[0]
+    assert tuple(row2) == (0, 0, 0, 0, 0, 0, True)
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW documents AS SELECT * FROM '{d2}/*.parquet'")
+    assert con2.sql(_STREAM_DECON_ORACLE).fetchall()[0] == tuple(row2)
