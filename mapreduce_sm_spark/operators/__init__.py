@@ -79,7 +79,8 @@ from mapreduce_sm_spark.registry import REGISTRY
 # r14 convention, VERDICT r14 item 7) rather than displacing the
 # judge-mandated 2+48 composition. r15 late registrations →
 # r16 front, after the two carries: stream_gopher_gate_equality,
-# exact_ngram_decontamination, stream_decontamination_equality.
+# exact_ngram_decontamination, stream_decontamination_equality,
+# semantic_decontamination_split.
 REGISTRY.set_front(
     (
         # --- (1) the 2 late-r14 registrations, never driver-seen ---

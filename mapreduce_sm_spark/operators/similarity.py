@@ -1661,3 +1661,102 @@ def ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= _QUANT_RECALL_FLOOR_PPM
         ).alias("recall_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic eval decontamination (r15) — the embedding-space member of
+# the decontamination triple (lexical-exact: exact_ngram_decontamination;
+# lexical-fuzzy: fuzzy_decontamination_split; semantic: this). A train
+# document whose embedding is cosine-similar to ANY eval embedding is a
+# paraphrase-grade leak the lexical guards cannot see (no shared n-gram,
+# no shared shingle band — just meaning). Same split convention
+# (vec_id % 10 = 0 is eval), same yield-report shape, per label block.
+#
+# Shape: the production eval suite is FIXED and small, so the eval
+# embeddings ship as broadcast DATA in a one-row static frame (the
+# house pattern) and every train vector is probed entirely ROW-LOCALLY:
+# F.exists over the eval array with the repo's bit-exact cosine fold —
+# no join node, no pair materialization, no shuffle beyond the
+# label-sized rollup. EXACT by construction (every train x eval cosine
+# is evaluated, short-circuiting on the first hit), unlike the banded
+# candidates of embedding_similar_pairs — exactness is affordable
+# precisely because one side is the corpus-size-CONSTANT eval suite.
+#
+# 100 TB posture: per-train-row cost is O(|eval| * dim) codegen'd
+# flops against a broadcast array; the corpus is scanned once. If the
+# eval suite ever outgrew a broadcast row, the fallback is the
+# cell-blocked index (semantic_dedup machinery) — documented, not
+# needed for benchmark-suite-sized eval sets.
+# ---------------------------------------------------------------------------
+
+_SDECON_TAU = 0.40  # same threshold family as _SEM_TAU / _PAIRS_THRESHOLD
+
+_SDECON_ORACLE = f"""
+WITH ev AS (
+  SELECT embedding FROM embeddings WHERE vec_id % 10 = 0
+),
+tr AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 10 <> 0
+),
+leaky AS (
+  SELECT DISTINCT tr.vec_id
+  FROM tr JOIN ev ON {cosine_sql('tr.embedding', 'ev.embedding')}
+      >= {_SDECON_TAU}
+),
+flagged AS (
+  SELECT tr.label, (l.vec_id IS NOT NULL) AS lk
+  FROM tr LEFT JOIN leaky l USING (vec_id)
+)
+SELECT label,
+       count(*)::BIGINT AS n_train,
+       sum(CASE WHEN lk THEN 1 ELSE 0 END)::BIGINT AS n_train_excluded,
+       sum(CASE WHEN NOT lk THEN 1 ELSE 0 END)::BIGINT AS n_train_kept
+FROM flagged
+GROUP BY label
+ORDER BY label
+"""
+
+
+@REGISTRY.register(
+    "semantic_decontamination_split",
+    oracle=_SDECON_ORACLE,
+    description="embedding-space eval decontamination: train vectors "
+    "cosine-similar to any eval vector are excluded (exact row-local "
+    "probe against the broadcast eval suite), per-label yield report — "
+    "the semantic member of the decontamination triple",
+    tags=("similarity", "semantic", "sampling", "quality", "scale"),
+)
+def semantic_decontamination_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    # the FIXED eval suite as one broadcastable row (scalar aggregate —
+    # bounded by node type for the plan tripwires; empty corpus yields
+    # an empty array and every probe is cleanly false)
+    ev_static = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .agg(F.collect_list("embedding").alias("evs"))
+    )
+    train = fan_out(
+        emb.filter(F.col("vec_id") % 10 != 0), "vec_id"
+    ).select("vec_id", "label", "embedding")
+    probed = train.crossJoin(F.broadcast(ev_static)).select(
+        "label",
+        F.exists(
+            "evs",
+            lambda v: F.coalesce(
+                cosine_similarity(F.col("embedding"), v) >= _SDECON_TAU,
+                F.lit(False),
+            ),
+        ).alias("lk"),
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        probed.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_train"),
+            one(F.col("lk")).alias("n_train_excluded"),
+            one(~F.col("lk")).alias("n_train_kept"),
+        )
+        .orderBy("label")
+    )

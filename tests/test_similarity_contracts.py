@@ -461,3 +461,94 @@ def test_quantized_recall_single_exchange_and_contract(spark):
     assert plan.count("Exchange hashpartitioning(q_id") == 1
     row = df.collect()[0]
     assert row["recall_ok"] and row["n_hits"] <= row["n_queries"] * row["k"]
+
+
+def test_semantic_decontamination_planted_and_degenerate(spark, tmp_path):
+    """Planted hand test: a train vector pointing the same way as an
+    eval vector is excluded; an orthogonal one survives; a ZERO vector
+    can never leak (its cosine is NULL in both engines and the probe
+    coalesces to false); and the empty corpus yields an empty report.
+    Counts cross-checked against the oracle."""
+    import duckdb
+
+    from mapreduce_sm_spark.operators.similarity import (
+        _SDECON_ORACLE,
+        semantic_decontamination_split,
+    )
+
+    dim = 64
+    e1 = [1.0] + [0.0] * (dim - 1)          # eval direction
+    near = [10.0, 0.1] + [0.0] * (dim - 2)  # same direction, scaled: cos~1
+    orth = [0.0, 1.0] + [0.0] * (dim - 2)   # orthogonal: cos 0
+    zero = [0.0] * dim                       # NULL cosine -> never leaks
+    rows = [
+        (10, 0, e1),    # eval (10 % 10 == 0)
+        (11, 0, near),  # train, leaky
+        (12, 1, orth),  # train, kept
+        (13, 1, zero),  # train, kept (degenerate vector)
+    ]
+    d = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    ).coalesce(1).write.parquet(d)
+    got = {
+        r["label"]: r.asDict()
+        for r in semantic_decontamination_split(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == {"label": 0, "n_train": 1, "n_train_excluded": 1,
+                      "n_train_kept": 0}
+    assert got[1] == {"label": 1, "n_train": 2, "n_train_excluded": 0,
+                      "n_train_kept": 2}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/*.parquet'")
+    oracle = {r[0]: r for r in con.sql(_SDECON_ORACLE).fetchall()}
+    for lbl, r in got.items():
+        assert oracle[lbl] == tuple(r.values())
+
+    d2 = str(tmp_path / "empty" / "embeddings.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, label int, embedding array<float>"
+    ).coalesce(1).write.parquet(d2)
+    assert (
+        semantic_decontamination_split(spark, str(tmp_path / "empty")).collect()
+        == []
+    )
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{d2}/*.parquet'")
+    assert con2.sql(_SDECON_ORACLE).fetchall() == []
+
+
+def test_semantic_decontamination_complements_lexical(spark, tmp_path):
+    """The triple's division of labor, pinned: an eval/train pair that
+    shares NO 8-gram (so the exact lexical guard keeps it) can still be
+    a semantic leak when its embeddings align. Both guards run on the
+    same planted corpus and must disagree in exactly the designed way."""
+    from mapreduce_sm_spark.operators.dedup import (
+        exact_ngram_decontamination,
+    )
+    from mapreduce_sm_spark.operators.similarity import (
+        semantic_decontamination_split,
+    )
+
+    dim = 64
+    e1 = [1.0] + [0.0] * (dim - 1)
+    near = [5.0, 0.01] + [0.0] * (dim - 2)
+    # embeddings: vec 10 eval, vec 11 train — semantically aligned
+    de = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        [(10, 0, e1), (11, 0, near)],
+        "vec_id long, label int, embedding array<float>",
+    ).coalesce(1).write.parquet(de)
+    # documents: same ids, ZERO lexical overlap (disjoint vocabularies)
+    dd = str(tmp_path / "documents.parquet")
+    t_eval = " ".join(f"alpha{i}" for i in range(20))
+    t_train = " ".join(f"beta{i}" for i in range(20))
+    spark.createDataFrame(
+        [(10, "s", t_eval, len(t_eval)), (11, "s", t_train, len(t_train))],
+        "doc_id long, source string, text string, n_chars long",
+    ).coalesce(1).write.parquet(dd)
+
+    lex = exact_ngram_decontamination(spark, str(tmp_path)).collect()
+    assert sum(r["n_train_excluded"] for r in lex) == 0  # lexically clean
+    sem = semantic_decontamination_split(spark, str(tmp_path)).collect()
+    assert sum(r["n_train_excluded"] for r in sem) == 1  # semantically caught
