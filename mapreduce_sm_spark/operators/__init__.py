@@ -80,7 +80,7 @@ from mapreduce_sm_spark.registry import REGISTRY
 # judge-mandated 2+48 composition. r15 late registrations →
 # r16 front, after the two carries: stream_gopher_gate_equality,
 # exact_ngram_decontamination, stream_decontamination_equality,
-# semantic_decontamination_split.
+# semantic_decontamination_split, source_unigram_divergence.
 REGISTRY.set_front(
     (
         # --- (1) the 2 late-r14 registrations, never driver-seen ---

@@ -388,3 +388,148 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram divergence (r15) — distributional mixture
+# diagnostics: how far each source's token distribution sits from the
+# corpus distribution, as an EXACT integer statistic. Mixture weighting
+# (dataset_mixture_weights, source_mixture_sample) treats sources as
+# populations; this measures whether they actually are distinct ones —
+# a source distributionally identical to the corpus adds diversity
+# nothing (the DoReMi-adjacent signal), while an outlier source is
+# either valuable domain signal or contamination to inspect. Statistic:
+# per-mille unigram histograms (floor(c * 1000 / n) — identical floor
+# in both engines), L2^2 distance over the FULL corpus vocabulary, plus
+# each source's most-divergent present token.
+#
+# The absent-token mass is folded in ALGEBRAICALLY — for tokens a
+# source never emits, (0 - pm)^2 = pm^2, so
+#   L2^2 = sum_present[(spm - pm)^2 - pm^2] + sum_all[pm^2]
+# with the second term a corpus-level SCALAR — no source x vocabulary
+# cross join, no dense histogram materialization.
+#
+# Plan shape: ONE corpus token explode into the canonical wordcount
+# exchange groupBy(source, w); everything downstream is vocab- or
+# source-sized (s_tot and the two scalars broadcast; the only other
+# exchange joins the per-source and corpus histograms on w). 100 TB
+# posture: per-term values are bounded by 2e6 (pm <= 1000), so the
+# int64 sum holds to ~4.6e12 distinct tokens — three orders past a
+# Heaps-law vocabulary at 2e13 corpus tokens. A source whose documents
+# are all empty emits no tokens and is absent from the report (it has
+# no distribution to diverge), documented here.
+# ---------------------------------------------------------------------------
+
+_SRC_DIV_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(upper(text), '{WORD_TOKEN_RE_SQL}')) AS w
+  FROM documents
+),
+sw AS (SELECT source, w, count(*)::BIGINT AS c FROM toks GROUP BY source, w),
+s_tot AS (SELECT source, sum(c)::BIGINT AS n FROM sw GROUP BY source),
+cw AS (SELECT w, sum(c)::BIGINT AS c FROM sw GROUP BY w),
+c_tot AS (SELECT sum(c)::BIGINT AS t FROM cw),
+cpm AS (SELECT w, (c * 1000) // t AS pm FROM cw, c_tot),
+allsq AS (SELECT coalesce(sum(pm * pm), 0)::BIGINT AS s2 FROM cpm),
+terms AS (
+  SELECT sw.source, sw.w, ((sw.c * 1000) // s_tot.n) AS spm, cpm.pm
+  FROM sw JOIN s_tot USING (source) JOIN cpm USING (w)
+),
+ranked AS (
+  SELECT source, w, abs(spm - pm) AS d,
+         row_number() OVER (
+           PARTITION BY source ORDER BY abs(spm - pm) DESC, w
+         ) AS rn
+  FROM terms
+)
+SELECT t.source,
+       (SELECT n FROM s_tot WHERE s_tot.source = t.source) AS n_tokens,
+       (sum((t.spm - t.pm) * (t.spm - t.pm) - t.pm * t.pm)
+        + (SELECT s2 FROM allsq))::BIGINT AS l2sq_pm2,
+       max(CASE WHEN r.rn = 1 THEN r.w END) AS top_token,
+       max(CASE WHEN r.rn = 1 THEN r.d END)::BIGINT AS top_diff_pm
+FROM terms t
+JOIN ranked r ON r.source = t.source AND r.w = t.w
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
+@REGISTRY.register(
+    "source_unigram_divergence",
+    oracle=_SRC_DIV_ORACLE,
+    description="per-source unigram-distribution divergence from the "
+    "corpus: exact integer per-mille L2^2 over the full vocabulary "
+    "(absent-token mass folded algebraically) + the most-divergent "
+    "token per source — mixture diagnostics",
+    tags=("text", "sampling", "quality", "scale"),
+)
+def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    # sw is the ONLY corpus-scale computation and it has three consumers
+    # (s_tot, cw/cpm/allsq, terms) — without the persist Catalyst would
+    # replay the corpus explode once per consumer (the doc_lm_surprisal
+    # lesson). The persisted frame is vocab x sources sized, not corpus
+    # sized; the bounded source-sized result is collected below so the
+    # cache's lifetime is scoped to this call (the tokenizer-family
+    # eager pattern — this operator is in the tripwire's explicit
+    # eager set, tests/test_plans.py).
+    sw = (
+        docs.select("source", F.explode(tokenize_words("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    try:
+        s_tot = sw.groupBy("source").agg(F.sum("c").alias("n"))
+        cw = sw.groupBy("w").agg(F.sum("c").alias("cc"))
+        c_tot = cw.agg(F.sum("cc").alias("t"))
+        cpm = cw.crossJoin(F.broadcast(c_tot)).select(
+            "w", F.expr("cc * 1000 DIV t").alias("pm")
+        )
+        allsq = cpm.agg(
+            F.coalesce(F.sum(F.col("pm") * F.col("pm")), F.lit(0))
+            .cast("long")
+            .alias("s2")
+        )
+        terms = (
+            sw.join(F.broadcast(s_tot), "source")
+            .withColumn("spm", F.expr("c * 1000 DIV n"))
+            .join(cpm, "w")
+            .select("source", "w", "n", "spm", "pm")
+        )
+        win = Window.partitionBy("source").orderBy(
+            F.abs(F.col("spm") - F.col("pm")).desc(), F.col("w")
+        )
+        ranked = terms.withColumn("rn", F.row_number().over(win))
+        out = (
+            ranked.groupBy("source")
+            .agg(
+                F.max("n").cast("long").alias("n_tokens"),
+                F.sum(
+                    (F.col("spm") - F.col("pm")) * (F.col("spm") - F.col("pm"))
+                    - F.col("pm") * F.col("pm")
+                )
+                .cast("long")
+                .alias("_present"),
+                F.max(F.when(F.col("rn") == 1, F.col("w"))).alias("top_token"),
+                F.max(F.when(F.col("rn") == 1, F.abs(F.col("spm") - F.col("pm"))))
+                .cast("long")
+                .alias("top_diff_pm"),
+            )
+            .crossJoin(F.broadcast(allsq))
+            .select(
+                "source",
+                "n_tokens",
+                (F.col("_present") + F.col("s2")).cast("long").alias("l2sq_pm2"),
+                "top_token",
+                "top_diff_pm",
+            )
+            .orderBy("source")
+        )
+        rows = out.collect()
+    finally:
+        sw.unpersist()
+    return spark.createDataFrame(rows, out.schema)

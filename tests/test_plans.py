@@ -592,6 +592,9 @@ def test_no_unbounded_cartesian_product(spark):
         # SQL scripting (BEGIN...END) executes at spark.sql() time and
         # hands back the final statement's materialized result
         "sql_scripting_rollup",
+        # persists the shared vocab-sized sw frame and collects the
+        # source-sized report to scope the cache (sampling.py r15)
+        "source_unigram_divergence",
     }
     offenders, n_cross, local_only = [], 0, set()
     for name, q in REGISTRY._queries.items():
