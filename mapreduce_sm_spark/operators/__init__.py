@@ -50,90 +50,93 @@ from mapreduce_sm_spark.operators import (  # noqa: F401
 
 from mapreduce_sm_spark.registry import REGISTRY
 
-# Round-15 driver window: the external correctness gate verifies the first
+# Round-16 driver window: the external correctness gate verifies the first
 # 50 entries of queries(). Entering this round the staleness histogram of
-# freshest driver rows (CORRECTNESS_r01..r14 union) is 50 x r11,
-# 50 x r12, 50 x r13, 50 x r14, plus 2 never-seen (the operators
-# registered after the r14 window froze). That is 52 candidates for 50
-# slots — VERDICT r14 item 1 corrected the earlier "48 remaining r11
-# rows" arithmetic (it was 50). Composition (2 + 48 = 50):
-# (1) the 2 late-r14 registrations, never driver-seen — the promised
-#     first obligation of this round (VERDICT r14 item 1):
-#     source_overlap_matrix (dedup.py) and repeated_passage_prune
-#     (text_analysis.py).
-# (2) 48 of the 50 rows whose freshest driver row is r11. The two
-#     r11 rows that CARRY TO R16 (named per the carry-over
-#     convention): scalar_functions and array_functions_surface —
-#     chosen because both are pure-expression surface queries with the
-#     densest per-function pytest coverage in the suite
-#     (tests/test_scalar_functions.py, tests/test_arrays.py) and no
-#     shuffle/plan risk, so they age one extra round at the lowest
-#     risk. They take the first two r16 slots, ahead of the r12
-#     cohort.
-# After this window the histogram is: 2 x r11 (the named carries),
-# 50 x r12, 50 x r13, 50 x r14, 50 x r15 — no driver-seen query
-# predates r11, and every registered query remains covered every
+# freshest driver rows (CORRECTNESS_r01..r15 union) is 2 x r11 (the
+# carries named in the r15 window comment), 50 x r12, 50 x r13,
+# 50 x r14, 50 x r15, plus the 5 late-r15 registrations that have
+# never been driver-seen. That is 57 candidates for 50 slots.
+# Composition (2 + 5 + 43 = 50), exactly the order VERDICT r15 item 1
+# mandates:
+# (1) the 2 named r11 carries, first by promise:
+#     scalar_functions, array_functions_surface.
+# (2) the 5 late-r15 registrations, never driver-seen, in the order the
+#     r15 window comment assigned them:
+#     stream_gopher_gate_equality, exact_ngram_decontamination,
+#     stream_decontamination_equality, semantic_decontamination_split,
+#     source_unigram_divergence.
+# (3) 43 of the 50 rows whose freshest driver row is r12. The seven
+#     r12 rows that CARRY TO R17 (named per the carry-over
+#     convention, chosen for lowest aging risk — all are pure
+#     row-local expression / deterministic-kernel queries with dense
+#     per-function pytest coverage and no shuffle or plan-choice
+#     risk, unlike the r12 maintenance laws
+#     (dedup_minhash_compaction, stream_minhash_index_equality),
+#     which VERDICT r15 item 5 pins in-window):
+#     string_functions_extended, try_arithmetic_surface,
+#     mask_pii_shapes, variant_props_stats, multimodal_image_meta,
+#     multimodal_audio_meta, multimodal_frame_sample.
+# After this window the histogram is: 7 x r12 (the named carries),
+# 50 x r13, 50 x r14, 50 x r15, 50 x r16 — no driver-seen query
+# predates r12, and every registered query remains covered every
 # pytest run by tests/test_oracle_parity.py (sf0.001) and by the
-# sf0.01 pandas-path local gate. Any registration landing in r15
-# AFTER this window is frozen gets a named r16-front slot here (the
-# r14 convention, VERDICT r14 item 7) rather than displacing the
-# judge-mandated 2+48 composition. r15 late registrations →
-# r16 front, after the two carries: stream_gopher_gate_equality,
-# exact_ngram_decontamination, stream_decontamination_equality,
-# semantic_decontamination_split, source_unigram_divergence.
+# sf0.01 pandas-path local gate. Any registration landing in r16
+# AFTER this window is frozen gets a named r17-front slot here (the
+# r14/r15 convention) rather than displacing this composition.
 REGISTRY.set_front(
     (
-        # --- (1) the 2 late-r14 registrations, never driver-seen ---
-        "source_overlap_matrix",
-        "repeated_passage_prune",
-        # --- (2) 48 of the 50 r11-freshest rows (carries named above) ---
-        "anomaly_zscore_events",
-        "arrow_doc_stats",
-        "arrow_grouped_event_stats",
-        "chunk_documents_plan",
-        "collation_token_counts",
-        "corpus_curation_report",
-        "custom_source_roundtrip",
-        "dedup_edit_distance",
-        "dedup_minhash_persisted",
-        "doc_length_deciles",
-        "embedding_norm_quantiles",
-        "embedding_similar_pairs",
-        "histogram_event_values",
-        "incremental_agg_maintenance",
-        "key_skew_diagnostics",
-        "number_format_roundtrip",
-        "pagerank_supply_graph",
-        "pandas_api_rollup",
-        "percentiles_order_price",
-        "pipe_syntax_rollup",
-        "pmi_collocations",
-        "promo_revenue_ratio",
-        "q17_small_quantity_revenue",
-        "quantile_sketch_order_price",
-        "rollup_lineitem",
-        "scalar_subquery_part_avg",
-        "scd2_point_in_time_join",
-        "schema_evolution_stats",
-        "session_window_events",
-        "skew_salted_agg",
-        "stats_moments_lineitem",
-        "stream_bitmap_equality",
-        "stream_dedup_events",
-        "stream_quantile_equality",
-        "stream_sink_roundtrip",
-        "stream_static_enrich",
-        "text_quality_stats",
-        "tf_cosine_pairs",
-        "tfidf_top_terms",
-        "training_shard_manifest",
-        "udtf_dynamic_kv",
-        "udtf_table_arg_reduce",
-        "window_distribution_funcs",
-        "window_lag_lead_events",
-        "window_rank_top_orders",
-        "window_running_total",
-        "xml_roundtrip_stats",
-        "zorder_bucket_stats",
+        # --- (1) the 2 named r11 carries ---
+        "scalar_functions",
+        "array_functions_surface",
+        # --- (2) the 5 late-r15 registrations, never driver-seen ---
+        "stream_gopher_gate_equality",
+        "exact_ngram_decontamination",
+        "stream_decontamination_equality",
+        "semantic_decontamination_split",
+        "source_unigram_divergence",
+        # --- (3) 43 of the 50 r12-freshest rows (carries named above) ---
+        "bitmap_distinct_users",
+        "bucketed_join_sales_by_segment",
+        "calendar_spine_orders",
+        "cdc_merge_audit",
+        "cogrouped_asof_gap",
+        "dedup_connected_components",
+        "dedup_events_time_window",
+        "dedup_minhash_compaction",
+        "dedup_minhash_incremental",
+        "dedup_simhash60_pairs",
+        "doc_repetition_stats",
+        "filter_clause_group_by_all",
+        "grouped_map_top2_docs",
+        "listagg_order_statuses",
+        "merge_upsert_orders",
+        "mg_heavy_hitters",
+        "parameterized_sql_revenue",
+        "partition_pruned_event_stats",
+        "q12_late_shipment_priority",
+        "q20_volume_suppliers",
+        "q21_waiting_suppliers",
+        "q22_dormant_customers",
+        "q4_order_priority",
+        "q8_market_share",
+        "q9_product_profit",
+        "quality_prune_per_source",
+        "sample_documents_hashmod",
+        "setops_multiset",
+        "setops_nations",
+        "sql_interface_udf",
+        "sql_scripting_rollup",
+        "stream_interval_join",
+        "stream_minhash_index_equality",
+        "stream_stateful_user_totals",
+        "tf_cosine_pairs_prefix",
+        "topk_orders",
+        "train_val_test_split",
+        "udtf_sentence_split",
+        "union_by_name_contacts",
+        "unpivot_lineitem_measures",
+        "window_moving_avg",
+        "window_time_range_frame",
+        "winsorized_price_stats",
     )
 )
