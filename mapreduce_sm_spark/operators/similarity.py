@@ -1691,6 +1691,40 @@ def ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SDECON_TAU = 0.40  # same threshold family as _SEM_TAU / _PAIRS_THRESHOLD
 
+# Eval-suite broadcast-row capacity contract (VERDICT r15 item 2): the
+# one-row collect_list holds dim-64 float vectors (256 B payload each),
+# so 2^18 vectors is ~64 MiB of array payload — comfortably under
+# Spark's 2 GB single-array ceiling and the executor broadcast budget,
+# and well above any published eval benchmark's example count. An eval
+# set past this bound is corpus-sized, i.e. the wrong operator: the
+# guard raises a NAMED error pointing at the cell-blocked fallback
+# instead of letting the oversized row die as an opaque executor OOM
+# (functions/guards.py, the bloom-geometry house pattern).
+_EVAL_VEC_BROADCAST_BOUND = 1 << 18
+
+
+def _eval_vec_static(emb: DataFrame) -> DataFrame:
+    """The FIXED eval suite as one broadcastable row (scalar aggregate —
+    bounded by node type for the plan tripwires; empty corpus yields an
+    empty array and every probe is cleanly false), capacity-guarded per
+    the _EVAL_VEC_BROADCAST_BOUND contract."""
+    from mapreduce_sm_spark.functions.guards import bounded_broadcast_array
+
+    return (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .agg(F.collect_list("embedding").alias("evs"))
+        .select(
+            bounded_broadcast_array(
+                F.col("evs"),
+                _EVAL_VEC_BROADCAST_BOUND,
+                op="semantic_decontamination_split",
+                fallback="cell-blocked semantic index "
+                "(the semantic_dedup machinery)",
+                typ="array<array<float>>",
+            ).alias("evs")
+        )
+    )
+
 _SDECON_ORACLE = f"""
 WITH ev AS (
   SELECT embedding FROM embeddings WHERE vec_id % 10 = 0
@@ -1730,13 +1764,7 @@ def semantic_decontamination_split(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    # the FIXED eval suite as one broadcastable row (scalar aggregate —
-    # bounded by node type for the plan tripwires; empty corpus yields
-    # an empty array and every probe is cleanly false)
-    ev_static = (
-        emb.filter(F.col("vec_id") % 10 == 0)
-        .agg(F.collect_list("embedding").alias("evs"))
-    )
+    ev_static = _eval_vec_static(emb)
     train = fan_out(
         emb.filter(F.col("vec_id") % 10 != 0), "vec_id"
     ).select("vec_id", "label", "embedding")

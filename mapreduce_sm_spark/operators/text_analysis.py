@@ -1363,8 +1363,6 @@ def _gq_partial_counts_arrow(batches):
     """mapInPandas kernel: per-source PARTIAL gate counters within each
     Arrow batch. Pure counting over the JVM-computed boolean flags —
     the gate semantics never leave the JVM."""
-    import pandas as pd
-
     for pdf in batches:
         if pdf.empty:
             continue

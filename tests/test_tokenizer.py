@@ -340,6 +340,7 @@ def test_dict_digest_agrees_across_engines_past_int64_wrap(spark):
     HUGEINT exact sums reduced mod the largest int64 prime) must agree
     bit-for-bit on a dictionary whose term sum straddles the boundary."""
     import duckdb
+    import pandas as pd
 
     from mapreduce_sm_spark.functions.hashing import hash60_py
     from mapreduce_sm_spark.operators.tokenizer import (
@@ -364,7 +365,7 @@ def test_dict_digest_agrees_across_engines_past_int64_wrap(spark):
         .collect()[0]["d"]
     )
     con = duckdb.connect()
-    con.register("words_df", __import__("pandas").DataFrame(rows, columns=["w", "freq"]))
+    con.register("words_df", pd.DataFrame(rows, columns=["w", "freq"]))
     got_duck = con.sql(
         f"SELECT {_whash_sum_sql()} AS d FROM words_df"
     ).fetchall()[0][0]
