@@ -508,6 +508,55 @@ def test_repeated_passage_two_exchanges_no_join(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_exact_ngram_decon_broadcast_semi_and_filter_order(spark):
+    """VERDICT r15 item 4 + ADVICE r15: two contracts for the verbatim
+    decontamination probe, pinned instead of observed.
+
+    1. The eval-gram probe is written as a plain left_semi; SCALING.md
+       r15 recorded AQE choosing BroadcastHashJoin at every tested
+       scale. Pin it: the FINAL adaptive plan must broadcast the
+       distinct eval keys into a LeftSemi on gh — at benchmark-suite
+       eval sizes, shuffling the corpus-scale train gram stream into a
+       sort-merge would be the wrong plan (sort-merge remains the
+       documented, still-correct fallback for eval-heavy regimes).
+    2. Each scan's conjunct evaluates the cheap eval/train modulo
+       split BEFORE size(tokenize(text)), so the regexp tokenize runs
+       only on each side's disjoint slice — one corpus tokenize pass
+       total across the two scans (the pre-r16 shape ordered the
+       conjunct the other way and tokenized the corpus twice)."""
+    import re
+
+    from mapreduce_sm_spark.operators.dedup import (
+        exact_ngram_decontamination,
+    )
+
+    df = exact_ngram_decontamination(spark, SF_DIR)
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # (1) broadcast LeftSemi on the gram hash in the final plan
+    assert re.search(
+        r"BroadcastHashJoin \[gh#\d+L\], \[gh#\d+L\], LeftSemi, BuildRight",
+        final,
+    ), final
+    # (2) modulo short-circuits the tokenize in BOTH scan conjuncts:
+    # train side (NOT ... % 10) and eval side (... % 10) each precede
+    # size(regexp_extract_all(...)) in their Filter's AND tree
+    assert re.search(
+        r"NOT \(\(doc_id#\d+L % 10\) = 0\)\) AND "
+        r"\(size\(regexp_extract_all",
+        final,
+    ), final
+    assert re.search(
+        r" \(\(doc_id#\d+L % 10\) = 0\)\) AND \(size\(regexp_extract_all",
+        final,
+    ), final
+
+
 def test_no_unbounded_cartesian_product(spark):
     """Generic tripwire (r14): a cross join that is NOT against a
     bounded side plans as CartesianProduct/Join Cross over two unbounded
