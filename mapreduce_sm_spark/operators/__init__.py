@@ -83,6 +83,9 @@ from mapreduce_sm_spark.registry import REGISTRY
 # sf0.01 pandas-path local gate. Any registration landing in r16
 # AFTER this window is frozen gets a named r17-front slot here (the
 # r14/r15 convention) rather than displacing this composition.
+# r16 late registrations → r17 front, after the seven named r12
+# carries: ann_filtered_topk, dsir_importance_selection,
+# length_bucket_padding_stats, boilerplate_prefix_stats.
 REGISTRY.set_front(
     (
         # --- (1) the 2 named r11 carries ---

@@ -533,3 +533,164 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         sw.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (r16). Data Selection via Importance
+# Resampling (Xie et al., 2023) scores each raw document by how much
+# more likely it is under a TARGET-domain language model than under the
+# raw-corpus model, then keeps the high-scoring docs. The published
+# recipe uses hashed-ngram LM log-likelihood ratios and stochastic
+# resampling; this operator keeps the structure but moves it onto the
+# house exact integer grid so both engines agree bit-for-bit: unigram
+# per-mille distributions for target (the doc_id%10 fixture slice) and
+# raw, doc score = sum over tokens of c_w * (pm_target[w] - pm_raw[w])
+# (the linearized log-ratio), and DETERMINISTIC threshold selection
+# (score > 0 = "more target-like than raw") instead of resampling.
+# Reported per source: train size, selected size, exact per-mille
+# selection rate, and score mass.
+#
+# 100 TB posture: ONE corpus tokenize into the (doc_id, w, c) multiset,
+# persisted because it feeds two consumers (the vocab aggregate and the
+# per-doc scoring join) — the doc_lm_surprisal multi-consumer lesson,
+# plan-pinned in tests/test_plans.py. Everything downstream is
+# vocab-sized (pm join is a shuffle on w; totals are one broadcast
+# scalar row) or doc-sized (the score rollup and report). No window
+# over the corpus, no global sort, no driver data collect.
+# ---------------------------------------------------------------------------
+
+_DSIR_ORACLE = f"""
+WITH dt AS (
+  SELECT doc_id, (doc_id % 10 = 0) AS ev, w, count(*)::BIGINT AS c
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(upper(text), '{WORD_TOKEN_RE_SQL}')) AS w
+        FROM documents)
+  GROUP BY doc_id, w
+),
+vocab AS (
+  SELECT w,
+         coalesce(sum(c) FILTER (WHERE ev), 0)::BIGINT AS ct,
+         coalesce(sum(c) FILTER (WHERE NOT ev), 0)::BIGINT AS cr
+  FROM dt GROUP BY w
+),
+tot AS (SELECT coalesce(sum(ct), 0) AS nt, coalesce(sum(cr), 0) AS nr FROM vocab),
+pm AS (
+  SELECT w,
+         CASE WHEN nt > 0 THEN ct * 1000 // nt ELSE 0 END AS pm_t,
+         CASE WHEN nr > 0 THEN cr * 1000 // nr ELSE 0 END AS pm_r
+  FROM vocab, tot
+),
+scores AS (
+  SELECT dt.doc_id, sum(dt.c * (pm.pm_t - pm.pm_r))::BIGINT AS score
+  FROM dt JOIN pm USING (w) WHERE NOT dt.ev
+  GROUP BY dt.doc_id
+),
+train AS (SELECT doc_id, source FROM documents WHERE doc_id % 10 <> 0),
+sel AS (
+  SELECT t.source, coalesce(s.score, 0)::BIGINT AS score
+  FROM train t LEFT JOIN scores s USING (doc_id)
+)
+SELECT source,
+       count(*)::BIGINT AS n_train,
+       sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_selected,
+       (sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) * 1000
+           // count(*))::BIGINT AS selected_pm,
+       coalesce(sum(CASE WHEN score > 0 THEN score END), 0)::BIGINT
+           AS sum_score_selected,
+       coalesce(max(score), 0)::BIGINT AS max_score
+FROM sel
+GROUP BY source
+ORDER BY source
+"""
+
+
+@REGISTRY.register(
+    "dsir_importance_selection",
+    oracle=_DSIR_ORACLE,
+    description="DSIR-style importance selection: docs scored by the "
+    "exact integer unigram importance ratio vs the target slice, "
+    "threshold-selected, per-source yield report (Xie et al. 2023, on "
+    "the house per-mille grid with deterministic selection)",
+    tags=("sampling", "mixing", "text", "scale"),
+)
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from mapreduce_sm_spark.session import release_caches, track_caches
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    release_caches("sampling.dsir")
+    # the only corpus tokenize: (doc_id, w, c) multiset, two consumers
+    dt = (
+        docs.select(
+            "doc_id", F.explode(tokenize_words("text")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn("ev", F.col("doc_id") % 10 == 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    track_caches("sampling.dsir", dt)
+    vocab = dt.groupBy("w").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ev"), F.col("c"))), F.lit(0)
+        ).cast("long").alias("ct"),
+        F.coalesce(
+            F.sum(F.when(~F.col("ev"), F.col("c"))), F.lit(0)
+        ).cast("long").alias("cr"),
+    )
+    tot = vocab.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("nt"),
+        F.coalesce(F.sum("cr"), F.lit(0)).cast("long").alias("nr"),
+    )
+    pm = vocab.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.expr("CASE WHEN nt > 0 THEN ct * 1000 DIV nt ELSE 0 END")
+        .cast("long")
+        .alias("pm_t"),
+        F.expr("CASE WHEN nr > 0 THEN cr * 1000 DIV nr ELSE 0 END")
+        .cast("long")
+        .alias("pm_r"),
+    )
+    scores = (
+        dt.filter(~F.col("ev"))
+        .join(pm, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * (F.col("pm_t") - F.col("pm_r")))
+            .cast("long")
+            .alias("score")
+        )
+    )
+    train = docs.select("doc_id", "source").filter(F.col("doc_id") % 10 != 0)
+    sel = train.join(scores, "doc_id", "left").select(
+        "source", F.coalesce("score", F.lit(0)).cast("long").alias("score")
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_train"),
+            one(F.col("score") > 0).alias("n_selected"),
+            F.sum(F.when(F.col("score") > 0, F.col("score")))
+            .alias("_sum_sel"),
+            F.coalesce(F.max("score"), F.lit(0))
+            .cast("long")
+            .alias("max_score"),
+        )
+        .select(
+            "source",
+            "n_train",
+            "n_selected",
+            F.expr("n_selected * 1000 DIV n_train")
+            .cast("long")
+            .alias("selected_pm"),
+            F.coalesce("_sum_sel", F.lit(0))
+            .cast("long")
+            .alias("sum_score_selected"),
+            "max_score",
+        )
+        .orderBy("source")
+    )

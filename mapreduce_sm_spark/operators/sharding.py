@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_sm_spark.functions.hashing import hash60, hash60_sql
+from mapreduce_sm_spark.functions.text import WORD_TOKEN_RE_SQL
 from mapreduce_sm_spark.functions.zorder import zvalue_sql
 from mapreduce_sm_spark.registry import REGISTRY
 from mapreduce_sm_spark.session import table
@@ -455,4 +456,102 @@ def bucketed_join_sales_by_segment(
             ),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batch shaping (r16). Trainers pad every sequence in a
+# batch to the batch's longest member; batching documents of wildly
+# different lengths together burns FLOPs on pad tokens. The standard
+# mitigation is length bucketing: group sequences into width-W length
+# buckets and batch within a bucket, so padding is bounded by W-1 per
+# row. This operator quantifies the decision: per bucket, real tokens
+# vs tokens padded to the global budget (naive batching) vs tokens
+# padded to the bucket ceiling (bucketed batching), waste in exact
+# per-mille. All integer arithmetic — tie-free across engines.
+#
+# 100 TB posture: one corpus scan, row-local tokenize + integer bucket
+# math, a single partial-aggregable groupBy on a <= _PAD_SEQ/_PAD_W
+# (8-value) key — map-side combine collapses every input partition to
+# <= 8 rows before the shuffle. No join, no window over the corpus.
+# ---------------------------------------------------------------------------
+
+_PAD_SEQ = 128  # training sequence length (tokens); fixture docs are 10-110
+_PAD_W = 16  # length-bucket width
+
+_PAD_ORACLE = f"""
+WITH t AS (
+  SELECT least(len(regexp_extract_all(upper(text), '{WORD_TOKEN_RE_SQL}')),
+               {_PAD_SEQ}) AS tok
+  FROM documents
+),
+b AS (
+  SELECT tok,
+         least({_PAD_SEQ},
+               greatest({_PAD_W}, ((tok + {_PAD_W - 1}) // {_PAD_W}) * {_PAD_W}))
+             AS bucket_hi
+  FROM t
+)
+SELECT bucket_hi,
+       count(*)::BIGINT AS n_docs,
+       sum(tok)::BIGINT AS real_tokens,
+       (count(*) * {_PAD_SEQ})::BIGINT AS padded_naive,
+       (count(*) * bucket_hi)::BIGINT AS padded_bucketed,
+       ((count(*) * bucket_hi - sum(tok)) * 1000
+           // (count(*) * bucket_hi))::BIGINT AS waste_pm
+FROM b
+GROUP BY bucket_hi
+ORDER BY bucket_hi
+"""
+
+
+@REGISTRY.register(
+    "length_bucket_padding_stats",
+    oracle=_PAD_ORACLE,
+    description="length-bucketed batch shaping: per width-16 token "
+    "bucket, real tokens vs naive-padded vs bucket-padded token counts "
+    "and exact per-mille padding waste — the measurement behind the "
+    "bucketed-batching decision",
+    tags=("sharding", "text", "scale"),
+)
+def length_bucket_padding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.functions.text import tokenize_words
+
+    docs = table(spark, sf_dir, "documents").select("text")
+    tok = F.least(
+        F.size(tokenize_words("text")), F.lit(_PAD_SEQ)
+    ).alias("tok")
+    # integer ceil-to-width: ((tok + W-1) DIV W) * W, kept in longs
+    bucket = F.least(
+        F.lit(_PAD_SEQ).cast("long"),
+        F.greatest(
+            F.lit(_PAD_W).cast("long"),
+            F.expr(f"((tok + {_PAD_W - 1}) DIV {_PAD_W}) * {_PAD_W}"),
+        ),
+    )
+    return (
+        docs.select(tok)
+        .select("tok", bucket.alias("bucket_hi"))
+        .groupBy("bucket_hi")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("real_tokens"),
+            (F.count("*") * _PAD_SEQ).cast("long").alias("padded_naive"),
+            (F.count("*") * F.col("bucket_hi")).cast("long").alias(
+                "padded_bucketed"
+            ),
+        )
+        .select(
+            "bucket_hi",
+            "n_docs",
+            "real_tokens",
+            "padded_naive",
+            "padded_bucketed",
+            F.expr(
+                "(padded_bucketed - real_tokens) * 1000 DIV padded_bucketed"
+            )
+            .cast("long")
+            .alias("waste_pm"),
+        )
+        .orderBy("bucket_hi")
     )

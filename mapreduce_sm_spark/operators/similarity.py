@@ -1788,3 +1788,80 @@ def semantic_decontamination_split(
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# FILTERED vector search (r16) — the production retrieval shape the ann_*
+# family was missing: real RAG / vector-store queries almost never scan
+# the whole corpus, they carry a metadata predicate (tenant, language,
+# collection, ACL). Here each query retrieves its exact cosine top-k
+# among candidates sharing its label — the predicate becomes the JOIN
+# KEY, so the candidate set shrinks by the label cardinality BEFORE any
+# distance math runs, and with a label-partitioned corpus layout the
+# probe is partition-pruned too (zorder_bucket_stats documents the
+# layout side). Contrast ann_bruteforce_topk, where the broadcast query
+# row fans out against every corpus row.
+#
+# 100 TB posture: the query side is the broadcast dim (guarded by
+# _assert_broadcastable_query_side); the corpus is scanned once and each
+# row joins at most the queries of ITS label. Per-query cost is
+# O(corpus/|labels| * dim) instead of O(corpus * dim). The window top-k
+# is partitioned by q_id (bounded candidate streams), never a global
+# sort. RAW cosine doubles are emitted — the fold is bit-identical in
+# both engines (functions/vectors.py), so no rounding tie channel.
+# ---------------------------------------------------------------------------
+
+_FILT_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, label, embedding AS qv
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (SELECT vec_id AS c_id, label, embedding AS cv FROM embeddings)
+SELECT q_id, c_id, cos, rn AS rank
+FROM (
+  SELECT q_id, c_id,
+         {cosine_sql('qv', 'cv')} AS cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY {cosine_sql('qv', 'cv')} DESC, c_id ASC) AS rn
+  FROM q JOIN c ON q.label = c.label AND q_id <> c_id
+)
+WHERE rn <= {_TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+@REGISTRY.register(
+    "ann_filtered_topk",
+    oracle=_FILT_ORACLE,
+    description="metadata-filtered exact cosine top-k: each query "
+    "retrieves only within its label partition (the RAG / vector-store "
+    "predicate-search shape) — the filter is the join key, pruning "
+    "candidates before any distance math",
+    tags=("similarity", "scale"),
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
+    _assert_broadcastable_query_side(_N_QUERIES)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), "label", F.col("embedding").alias("cv")
+    )
+    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("c_id").asc()
+    )
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("q_label"))
+            & (F.col("q_id") != F.col("c_id")),
+        )
+        .select("q_id", "c_id", sim.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .orderBy("q_id", "rank")
+    )

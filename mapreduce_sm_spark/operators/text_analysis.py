@@ -1772,3 +1772,103 @@ def repeated_passage_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate / template-prefix detection (r16). Web-scraped corpora are
+# full of template documents — the same navigation header, cookie
+# banner, or license preamble prepended to thousands of pages of one
+# domain. The standard diagnostic before writing a removal rule is:
+# per source, how concentrated are document PREFIXES? A source whose
+# top 3-token prefix covers a large share of its documents is template-
+# generated; an organic source's prefixes are near-unique. (C4 and
+# Gopher both describe line/prefix-level boilerplate rules; this is the
+# measurement that justifies them.)
+#
+# 100 TB posture: one corpus scan, row-local tokenize + slice to a
+# 3-token prefix (short string — grouped directly; a longer prefix key
+# would go through hash60 like the gram families). Two exchanges: the
+# (source, prefix) count and the source-partitioned top-1 window over
+# the already-collapsed prefix frame (<= distinct-prefix rows, far
+# below corpus size). No join; exact integer shares.
+# ---------------------------------------------------------------------------
+
+_BP_K = 3  # prefix length in tokens
+
+_BP_ORACLE = f"""
+WITH p AS (
+  SELECT source,
+         array_to_string(
+           list_slice(regexp_extract_all(upper(text), '[A-Z][A-Z'']*'),
+                      1, {_BP_K}), ' ') AS prefix
+  FROM documents
+),
+c AS (
+  SELECT source, prefix, count(*)::BIGINT AS n
+  FROM p GROUP BY source, prefix
+),
+r AS (
+  SELECT source, prefix, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, prefix ASC) AS rn,
+         sum(n) OVER (PARTITION BY source) AS n_docs,
+         count(*) OVER (PARTITION BY source) AS n_prefixes
+  FROM c
+)
+SELECT source,
+       n_docs::BIGINT AS n_docs,
+       n_prefixes::BIGINT AS n_prefixes,
+       prefix AS top_prefix,
+       n AS top_prefix_docs,
+       (n * 1000 // n_docs)::BIGINT AS top_share_pm
+FROM r
+WHERE rn = 1
+ORDER BY source
+"""
+
+
+@REGISTRY.register(
+    "boilerplate_prefix_stats",
+    oracle=_BP_ORACLE,
+    description="template/boilerplate diagnostic: per source, distinct "
+    "3-token document prefixes and the share of docs behind the most "
+    "common one (exact per-mille) — the measurement behind C4/Gopher-"
+    "style boilerplate removal rules",
+    tags=("text", "quality"),
+)
+def boilerplate_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from mapreduce_sm_spark.functions.text import tokenize_words
+
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    prefix = F.array_join(
+        F.slice(tokenize_words("text"), 1, _BP_K), " "
+    ).alias("prefix")
+    counts = (
+        docs.select("source", prefix)
+        .groupBy("source", "prefix")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wsrc = Window.partitionBy("source")
+    wtop = wsrc.orderBy(F.col("n").desc(), F.col("prefix").asc())
+    return (
+        counts.select(
+            "source",
+            "prefix",
+            "n",
+            F.row_number().over(wtop).alias("rn"),
+            F.sum("n").over(wsrc).alias("n_docs"),
+            F.count("*").over(wsrc).alias("n_prefixes"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_prefixes").cast("long").alias("n_prefixes"),
+            F.col("prefix").alias("top_prefix"),
+            F.col("n").alias("top_prefix_docs"),
+            F.expr("n * 1000 DIV n_docs").cast("long").alias("top_share_pm"),
+        )
+        .orderBy("source")
+    )

@@ -508,6 +508,65 @@ def test_repeated_passage_two_exchanges_no_join(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_dsir_tokenizes_corpus_once(spark):
+    """dsir_importance_selection's (doc_id, w, c) multiset feeds the
+    vocab aggregate AND the per-doc scoring join; the executed plan must
+    read the cached frame in every consumer instead of replaying the
+    corpus tokenize-explode (the doc_lm_surprisal multi-consumer
+    lesson)."""
+    from mapreduce_sm_spark.operators.sampling import (
+        dsir_importance_selection,
+    )
+
+    plan = _plan(dsir_importance_selection(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_padding_stats_single_exchange_no_explode(spark):
+    """length_bucket_padding_stats is row-local integer math into a
+    <= 8-value key: exactly one hash exchange (map-side combine
+    collapses each input partition first), no join, and NO gram/token
+    explode — size(tokenize) never materializes the token array rows."""
+    from mapreduce_sm_spark.operators.sharding import (
+        length_bucket_padding_stats,
+    )
+
+    plan = _plan(length_bucket_padding_stats(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Generate explode" not in plan
+
+
+def test_boilerplate_two_exchanges_no_join(spark):
+    """boilerplate_prefix_stats: the (source, prefix) count exchange and
+    the source-partitioned top-1 window over the collapsed prefix frame
+    — two hash exchanges, no join anywhere."""
+    from mapreduce_sm_spark.operators.text_analysis import (
+        boilerplate_prefix_stats,
+    )
+
+    plan = _plan(boilerplate_prefix_stats(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_filtered_ann_is_label_broadcast_join(spark):
+    """ann_filtered_topk's metadata predicate must be the JOIN KEY: a
+    BroadcastHashJoin on label with the q_id<>c_id residual — never a
+    cartesian/BNLJ fan-out of the corpus against every query (the
+    unfiltered ann_bruteforce_topk shape)."""
+    import re
+
+    from mapreduce_sm_spark.operators.similarity import ann_filtered_topk
+
+    plan = _plan(ann_filtered_topk(spark, SF_DIR))
+    assert re.search(
+        r"BroadcastHashJoin \[label#\d+\], \[q_label#\d+\], Inner", plan
+    ), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_exact_ngram_decon_broadcast_semi_and_filter_order(spark):
     """VERDICT r15 item 4 + ADVICE r15: two contracts for the verbatim
     decontamination probe, pinned instead of observed.

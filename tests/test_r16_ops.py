@@ -1,0 +1,189 @@
+"""Hand-traced fixtures for the r16 registrations: filtered ANN,
+DSIR importance selection, length-bucket padding stats, boilerplate
+prefix detection. Each op also runs in the all-query oracle-parity
+sweep; these pin the hand-computable semantics the sweep can't isolate
+(planted positives, ties, degenerate corpora)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from mapreduce_sm_spark.operators.sampling import (
+    _DSIR_ORACLE,
+    dsir_importance_selection,
+)
+from mapreduce_sm_spark.operators.sharding import (
+    _PAD_ORACLE,
+    length_bucket_padding_stats,
+)
+from mapreduce_sm_spark.operators.similarity import ann_filtered_topk
+from mapreduce_sm_spark.operators.text_analysis import (
+    _BP_ORACLE,
+    boilerplate_prefix_stats,
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    ).coalesce(1).write.parquet(d)
+    return d
+
+
+def _duck(path):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    return con
+
+
+# --- length_bucket_padding_stats -------------------------------------------
+
+
+def test_padding_stats_hand_computed(spark, tmp_path):
+    """tok=1 -> bucket 16 (waste (16-1)*1000 DIV 16 = 937); tok=0 (no
+    letter tokens) also lands in the 16 floor bucket; tok=17 -> 32
+    (waste 468); 300 tokens truncate to the 128 budget -> bucket 128,
+    waste 0."""
+    long_doc = " ".join(["w"] * 300)
+    seventeen = " ".join(["w"] * 17)
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "s", "a", 1),
+            (2, "s", "1 2 3", 5),  # zero word tokens
+            (3, "s", seventeen, len(seventeen)),
+            (4, "s", long_doc, len(long_doc)),
+        ],
+    )
+    rows = [
+        tuple(r)
+        for r in length_bucket_padding_stats(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [
+        (16, 2, 1, 256, 32, 968),  # docs 1 and 2: real 1+0
+        (32, 1, 17, 128, 32, 468),
+        (128, 1, 128, 128, 128, 0),
+    ]
+    assert _duck(d).sql(_PAD_ORACLE).fetchall() == rows
+
+
+def test_padding_stats_empty_corpus(spark, tmp_path):
+    d = _write_docs(spark, tmp_path, [])
+    assert length_bucket_padding_stats(spark, str(tmp_path)).collect() == []
+    assert _duck(d).sql(_PAD_ORACLE).fetchall() == []
+
+
+# --- boilerplate_prefix_stats -----------------------------------------------
+
+
+def test_boilerplate_planted_template_and_tie(spark, tmp_path):
+    """sA: 2 of 3 docs share the FOO BAR BAZ template prefix -> share
+    666 pm over 2 distinct prefixes. sB: 1-token doc, prefix is the
+    whole (short) token list. sC: designed tie (two singleton
+    prefixes) broken by prefix ASC."""
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "sA", "foo bar baz one", 15),
+            (2, "sA", "foo bar baz two", 15),
+            (3, "sA", "foo bar qux", 11),
+            (4, "sB", "hi", 2),
+            (5, "sC", "b b b", 5),
+            (6, "sC", "a a a", 5),
+        ],
+    )
+    rows = [
+        tuple(r)
+        for r in boilerplate_prefix_stats(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [
+        ("sA", 3, 2, "FOO BAR BAZ", 2, 666),
+        ("sB", 1, 1, "HI", 1, 1000),
+        ("sC", 2, 2, "A A A", 1, 500),
+    ]
+    assert _duck(d).sql(_BP_ORACLE).fetchall() == rows
+
+
+def test_boilerplate_empty_corpus(spark, tmp_path):
+    d = _write_docs(spark, tmp_path, [])
+    assert boilerplate_prefix_stats(spark, str(tmp_path)).collect() == []
+    assert _duck(d).sql(_BP_ORACLE).fetchall() == []
+
+
+# --- dsir_importance_selection ----------------------------------------------
+
+
+def test_dsir_hand_computed_selection(spark, tmp_path):
+    """Target slice (doc_id 10) is all X -> pm_t[X]=1000, pm_t[Y]=0.
+    Raw: doc1 'x x y', doc2 'y y' -> nr=5, pm_r[X]=400, pm_r[Y]=600.
+    doc1 score = 2*(1000-400) + 1*(0-600) = 600 > 0 -> selected.
+    doc2 score = 2*(0-600) = -1200 -> rejected (and sB's max_score is
+    the real -1200, not a coalesced 0). doc3 has no word tokens ->
+    score coalesces to 0, counted in n_train, not selected."""
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (10, "tgt", "x x x x", 7),
+            (1, "sA", "x x y", 5),
+            (2, "sB", "y y", 3),
+            (3, "sB", "123", 3),
+        ],
+    )
+    rows = [
+        tuple(r)
+        for r in dsir_importance_selection(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [
+        ("sA", 1, 1, 1000, 600, 600),
+        ("sB", 2, 0, 0, 0, 0),
+    ]
+    assert _duck(d).sql(_DSIR_ORACLE).fetchall() == rows
+
+
+def test_dsir_empty_target_slice_selects_nothing(spark, tmp_path):
+    """No doc_id%10==0 docs -> nt=0 -> pm_t all 0 -> every score is
+    -sum(c*pm_r) <= 0 -> nothing selected, in both engines. Raw dist:
+    nr=4, pm_r[X]=pm_r[Y]=500; doc1 = 2*(-500)+1*(-500) = -1500,
+    doc2 = 1*(-500) = -500 -> max_score is the real -500."""
+    d = _write_docs(
+        spark, tmp_path, [(1, "sA", "x x y", 5), (2, "sA", "y", 1)]
+    )
+    rows = [
+        tuple(r)
+        for r in dsir_importance_selection(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [("sA", 2, 0, 0, 0, -500)]
+    assert _duck(d).sql(_DSIR_ORACLE).fetchall() == rows
+
+
+def test_dsir_empty_corpus(spark, tmp_path):
+    d = _write_docs(spark, tmp_path, [])
+    assert dsir_importance_selection(spark, str(tmp_path)).collect() == []
+    assert _duck(d).sql(_DSIR_ORACLE).fetchall() == []
+
+
+# --- ann_filtered_topk --------------------------------------------------------
+
+
+def test_filtered_ann_excludes_closer_cross_label_neighbor(spark, tmp_path):
+    """vec2 (label 2) is cosine-identical to query vec0 (label 1) but
+    MUST be excluded by the label filter; vec0's only neighbor is the
+    same-label vec1. vec2's own label block is a singleton -> no rows."""
+    e = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),
+            (1, [1.0, 0.1], 1),
+            (2, [1.0, 0.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(e)
+    rows = [
+        (r["q_id"], r["c_id"], r["rank"])
+        for r in ann_filtered_topk(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [(0, 1, 1), (1, 0, 1)]
