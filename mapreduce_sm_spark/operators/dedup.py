@@ -2279,7 +2279,7 @@ def stream_decontamination_equality(
             ),
         ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
 
-    eval_static = _eval_gram_static(docs, gram_hashes)
+    eval_grams_guarded = _eval_gram_static(docs, gram_hashes)
 
     base = tempfile.mkdtemp(prefix="decon_stream_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
@@ -2290,6 +2290,19 @@ def stream_decontamination_equality(
     )
     # 8 part files consumed 2 per trigger => 4 separate sink commits
     docs.repartition(8).write.mode("overwrite").parquet(feed_dir)
+    # The eval gram set is a PRECOMPUTED ARTIFACT, not a per-trigger
+    # subquery: a stream-static join re-evaluates the static subplan on
+    # EVERY micro-batch, so leaving the collect_set aggregate inline
+    # re-tokenized the whole eval corpus once per trigger — measured at
+    # the sf0.1 x10 decade, that recompute dominated an 86 s wall
+    # (SCALING.md r16). Materializing the guarded one-row frame once
+    # (the capacity guard fires here, at artifact build time) and
+    # re-reading the tiny parquet per trigger is also the production
+    # shape: a fixed benchmark suite's gram set is built once and
+    # shipped to the stream as data.
+    ev_path = _os.path.join(base, "eval_grams.parquet")
+    eval_grams_guarded.write.mode("overwrite").parquet(ev_path)
+    eval_static = spark.read.parquet(ev_path)
     stream = documents_text_stream(
         spark,
         base,
