@@ -84,8 +84,10 @@ from mapreduce_sm_spark.registry import REGISTRY
 # AFTER this window is frozen gets a named r17-front slot here (the
 # r14/r15 convention) rather than displacing this composition.
 # r16 late registrations → r17 front, after the seven named r12
-# carries: ann_filtered_topk, dsir_importance_selection,
-# length_bucket_padding_stats, boilerplate_prefix_stats.
+# carries, in registration order: ann_filtered_topk,
+# dsir_importance_selection, length_bucket_padding_stats,
+# boilerplate_prefix_stats, dedup_containment_pairs,
+# embedding_dimension_stats, langid_confusion_matrix.
 REGISTRY.set_front(
     (
         # --- (1) the 2 named r11 carries ---

@@ -2405,3 +2405,142 @@ def stream_decontamination_equality(
         "n_mismatch",
         (F.col("n_mismatch") == 0).alias("stream_equals_batch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric CONTAINMENT pairs (r16). Symmetric Jaccard misses the
+# quote/excerpt case by construction: a short doc fully embedded in a
+# long one has tiny J(A,B) = |A∩B|/|A∪B| but containment
+# C(A→B) = |A∩B|/|A| = 1.0. That directed signal is what a curation
+# pipeline needs to drop excerpts while keeping their sources (and the
+# doc-level cousin of exact_ngram_decontamination's verbatim guard).
+#
+# Blocking is the containment variant of the AllPairs prefix theorem
+# (Chaudhuri/Ganti/Kaushik ssjoin, ICDE'06; Bayardo et al. WWW'07):
+# C(A→B) >= t forces |A∩B| >= ceil(t·|A|), so under ANY global shingle
+# order A's prefix of length |A| - ceil(t·|A|) + 1 contains a shared
+# shingle — but the CONTAINER side is NOT prefixed (the shared shingle
+# can sit anywhere in B), so the candidate join is A-prefix x B-full.
+# That asymmetry is the honest cost model: containment joins carry the
+# full index side where similarity joins carry a prefix, which is why
+# the threshold stays high (0.8) — the same trade the literature makes.
+#
+# 100 TB posture: one corpus shingle pass (the cached sh frame), a
+# rarest-first prefix on the contained side (global-df order keeps
+# prefix tokens rare, so the equality join stays near-linear), lossless
+# length (|B| >= t·|A|, integer cross-multiplied) and positional
+# (1 + |A| - p_a >= ceil(t·|A|)) filters before the exact verify
+# join-back. Never an all-pairs product; the DuckDB oracle IS the
+# all-pairs semantic definition within lang blocks.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_PM4 = 8000  # C(A->B) >= 0.80
+
+_CONTAIN_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, lang, list_distinct({_SH}) AS s
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       (len(list_intersect(a.s, b.s)) * 10000) // len(a.s)
+           AS containment_pm4
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+WHERE (len(list_intersect(a.s, b.s)) * 10000) // len(a.s)
+          >= {_CONTAIN_PM4}
+ORDER BY doc_a, doc_b
+"""
+
+
+@REGISTRY.register(
+    "dedup_containment_pairs",
+    oracle=_CONTAIN_ORACLE,
+    description="directed shingle-containment pairs C(A->B) >= 0.80 via "
+    "a prefix-x-full-index join (ssjoin blocking) — the quote/excerpt "
+    "guard symmetric Jaccard structurally misses",
+    tags=("dedup", "text", "scale"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _CONTAIN_PM4 / 10000.0
+    release_caches("dedup.containment")  # one-generation discipline
+    sh = _shingle_sets(spark, sf_dir).withColumn("n", F.size("s")).cache()
+    sh.count()  # materialization barrier (see dedup_ngram_jaccard)
+    toks = sh.select("doc_id", "lang", "n", F.explode("s").alias("tok"))
+    df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    # contained-side prefix |A| - ceil(t|A|) + 1, as floor((1-t)|A|) + 2
+    # with the +1 safety margin (longer prefix adds candidates, never
+    # loses); rarest-first under the global (df, tok) order
+    pref_len = (F.floor(F.col("n") * F.lit(1.0 - t)) + F.lit(2)).cast("int")
+    a_pref = (
+        toks.join(df_counts, "tok")
+        .groupBy("doc_id", "lang", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("st"))
+        .select(
+            "doc_id",
+            "lang",
+            "n",
+            F.posexplode(F.slice("st", 1, pref_len)).alias("p0", "e"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n",
+            F.col("e.tok").alias("tok"),
+            (F.col("p0") + 1).alias("p"),
+        )
+    )
+    a, b = a_pref.alias("a"), toks.alias("b")
+    # positional filter: for the smallest common shingle's prefix row,
+    # every earlier A element is unshared, so overlap <= 1 + (na - pa);
+    # a qualifying pair needs overlap >= ceil(t*na) (integer-safe via
+    # cross-multiplication on the length filter below)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            # length filter: C(A->B) >= t forces |B| >= t*|A|
+            & (F.col("b.n") * 10000 >= F.col("a.n") * _CONTAIN_PM4)
+            # positional filter (lossless, see note above)
+            & (
+                (F.lit(1) + F.col("a.n") - F.col("a.p")) * 10000
+                >= F.col("a.n") * _CONTAIN_PM4
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    track_caches("dedup.containment", sh)
+    # exact verify on the cached long arrays; joins pinned to sort-merge
+    # for the same AQE broadcast-rebuild reason dedup_ngram_jaccard
+    # documents (and SMJ is the 100 TB strategy anyway)
+    sets = sh.select("doc_id", "n", F.col("s").alias("hs"))
+    pairs = (
+        cand.hint("merge")
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hs").alias("sa"),
+                F.col("n").alias("na"),
+            ).hint("merge"),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb")
+            ).hint("merge"),
+            "doc_b",
+        )
+    )
+    contain = _idiv(
+        F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("long")
+        * F.lit(10000),
+        F.col("na").cast("long"),
+    )
+    return (
+        pairs.select("doc_a", "doc_b", contain.alias("containment_pm4"))
+        .filter(F.col("containment_pm4") >= _CONTAIN_PM4)
+        .orderBy("doc_a", "doc_b")
+    )

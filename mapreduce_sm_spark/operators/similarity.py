@@ -1865,3 +1865,68 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding dimension QC (r16). Before any ANN/dedup machinery trusts an
+# embedding column at corpus scale, the per-DIMENSION distribution is
+# the cheap health check: dead dimensions (constant output — wasted
+# index capacity), scale drift between ingestion batches, and saturated
+# dimensions all show up here long before recall numbers degrade. Raw
+# exact integers on the house per-mille grid (floor(x*1000) — the
+# float->double promotion and the *1000 are the same IEEE ops in both
+# engines, so the grid is bit-portable); the reader derives moments.
+#
+# 100 TB posture: one corpus pass, posexplode to (dim, g) and a single
+# partial-aggregable groupBy on a dim-sized key (64 values) — map-side
+# combine collapses every partition to <= dim rows before the shuffle.
+# No join, no window.
+# ---------------------------------------------------------------------------
+
+_DIMSTATS_ORACLE = """
+WITH g AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         floor(unnest(embedding)::DOUBLE * 1000)::BIGINT AS g
+  FROM embeddings
+)
+SELECT dim::INT AS dim,
+       count(*)::BIGINT AS n,
+       sum(g)::BIGINT AS sum_g,
+       sum(g * g)::BIGINT AS sumsq_g,
+       min(g)::BIGINT AS min_g,
+       max(g)::BIGINT AS max_g,
+       (min(g) = max(g)) AS dead
+FROM g
+GROUP BY dim
+ORDER BY dim
+"""
+
+
+@REGISTRY.register(
+    "embedding_dimension_stats",
+    oracle=_DIMSTATS_ORACLE,
+    description="per-dimension embedding QC: exact integer-grid count/"
+    "sum/sumsq/min/max + dead-dimension flag over one corpus pass — the "
+    "health check run before ANN machinery trusts a vector column",
+    tags=("similarity", "quality", "scale"),
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
+    g = emb.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000).cast("long").alias("g"),
+    )
+    return (
+        g.groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("g").cast("long").alias("sum_g"),
+            F.sum(F.col("g") * F.col("g")).cast("long").alias("sumsq_g"),
+            F.min("g").cast("long").alias("min_g"),
+            F.max("g").cast("long").alias("max_g"),
+        )
+        .withColumn("dead", F.col("min_g") == F.col("max_g"))
+        .orderBy("dim")
+    )

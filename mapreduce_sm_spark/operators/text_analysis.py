@@ -1872,3 +1872,67 @@ def boilerplate_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-label audit (r16). Crawled corpora carry declared language
+# labels of wildly uneven quality; the standard pre-training audit is
+# the confusion matrix between the declared label and a cheap
+# content-based language ID — a source whose declared labels disagree
+# with content needs relabeling before per-language mixture weighting
+# trusts it. Composes the registered lang_id_heuristic (same argmax,
+# same deterministic tie order) into the (declared x predicted) matrix
+# with exact per-mille row shares.
+#
+# 100 TB posture: the heuristic is row-local scoring; the matrix is one
+# partial-aggregable groupBy on a <= |langs|^2+|langs| key (map-side
+# combine collapses each partition to <= 30 rows) plus a window over
+# the collapsed matrix frame. No join.
+# ---------------------------------------------------------------------------
+
+_LANGID_CONF_ORACLE = f"""
+WITH report AS ({_LANGID_ORACLE})
+SELECT declared_lang, predicted_lang,
+       count(*)::BIGINT AS n_docs,
+       (count(*) * 1000
+           // sum(count(*)) OVER (PARTITION BY declared_lang))::BIGINT
+           AS share_pm
+FROM report
+GROUP BY declared_lang, predicted_lang
+ORDER BY declared_lang, predicted_lang
+"""
+
+
+@REGISTRY.register(
+    "langid_confusion_matrix",
+    oracle=_LANGID_CONF_ORACLE,
+    description="declared-vs-predicted language confusion matrix with "
+    "exact per-mille row shares — the label-quality audit run before "
+    "per-language mixture weighting trusts declared labels",
+    tags=("text", "quality"),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    report = lang_id_heuristic(spark, sf_dir)
+    counts = report.groupBy("declared_lang", "predicted_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("declared_lang")
+    return (
+        counts.select(
+            "declared_lang",
+            "predicted_lang",
+            "n_docs",
+            F.expr("n_docs * 1000")
+            .alias("_num"),
+            F.sum("n_docs").over(w).alias("_den"),
+        )
+        .select(
+            "declared_lang",
+            "predicted_lang",
+            "n_docs",
+            F.expr("_num DIV _den").cast("long").alias("share_pm"),
+        )
+        .orderBy("declared_lang", "predicted_lang")
+    )

@@ -567,6 +567,48 @@ def test_filtered_ann_is_label_broadcast_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_containment_candidates_equality_join_no_cartesian(spark):
+    """dedup_containment_pairs: the candidate stage is an EQUALITY join
+    on (lang, tok) — the ssjoin prefix-x-full-index shape — never a
+    cartesian/BNLJ, and both exact-verify join-backs are pinned to
+    sort-merge (the dedup_ngram_jaccard AQE-rebuild lesson)."""
+    import re
+
+    from mapreduce_sm_spark.operators.dedup import dedup_containment_pairs
+
+    plan = _plan(dedup_containment_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"Join \[lang#\d+, tok#\d+L\]", plan), plan
+    assert plan.count("SortMergeJoin") >= 2
+
+
+def test_dimension_stats_two_exchanges_no_join(spark):
+    """embedding_dimension_stats: the fan_out repartition and the
+    dim-sized groupBy are the only hash exchanges; no join anywhere —
+    map-side combine collapses each partition to <= dim rows."""
+    from mapreduce_sm_spark.operators.similarity import (
+        embedding_dimension_stats,
+    )
+
+    plan = _plan(embedding_dimension_stats(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_langid_confusion_two_exchanges_no_join(spark):
+    """langid_confusion_matrix: row-local scoring into the
+    (declared, predicted) count exchange plus the declared-partitioned
+    share window over the <= |langs|^2 matrix frame; no join."""
+    from mapreduce_sm_spark.operators.text_analysis import (
+        langid_confusion_matrix,
+    )
+
+    plan = _plan(langid_confusion_matrix(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
 def test_exact_ngram_decon_broadcast_semi_and_filter_order(spark):
     """VERDICT r15 item 4 + ADVICE r15: two contracts for the verbatim
     decontamination probe, pinned instead of observed.

@@ -187,3 +187,126 @@ def test_filtered_ann_excludes_closer_cross_label_neighbor(spark, tmp_path):
         for r in ann_filtered_topk(spark, str(tmp_path)).collect()
     ]
     assert rows == [(0, 1, 1), (1, 0, 1)]
+
+
+# --- dedup_containment_pairs (wave 2) ----------------------------------------
+
+
+def test_containment_planted_excerpt_is_directed(spark, tmp_path):
+    """docA's text is a verbatim substring of docB -> every A-shingle is
+    a B-shingle: C(A->B) = 10000 exactly, while C(B->A) stays under the
+    0.8 gate (B is much longer) — the directed signal symmetric Jaccard
+    misses. docC shares nothing. Both engines byte-equal."""
+    import duckdb
+
+    from mapreduce_sm_spark.operators.dedup import (
+        _CONTAIN_ORACLE,
+        dedup_containment_pairs,
+    )
+
+    excerpt = "the quick brown fox jumps over the lazy dog"
+    container = (
+        "opening words before the excerpt now " + excerpt
+        + " and a long closing passage that keeps the container's own "
+        "shingle set far larger than the excerpt's"
+    )
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [
+            (1, excerpt, "en", "sA", len(excerpt)),
+            (2, container, "en", "sA", len(container)),
+            (3, "completely unrelated text with zero shared windows",
+             "en", "sB", 49),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(d)
+    rows = [
+        tuple(r) for r in dedup_containment_pairs(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [(1, 2, 10000)]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    assert con.sql(_CONTAIN_ORACLE).fetchall() == rows
+
+
+def test_containment_empty_corpus(spark, tmp_path):
+    from mapreduce_sm_spark.operators.dedup import dedup_containment_pairs
+
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(d)
+    assert dedup_containment_pairs(spark, str(tmp_path)).collect() == []
+
+
+# --- embedding_dimension_stats (wave 2) ---------------------------------------
+
+
+def test_dimension_stats_hand_computed_with_dead_dim(spark, tmp_path):
+    """dim1: grids 500/1000; dim2: -500/0; dim3 constant 250 -> dead."""
+    import duckdb
+
+    from mapreduce_sm_spark.operators.similarity import (
+        _DIMSTATS_ORACLE,
+        embedding_dimension_stats,
+    )
+
+    e = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        [
+            (0, [0.5, -0.5, 0.25], 1),
+            (1, [1.0, 0.0, 0.25], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.parquet(e)
+    rows = [
+        tuple(r)
+        for r in embedding_dimension_stats(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [
+        (1, 2, 1500, 1250000, 500, 1000, False),
+        (2, 2, -500, 250000, -500, 0, False),
+        (3, 2, 500, 125000, 250, 250, True),
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{e}/*.parquet'")
+    assert con.sql(_DIMSTATS_ORACLE).fetchall() == rows
+
+
+# --- langid_confusion_matrix (wave 2) ------------------------------------------
+
+
+def test_langid_confusion_planted_mislabels(spark, tmp_path):
+    """3 docs declared 'en': two with English stopwords (agree), one
+    with Spanish content -> (en,en) share 666, (en,es) share 333; a
+    stopword-free doc declared 'de' lands in (de,unknown) at 1000."""
+    import duckdb
+
+    from mapreduce_sm_spark.operators.text_analysis import (
+        _LANGID_CONF_ORACLE,
+        langid_confusion_matrix,
+    )
+
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [
+            (1, "the cat and the hat", "en", "s", 19),
+            (2, "a tale of the sea", "en", "s", 17),
+            (3, "el que la vio y que", "en", "s", 19),
+            (4, "zzz qqq xxx", "de", "s", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(d)
+    rows = [
+        tuple(r)
+        for r in langid_confusion_matrix(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [
+        ("de", "unknown", 1, 1000),
+        ("en", "en", 2, 666),
+        ("en", "es", 1, 333),
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    assert con.sql(_LANGID_CONF_ORACLE).fetchall() == rows
