@@ -2415,31 +2415,53 @@ def stream_decontamination_equality(
 # pipeline needs to drop excerpts while keeping their sources (and the
 # doc-level cousin of exact_ngram_decontamination's verbatim guard).
 #
+# The set element is the WORD 4-GRAM (the published granularity for
+# verbatim-overlap guards — GPT-3/PaLM use word n-grams, not char
+# shingles), hashed through hash60. That choice is also what keeps the
+# blocking selective: char-5-shingles on this fixture's bounded
+# synthetic vocabulary gave every same-lang pair ~10% shingle overlap,
+# and the prefix filter's candidate set degenerated toward all-pairs
+# (measured: 28.4M of ~50M possible pairs at the x10 decade, 280-316 s
+# wall — SCALING.md r16). Word 4-grams draw from a combinatorially
+# large space, so gram dfs are genuinely small and prefixes prune.
+#
 # Blocking is the containment variant of the AllPairs prefix theorem
 # (Chaudhuri/Ganti/Kaushik ssjoin, ICDE'06; Bayardo et al. WWW'07):
-# C(A→B) >= t forces |A∩B| >= ceil(t·|A|), so under ANY global shingle
+# C(A→B) >= t forces |A∩B| >= ceil(t·|A|), so under ANY global gram
 # order A's prefix of length |A| - ceil(t·|A|) + 1 contains a shared
-# shingle — but the CONTAINER side is NOT prefixed (the shared shingle
-# can sit anywhere in B), so the candidate join is A-prefix x B-full.
-# That asymmetry is the honest cost model: containment joins carry the
-# full index side where similarity joins carry a prefix, which is why
-# the threshold stays high (0.8) — the same trade the literature makes.
+# gram — but the CONTAINER side is NOT prefixed (the shared gram can
+# sit anywhere in B), so the candidate join is A-prefix x B-full. That
+# asymmetry is the honest cost model: containment joins carry the full
+# index side where similarity joins carry a prefix, which is why the
+# threshold stays high (0.8) — the same trade the literature makes.
 #
-# 100 TB posture: one corpus shingle pass (the cached sh frame), a
-# rarest-first prefix on the contained side (global-df order keeps
-# prefix tokens rare, so the equality join stays near-linear), lossless
-# length (|B| >= t·|A|, integer cross-multiplied) and positional
-# (1 + |A| - p_a >= ceil(t·|A|)) filters before the exact verify
-# join-back. Never an all-pairs product; the DuckDB oracle IS the
-# all-pairs semantic definition within lang blocks.
+# 100 TB posture: one corpus gram pass (the cached frames), a
+# rarest-first prefix on the contained side, lossless length
+# (|B| >= t·|A|) and two-sided PPJoin positional bounds (all integer
+# cross-multiplied) before the exact verify join-back. Never an
+# all-pairs product; the DuckDB oracle IS the all-pairs semantic
+# definition within lang blocks. Docs with < 4 word tokens have no
+# grams and are excluded on both engines (a containment denominator
+# needs a non-empty gram set).
 # ---------------------------------------------------------------------------
 
 _CONTAIN_PM4 = 8000  # C(A->B) >= 0.80
+_CONTAIN_N = 4  # word-gram length
+
+_CONTAIN_G = (
+    "list_transform(generate_series(1, greatest(len(w) - "
+    f"{_CONTAIN_N - 1}, 0)), i -> array_to_string(w[i:i+{_CONTAIN_N - 1}], ' '))"
+)
 
 _CONTAIN_ORACLE = f"""
-WITH sh AS (
-  SELECT doc_id, lang, list_distinct({_SH}) AS s
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(upper(text), '[A-Z][A-Z'']*') AS w
   FROM documents
+),
+sh AS (
+  SELECT doc_id, lang, list_distinct({_CONTAIN_G}) AS s
+  FROM t WHERE len(w) >= {_CONTAIN_N}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        (len(list_intersect(a.s, b.s)) * 10000) // len(a.s)
@@ -2454,23 +2476,49 @@ ORDER BY doc_a, doc_b
 @REGISTRY.register(
     "dedup_containment_pairs",
     oracle=_CONTAIN_ORACLE,
-    description="directed shingle-containment pairs C(A->B) >= 0.80 via "
-    "a prefix-x-full-index join (ssjoin blocking) — the quote/excerpt "
-    "guard symmetric Jaccard structurally misses",
+    description="directed word-4-gram containment pairs C(A->B) >= 0.80 "
+    "via a prefix-x-full-index join (ssjoin blocking) — the "
+    "quote/excerpt guard symmetric Jaccard structurally misses",
     tags=("dedup", "text", "scale"),
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.functions.text import tokenize_words
+
     t = _CONTAIN_PM4 / 10000.0
+    n_g = _CONTAIN_N
     release_caches("dedup.containment")  # one-generation discipline
-    sh = _shingle_sets(spark, sf_dir).withColumn("n", F.size("s")).cache()
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sh = (
+        fan_out(docs, "doc_id")
+        .select("doc_id", "lang", tokenize_words("text").alias("w"))
+        .filter(F.size("w") >= n_g)
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - n_g + 1),
+                    lambda i: hash60(F.array_join(F.slice("w", i, n_g), " ")),
+                )
+            ).alias("s"),
+        )
+        .withColumn("n", F.size("s"))
+        .cache()
+    )
     sh.count()  # materialization barrier (see dedup_ngram_jaccard)
     toks = sh.select("doc_id", "lang", "n", F.explode("s").alias("tok"))
     df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    # contained-side prefix |A| - ceil(t|A|) + 1, as floor((1-t)|A|) + 2
-    # with the +1 safety margin (longer prefix adds candidates, never
-    # loses); rarest-first under the global (df, tok) order
-    pref_len = (F.floor(F.col("n") * F.lit(1.0 - t)) + F.lit(2)).cast("int")
-    a_pref = (
+    # BOTH sides get global-order positions (one cached frame, two
+    # consumers): the contained side reads its prefix off it, and the
+    # container side's position feeds the two-sided PPJoin suffix bound
+    # below. This matters on this fixture specifically: the synthetic
+    # word soup has a BOUNDED shingle vocabulary, so even the rarest
+    # prefix shingle of a doc carries a large global df and the
+    # prefix-x-full join emits candidate rows in bulk — the b-side
+    # positional bound kills the common-token matches INSIDE the join
+    # condition, before the candidate dedup shuffle ever sees them
+    # (measured: one-sided filtering ran 15.6 s sf0.1 / 280 s x10).
+    pos_toks = (
         toks.join(df_counts, "tok")
         .groupBy("doc_id", "lang", "n")
         .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("st"))
@@ -2478,7 +2526,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             "n",
-            F.posexplode(F.slice("st", 1, pref_len)).alias("p0", "e"),
+            F.posexplode("st").alias("p0", "e"),
         )
         .select(
             "doc_id",
@@ -2487,12 +2535,22 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.tok").alias("tok"),
             (F.col("p0") + 1).alias("p"),
         )
+        .cache()
     )
-    a, b = a_pref.alias("a"), toks.alias("b")
-    # positional filter: for the smallest common shingle's prefix row,
-    # every earlier A element is unshared, so overlap <= 1 + (na - pa);
-    # a qualifying pair needs overlap >= ceil(t*na) (integer-safe via
-    # cross-multiplication on the length filter below)
+    pos_toks.count()  # materialization barrier (see dedup_ngram_jaccard)
+    # contained-side prefix |A| - ceil(t|A|) + 1, as floor((1-t)|A|) + 2
+    # with the +1 safety margin (longer prefix adds candidates, never
+    # loses); rarest-first under the global (df, tok) order
+    a_pref = pos_toks.filter(
+        F.col("p") <= (F.floor(F.col("n") * F.lit(1.0 - t)) + F.lit(2))
+    )
+    a, b = a_pref.alias("a"), pos_toks.alias("b")
+    # two-sided positional filter (PPJoin, Xiao et al. WWW'08, adapted
+    # to containment): for the SMALLEST common shingle under the global
+    # order, every earlier element on EITHER side is unshared, so
+    # overlap <= 1 + min(na - pa, nb - pb); a qualifying pair needs
+    # overlap >= ceil(t*na) and its smallest-common-shingle row always
+    # passes — lossless (integer-safe via cross-multiplication)
     cand = (
         a.join(
             b,
@@ -2501,9 +2559,16 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") != F.col("b.doc_id"))
             # length filter: C(A->B) >= t forces |B| >= t*|A|
             & (F.col("b.n") * 10000 >= F.col("a.n") * _CONTAIN_PM4)
-            # positional filter (lossless, see note above)
+            # suffix bound, both sides
             & (
-                (F.lit(1) + F.col("a.n") - F.col("a.p")) * 10000
+                (
+                    F.lit(1)
+                    + F.least(
+                        F.col("a.n") - F.col("a.p"),
+                        F.col("b.n") - F.col("b.p"),
+                    )
+                )
+                * 10000
                 >= F.col("a.n") * _CONTAIN_PM4
             ),
         )
@@ -2512,7 +2577,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    track_caches("dedup.containment", sh)
+    track_caches("dedup.containment", sh, pos_toks)
     # exact verify on the cached long arrays; joins pinned to sort-merge
     # for the same AQE broadcast-rebuild reason dedup_ngram_jaccard
     # documents (and SMJ is the 100 TB strategy anyway)
