@@ -87,7 +87,9 @@ from mapreduce_sm_spark.registry import REGISTRY
 # carries, in registration order: ann_filtered_topk,
 # dsir_importance_selection, length_bucket_padding_stats,
 # boilerplate_prefix_stats, dedup_containment_pairs,
-# embedding_dimension_stats, langid_confusion_matrix.
+# embedding_dimension_stats, langid_confusion_matrix,
+# winnowing_fingerprint_pairs, quality_classifier_gate,
+# temperature_mixture_weights, ngram_novelty_curve.
 REGISTRY.set_front(
     (
         # --- (1) the 2 named r11 carries ---

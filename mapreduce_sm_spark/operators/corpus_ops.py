@@ -651,3 +651,140 @@ def lm_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty curve (r16, late). The data-curation question behind
+# "should we crawl more of this source" is SATURATION: as the corpus
+# grows in ingestion order, what fraction of incoming n-grams has never
+# been seen before? A flattening novelty curve means additional data is
+# re-treading existing content (diminishing diversity returns —
+# the corpus-level counterpart of the per-doc repetition gates, and the
+# measurement behind epoch/dedup trade-off decisions in the
+# data-constrained scaling literature, e.g. Muennighoff et al. 2023).
+#
+# Semantics (exact, both engines): docs are bucketed into NB = 10 equal
+# doc_id ranges ("ingestion deciles"); a word 3-gram is NEW in the
+# bucket where its global min(doc_id) falls. Per bucket: docs, total
+# gram occurrences, distinct first-seen grams, and novelty per-mille
+# (new distinct / total occurrences).
+#
+# 100 TB posture: total gram counts are ROW-LOCAL (len(w) - 2 per doc —
+# the corpus is never exploded for the denominator); the only corpus
+# exchange is the first-seen aggregate, a partial-aggregable min over
+# hash60 gram keys (grams travel as longs, never strings). The bucket
+# rollups are <= NB rows; the max-doc_id scalar and the bucket join are
+# broadcast one-row / NB-row frames.
+# ---------------------------------------------------------------------------
+
+_NOV_NB = 10  # ingestion-order buckets
+_NOV_NG = 3  # word-gram length
+
+_NOV_G = (
+    "list_transform(generate_series(1, greatest(len(w) - "
+    f"{_NOV_NG - 1}, 0)), i -> "
+    + hash60_sql(f"array_to_string(w[i:i+{_NOV_NG - 1}], ' ')")
+    + ")"
+)
+
+_NOVELTY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(upper(text), '[A-Z][A-Z'']*') AS w
+  FROM documents
+),
+mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+occ AS (
+  SELECT (doc_id * {_NOV_NB}) // m AS bucket,
+         count(*)::BIGINT AS n_docs,
+         sum(greatest(len(w) - {_NOV_NG - 1}, 0))::BIGINT AS n_grams_total
+  FROM t CROSS JOIN mx GROUP BY 1
+),
+firsts AS (
+  SELECT gh, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest({_NOV_G}) AS gh FROM t)
+  GROUP BY gh
+),
+nb AS (
+  SELECT (first_doc * {_NOV_NB}) // m AS bucket,
+         count(*)::BIGINT AS n_new_distinct
+  FROM firsts CROSS JOIN mx GROUP BY 1
+)
+SELECT occ.bucket::BIGINT AS bucket, occ.n_docs, occ.n_grams_total,
+       coalesce(nb.n_new_distinct, 0)::BIGINT AS n_new_distinct,
+       (coalesce(nb.n_new_distinct, 0) * 1000
+           // greatest(occ.n_grams_total, 1))::BIGINT AS novelty_pm
+FROM occ LEFT JOIN nb USING (bucket)
+ORDER BY bucket
+"""
+
+
+@REGISTRY.register(
+    "ngram_novelty_curve",
+    oracle=_NOVELTY_ORACLE,
+    description="corpus saturation diagnostic: per ingestion-order "
+    "decile, the share of word-3-gram occurrences that are first-ever "
+    "appearances (exact per-mille) — the diversity curve behind "
+    "crawl-more vs dedup-harder decisions",
+    tags=("text", "corpus", "diagnostics"),
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.functions.text import tokenize_words
+    from mapreduce_sm_spark.session import fan_out
+
+    n_g, nb = _NOV_NG, _NOV_NB
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_words("text").alias("w")
+    )
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    bucket_of = lambda c: F.expr(f"({c} * {nb}) DIV m")  # noqa: E731
+    occ = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(
+            bucket_of("doc_id").alias("bucket"),
+            F.greatest(F.size("w") - (n_g - 1), F.lit(0)).alias("gc"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("gc").cast("long").alias("n_grams_total"),
+        )
+    )
+    # pre-filter short docs: Spark's sequence(1, 0) would be a DESCENDING
+    # [1, 0], not the empty list DuckDB's generate_series yields — the
+    # filter makes the gramless-doc case identical on both engines
+    grams = (
+        fan_out(docs.filter(F.size("w") >= n_g), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (n_g - 1)),
+                    lambda i: hash60(F.array_join(F.slice("w", i, n_g), " ")),
+                )
+            ).alias("gh"),
+        )
+    )
+    firsts = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    new_b = (
+        firsts.crossJoin(F.broadcast(mx))
+        .select(bucket_of("first_doc").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_new_distinct"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        occ.join(F.broadcast(new_b), "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_docs",
+            "n_grams_total",
+            F.coalesce("n_new_distinct", zero).alias("n_new_distinct"),
+            F.expr(
+                "coalesce(n_new_distinct, 0) * 1000"
+                " DIV greatest(n_grams_total, 1)"
+            )
+            .cast("long")
+            .alias("novelty_pm"),
+        )
+        .orderBy("bucket")
+    )

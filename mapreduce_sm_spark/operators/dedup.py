@@ -2609,3 +2609,149 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment_pm4") >= _CONTAIN_PM4)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# WINNOWING fingerprint pairs (r16, late). MinHash answers "are these two
+# documents similar as whole sets"; winnowing (Schleimer, Wilkerson,
+# Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+# SIGMOD 2003 — the MOSS algorithm) answers the LOCAL question: "do these
+# documents share any contiguous passage", with a guarantee MinHash
+# cannot give. Selecting the minimum gram hash from every window of W
+# consecutive grams ensures any shared run of >= W + N - 1 tokens
+# contributes at least one IDENTICAL selected fingerprint to both
+# documents — detection is deterministic, not probabilistic, at an
+# expected density of 2/(W+1) fingerprints per position.
+#
+# The selected-fingerprint SET is exactly the set of window minima
+# (the SIGMOD paper's rightmost-tie rule only disambiguates which
+# POSITION is recorded; the selected hash value per window is its
+# minimum either way), so selection is a pure row-local array fold:
+# sequence -> slice -> array_min -> array_distinct, entirely inside
+# whole-stage codegen. No shuffle happens until the postings join.
+#
+# Grams are WORD 4-grams through hash60 — the same granularity
+# dedup_containment_pairs settled on after the measured char-5-shingle
+# prefix-filter degeneracy on this fixture's bounded vocabulary
+# (SCALING.md r16); at sf0.01 the fingerprint df distribution confirms
+# the choice (max df = 3, so postings stay near-unique).
+#
+# Hub protection is part of the SEMANTICS, as in MOSS itself: a
+# fingerprint appearing in more than _WINNOW_DF_CAP documents is
+# boilerplate by definition and is dropped from postings BEFORE the
+# pair join on both engines (the oracle applies the identical cap), so
+# a template shared by 10k documents can never produce a 10k^2 row
+# blow-up. Docs with fewer than N + W - 1 word tokens have no full
+# window and are excluded on both engines.
+#
+# 100 TB posture: one corpus pass for row-local selection; one
+# partial-aggregable df count; the pair join runs posting-list x
+# posting-list with every list bounded by the cap, then one
+# (doc_a, doc_b) aggregate. Never an all-pairs product; memory per
+# fingerprint group is O(cap^2) pair rows at worst.
+# ---------------------------------------------------------------------------
+
+_WINNOW_N = 4  # word-gram length (tokens per gram)
+_WINNOW_W = 4  # winnow window (grams per window)
+_WINNOW_DF_CAP = 20  # MOSS-style common-fingerprint drop
+_WINNOW_MIN_SHARED = 2  # pairs must share >= this many fingerprints
+
+_WINNOW_G = (
+    "list_transform(generate_series(1, len(w) - "
+    f"{_WINNOW_N - 1}), i -> "
+    + hash60_sql(f"array_to_string(w[i:i+{_WINNOW_N - 1}], ' ')")
+    + ")"
+)
+
+_WINNOW_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(upper(text), '[A-Z][A-Z'']*') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, {_WINNOW_G} AS h
+  FROM t WHERE len(w) >= {_WINNOW_N + _WINNOW_W - 1}
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(h) - {_WINNOW_W - 1}),
+           j -> list_min(h[j:j+{_WINNOW_W - 1}]))) AS fps
+  FROM g
+),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM s),
+kept AS (
+  SELECT fp, doc_id FROM e
+  QUALIFY count(*) OVER (PARTITION BY fp) <= {_WINNOW_DF_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*)::BIGINT AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_WINNOW_MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+
+@REGISTRY.register(
+    "winnowing_fingerprint_pairs",
+    oracle=_WINNOW_ORACLE,
+    description="MOSS winnowing (SIGMOD'03): row-local window-minimum "
+    "fingerprint selection over word-4-gram hashes, capped postings, "
+    "pairs sharing >= 2 fingerprints — deterministic shared-passage "
+    "detection MinHash's probabilistic whole-set estimate cannot give",
+    tags=("dedup", "text", "scale"),
+)
+def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.functions.text import tokenize_words
+
+    n_g, w_w = _WINNOW_N, _WINNOW_W
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = (
+        fan_out(docs, "doc_id")
+        .select("doc_id", tokenize_words("text").alias("w"))
+        .filter(F.size("w") >= n_g + w_w - 1)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (n_g - 1)),
+                lambda i: hash60(F.array_join(F.slice("w", i, n_g), " ")),
+            ).alias("h"),
+        )
+    )
+    fps = grams.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("h") - (w_w - 1)),
+                    lambda j: F.array_min(F.slice("h", j, w_w)),
+                )
+            )
+        ).alias("fp"),
+    )
+    # MOSS common-fingerprint drop: partial-aggregable df count, then a
+    # co-partitioned join-back BEFORE any pairing (the oracle applies the
+    # same cap). Counting first means a hub fingerprint costs one counter
+    # per partition — its posting list is never materialized anywhere.
+    low_df = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _WINNOW_DF_CAP)
+        .select("fp")
+    )
+    kept = fps.join(low_df, "fp")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )

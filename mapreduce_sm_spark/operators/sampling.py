@@ -694,3 +694,119 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (r16, late). Multilingual /
+# multi-source pre-training flattens the source distribution with a
+# temperature exponent: sample source s proportional to n_s^alpha,
+# alpha < 1 (mT5 / XLM-R's exponential smoothing; alpha in [0.2, 0.7]).
+# dataset_mixture_weights covers fixed HAND-ASSIGNED rates; this
+# operator computes the SIZE-DERIVED weights themselves — the step that
+# produces such a rate table from corpus statistics.
+#
+# alpha is fixed at 0.5, deliberately: n^0.5 is the one sub-linear
+# power computable EXACTLY on both engines. pow(n, 0.3) goes through
+# libm exp/log whose last-bit rounding the JVM and DuckDB do not
+# promise to share, but IEEE 754 sqrt is correctly rounded everywhere.
+# The weight is the exact integer floor(100 * sqrt(n_tokens)) =
+# isqrt(10^4 * n_tokens), computed as floor(sqrt((10^4 n)::DOUBLE))
+# followed by a +/-1 integer correction: the double conversion's
+# relative error is ~1e-16, so the candidate is off by at most 1, and
+# the correction compares exact int64 values in an overflow-free
+# subtraction form (see _isqrt_sql) — exact for every non-negative
+# int64 input, so the only domain bound is 10^4 * n_tokens fitting
+# int64: n_tokens <= ~9.2e14 per source (~35x a 100 TB corpus).
+#
+# 100 TB posture: one partial-aggregable per-source token-count
+# aggregate over a row-local array length (the corpus is never
+# exploded); everything after operates on the <= |sources|-row frame
+# (the scalar total via a broadcast one-row cross join).
+# ---------------------------------------------------------------------------
+
+_TEMP_SCALE = 10_000  # weight = isqrt(10^4 * n) = floor(100 * sqrt(n))
+_TEMP_EPOCH = 10_000  # docs drawn per epoch in the expectation column
+
+
+def _isqrt_sql(x: str) -> str:
+    """Exact integer sqrt of a non-negative BIGINT expression.
+
+    The up-correction compares x - s0^2 >= 2*s0 + 1 rather than
+    (s0+1)^2 <= x: the candidate s0 never exceeds isqrt(2^63-1) =
+    3037000499 (the double conversion's relative error is ~1e-16, far
+    under the 1 it would take to round past it), so s0^2 and 2*s0+1
+    always fit in int64 while (s0+1)^2 overflows at the top of the
+    domain — this form is exact for EVERY non-negative int64 input."""
+    s0 = f"floor(sqrt(({x})::DOUBLE))::BIGINT"
+    return (
+        f"(CASE WHEN ({x}) - {s0} * {s0} >= 2 * {s0} + 1 THEN {s0} + 1 "
+        f"WHEN {s0} * {s0} > ({x}) THEN {s0} - 1 "
+        f"ELSE {s0} END)"
+    )
+
+
+_TEMP_ORACLE = f"""
+WITH sz AS (
+  SELECT source,
+         sum(len(regexp_extract_all(upper(text), '{WORD_TOKEN_RE_SQL}')))::BIGINT
+             AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_tokens,
+         {_isqrt_sql(f"n_tokens * {_TEMP_SCALE}")} AS wgt
+  FROM sz
+),
+tot AS (SELECT sum(wgt)::BIGINT AS tw FROM w)
+SELECT source, n_tokens, wgt,
+       (wgt * 1000000 // tw)::BIGINT AS share_ppm,
+       (wgt * {_TEMP_EPOCH} // tw)::BIGINT AS docs_per_epoch
+FROM w CROSS JOIN tot ORDER BY source
+"""
+
+
+def _isqrt_col(x):
+    """Spark twin of _isqrt_sql — identical overflow-free correction."""
+    s0 = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    return (
+        F.when(x - s0 * s0 >= 2 * s0 + 1, s0 + 1)
+        .when(s0 * s0 > x, s0 - 1)
+        .otherwise(s0)
+    )
+
+
+@REGISTRY.register(
+    "temperature_mixture_weights",
+    oracle=_TEMP_ORACLE,
+    description="mT5/XLM-R temperature mixture (alpha = 0.5): per-source "
+    "sampling weights proportional to sqrt(token count), exact via "
+    "integer-corrected IEEE sqrt — the size-derived rate table "
+    "dataset_mixture_weights consumes",
+    tags=("sampling", "mixture"),
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    sz = (
+        docs.select("source", F.size(tokenize_words("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    w = sz.select(
+        "source",
+        "n_tokens",
+        _isqrt_col(F.col("n_tokens") * _TEMP_SCALE).alias("wgt"),
+    )
+    tot = w.agg(F.sum("wgt").cast("long").alias("tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            "wgt",
+            F.expr("wgt * 1000000 DIV tw").cast("long").alias("share_ppm"),
+            F.expr(f"wgt * {_TEMP_EPOCH} DIV tw")
+            .cast("long")
+            .alias("docs_per_epoch"),
+        )
+        .orderBy("source")
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_sm_spark.functions.hashing import hash60_sql
 from mapreduce_sm_spark.functions.text import char_shingles
 from mapreduce_sm_spark.registry import REGISTRY
 from mapreduce_sm_spark.session import table
@@ -1935,4 +1936,104 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_num DIV _den").cast("long").alias("share_pm"),
         )
         .orderBy("declared_lang", "predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier gate (r16, late). The production
+# quality filters that Gopher-style RULE gates feed into are MODEL
+# gates: a linear classifier over hashed bag-of-words features
+# (fastText's architecture — Joulin et al. 2016, "Bag of Tricks for
+# Efficient Text Classification" — the filter family used by CCNet,
+# GPT-3's WebText classifier, and DCLM's fastText gate). This operator
+# implements that inference shape exactly: tokens hash into B buckets,
+# each bucket carries a weight, the document score is the weight sum,
+# and the gate keeps score > 0.
+#
+# The weight VECTOR here is a deterministic integer grid derived from
+# the bucket id (w(b) = (b * 2654435761) % 21 - 10, a Knuth
+# multiplicative spread over [-10, 10]) rather than trained floats: the
+# container has no training library, and what the engine owns is the
+# INFERENCE plumbing — feature hashing, the per-document fold, the gate,
+# the per-source yield report — which is identical whichever 21-level
+# quantized weight table is plugged in. Integer weights also make every
+# emitted value exact on both engines (no float dot products).
+#
+# 100 TB posture: the score is a row-local F.aggregate fold over the
+# token array — the corpus is never exploded and never shuffled; the
+# only exchange is the final per-source yield aggregate (partial-
+# aggregable, <= |sources| rows). The sum stays in int64: |score| <=
+# 10 * n_tokens, so a document would need ~9e17 tokens to wrap.
+# No negative value ever reaches a floor division (kept_pm divides
+# non-negative counts; the score itself is emitted as a raw sum).
+# ---------------------------------------------------------------------------
+
+_QCG_BUCKETS = 1024
+_QCG_SPREAD = 2654435761  # Knuth's 2^32 / phi multiplier
+_QCG_LEVELS = 21  # weights span [-10, 10]
+
+
+def _qcg_weight_sql(tok_expr: str) -> str:
+    h = hash60_sql(tok_expr)
+    return f"(({h} % {_QCG_BUCKETS}) * {_QCG_SPREAD}) % {_QCG_LEVELS} - 10"
+
+
+_QCG_ORACLE = f"""
+WITH scored AS (
+  SELECT source,
+         list_sum(list_prepend(0::BIGINT,
+           list_transform(regexp_extract_all(upper(text), '[A-Z][A-Z'']*'),
+                          t -> ({_qcg_weight_sql('t')})::BIGINT))) AS score
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(*) FILTER (WHERE score > 0)::BIGINT AS n_kept,
+       (count(*) FILTER (WHERE score > 0) * 1000 // count(*))::BIGINT
+           AS kept_pm,
+       sum(score)::BIGINT AS sum_score
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+@REGISTRY.register(
+    "quality_classifier_gate",
+    oracle=_QCG_ORACLE,
+    description="fastText-architecture model quality gate: hashed "
+    "bag-of-words linear scorer (deterministic 21-level integer weight "
+    "grid), row-local score fold, per-source keep-rate yield report — "
+    "the model-based filter family (CCNet/GPT-3/DCLM) beside the "
+    "rule-based gopher_quality_gate",
+    tags=("text", "quality"),
+)
+def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.functions.hashing import hash60
+    from mapreduce_sm_spark.functions.text import tokenize_words
+
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    weight = lambda t: (  # noqa: E731 — mirrors _qcg_weight_sql exactly
+        (hash60(t) % _QCG_BUCKETS) * _QCG_SPREAD % _QCG_LEVELS - 10
+    ).cast("long")
+    score = F.aggregate(
+        tokenize_words("text"),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + weight(t),
+    )
+    kept = (F.col("score") > 0).cast("long")
+    return (
+        docs.select("source", score.alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum("score").cast("long").alias("sum_score"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.expr("n_kept * 1000 DIV n_docs").cast("long").alias("kept_pm"),
+            "sum_score",
+        )
+        .orderBy("source")
     )

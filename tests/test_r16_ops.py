@@ -310,3 +310,268 @@ def test_langid_confusion_planted_mislabels(spark, tmp_path):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
     assert con.sql(_LANGID_CONF_ORACLE).fetchall() == rows
+
+
+# --- winnowing_fingerprint_pairs (wave 3) ---------------------------------------
+
+
+def _write_docs5(spark, tmp_path, rows):
+    """Full 5-column fixture schema (ops that read lang need it)."""
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(d)
+    return d
+
+
+def test_winnowing_planted_shared_passage(spark, tmp_path):
+    """docs 1 and 2 share two disjoint passages of >= W+N-1 = 7 tokens;
+    the winnowing guarantee forces >= 1 identical selected fingerprint
+    per shared passage, so (1,2) clears the n_shared >= 2 gate. doc 3
+    shares no 4-gram with anything -> appears in no pair. doc 4 is
+    below the N+W-1 token floor -> excluded entirely."""
+    from mapreduce_sm_spark.operators.dedup import (
+        _WINNOW_ORACLE,
+        winnowing_fingerprint_pairs,
+    )
+
+    p1 = "alpha beta gamma delta epsilon zeta eta"
+    p2 = "one two three four five six seven"
+    d = _write_docs5(
+        spark,
+        tmp_path,
+        [
+            (1, p1 + " filler aa bb cc dd ee ff gg " + p2, "en", "s", 10),
+            (2, p1 + " other uu vv ww xx yy zz qq " + p2, "en", "s", 10),
+            (3, "nothing here resembles the planted passages at all "
+                "since every window is unique", "en", "s", 10),
+            (4, "too short for one window", "en", "s", 10),
+        ],
+    )
+    rows = [
+        tuple(r)
+        for r in winnowing_fingerprint_pairs(spark, str(tmp_path)).collect()
+    ]
+    assert len(rows) == 1
+    doc_a, doc_b, n_shared = rows[0]
+    assert (doc_a, doc_b) == (1, 2)
+    assert n_shared >= 2
+    assert _duck(d).sql(_WINNOW_ORACLE).fetchall() == rows
+
+
+def test_winnowing_df_cap_drops_hub_fingerprints(spark, tmp_path):
+    """MOSS common-fingerprint drop as a boundary law: CAP identical
+    docs -> every fingerprint has df = CAP <= CAP, all C(CAP,2) pairs
+    emitted, n_shared equal across pairs; CAP+1 identical docs -> every
+    df = CAP+1 > CAP, postings empty, ZERO pairs. Both engines."""
+    from mapreduce_sm_spark.operators.dedup import (
+        _WINNOW_DF_CAP,
+        _WINNOW_ORACLE,
+        winnowing_fingerprint_pairs,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    cap = _WINNOW_DF_CAP
+
+    d = _write_docs5(
+        spark,
+        tmp_path,
+        [(i, text, "en", "s", len(text)) for i in range(cap)],
+    )
+    rows = [
+        tuple(r)
+        for r in winnowing_fingerprint_pairs(spark, str(tmp_path)).collect()
+    ]
+    assert len(rows) == cap * (cap - 1) // 2
+    assert len({r[2] for r in rows}) == 1  # identical docs, equal n_shared
+    assert _duck(d).sql(_WINNOW_ORACLE).fetchall() == rows
+
+    over_dir = tmp_path / "over"
+    d2p = _write_docs5(
+        spark,
+        over_dir,
+        [(i, text, "en", "s", len(text)) for i in range(cap + 1)],
+    )
+    assert winnowing_fingerprint_pairs(spark, str(over_dir)).collect() == []
+    assert _duck(d2p).sql(_WINNOW_ORACLE).fetchall() == []
+
+
+def test_winnowing_empty_corpus(spark, tmp_path):
+    from mapreduce_sm_spark.operators.dedup import (
+        _WINNOW_ORACLE,
+        winnowing_fingerprint_pairs,
+    )
+
+    d = _write_docs5(spark, tmp_path, [])
+    assert winnowing_fingerprint_pairs(spark, str(tmp_path)).collect() == []
+    assert _duck(d).sql(_WINNOW_ORACLE).fetchall() == []
+
+
+# --- quality_classifier_gate (wave 3) -------------------------------------------
+
+
+def test_quality_classifier_hand_scored(spark, tmp_path):
+    """Scores recomputed in-test from hash60_py — the exact fastText-
+    shape fold: w(tok) = ((h60(TOK) % 1024) * 2654435761) % 21 - 10.
+    A zero-token doc scores exactly 0 and is NOT kept (gate is > 0)."""
+    from mapreduce_sm_spark.functions.hashing import hash60_py
+    from mapreduce_sm_spark.operators.text_analysis import (
+        _QCG_ORACLE,
+        quality_classifier_gate,
+    )
+
+    def w(tok):
+        return ((hash60_py(tok.upper()) % 1024) * 2654435761) % 21 - 10
+
+    s1 = w("ALPHA") + w("BETA") + w("ALPHA")  # multiplicity counts
+    s2 = w("GAMMA")
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "sA", "alpha beta alpha", 16),
+            (2, "sA", "gamma", 5),
+            (3, "sB", "123 456", 7),  # zero word tokens -> score 0, not kept
+        ],
+    )
+    kept_a = sum(1 for s in (s1, s2) if s > 0)
+    rows = [
+        tuple(r) for r in quality_classifier_gate(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [
+        ("sA", 2, kept_a, kept_a * 1000 // 2, s1 + s2),
+        ("sB", 1, 0, 0, 0),
+    ]
+    assert _duck(d).sql(_QCG_ORACLE).fetchall() == rows
+
+
+def test_quality_classifier_empty_corpus(spark, tmp_path):
+    from mapreduce_sm_spark.operators.text_analysis import (
+        _QCG_ORACLE,
+        quality_classifier_gate,
+    )
+
+    d = _write_docs(spark, tmp_path, [])
+    assert quality_classifier_gate(spark, str(tmp_path)).collect() == []
+    assert _duck(d).sql(_QCG_ORACLE).fetchall() == []
+
+
+# --- temperature_mixture_weights (wave 3) ---------------------------------------
+
+
+def test_temperature_weights_hand_computed(spark, tmp_path):
+    """sA has 4 tokens -> wgt isqrt(4e4) = 200; sB has 9 -> 300.
+    tot 500 -> shares 400000/600000 ppm, 4000/6000 docs per epoch —
+    the alpha = 0.5 flattening (a 2.25x size gap becomes 1.5x)."""
+    from mapreduce_sm_spark.operators.sampling import (
+        _TEMP_ORACLE,
+        temperature_mixture_weights,
+    )
+
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "sA", "a b", 3),
+            (2, "sA", "c d", 3),
+            (3, "sB", "e f g h i j k l m", 17),
+        ],
+    )
+    rows = [
+        tuple(r)
+        for r in temperature_mixture_weights(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [
+        ("sA", 4, 200, 400000, 4000),
+        ("sB", 9, 300, 600000, 6000),
+    ]
+    assert _duck(d).sql(_TEMP_ORACLE).fetchall() == rows
+
+
+def test_isqrt_exact_on_square_boundaries(spark):
+    """The +/-1-corrected isqrt is exact at k^2-1 / k^2 / k^2+1 for k
+    spanning small to near the 2^53 double-exactness edge, on BOTH
+    engines, matching math.isqrt."""
+    import math
+
+    import duckdb
+
+    from mapreduce_sm_spark.operators.sampling import _isqrt_col, _isqrt_sql
+
+    ks = [1, 2, 3, 10, 1000, 94906265, 3037000499]
+    xs = sorted(
+        {x for k in ks for x in (k * k - 1, k * k, k * k + 1)}
+        | {0, 2**63 - 1}
+    )
+    expected = [math.isqrt(x) for x in xs]
+
+    got_duck = [
+        duckdb.sql(f"SELECT {_isqrt_sql(str(x))}").fetchone()[0] for x in xs
+    ]
+    assert got_duck == expected
+
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame([(x,) for x in xs], "x long")
+    got_spark = [
+        r[0]
+        for r in sdf.select(_isqrt_col(F.col("x"))).collect()
+    ]
+    assert got_spark == expected
+
+
+def test_temperature_weights_empty_corpus(spark, tmp_path):
+    from mapreduce_sm_spark.operators.sampling import (
+        _TEMP_ORACLE,
+        temperature_mixture_weights,
+    )
+
+    d = _write_docs(spark, tmp_path, [])
+    assert temperature_mixture_weights(spark, str(tmp_path)).collect() == []
+    assert _duck(d).sql(_TEMP_ORACLE).fetchall() == []
+
+
+# --- ngram_novelty_curve (wave 3) -----------------------------------------------
+
+
+def test_novelty_curve_hand_computed(spark, tmp_path):
+    """m = 4, NB = 10 -> buckets doc_id*10//4. doc0 contributes 2 new
+    grams of 2; doc1 repeats them (0 of 2); doc2 renews one (1 of 2);
+    doc3 has no full 3-gram -> 0 grams but still a counted doc."""
+    from mapreduce_sm_spark.operators.corpus_ops import (
+        _NOVELTY_ORACLE,
+        ngram_novelty_curve,
+    )
+
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "s", "a b c d", 7),
+            (1, "s", "a b c d", 7),
+            (2, "s", "a b c e", 7),
+            (3, "s", "hi", 2),
+        ],
+    )
+    rows = [
+        tuple(r) for r in ngram_novelty_curve(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [
+        (0, 1, 2, 2, 1000),
+        (2, 1, 2, 0, 0),
+        (5, 1, 2, 1, 500),
+        (7, 1, 0, 0, 0),
+    ]
+    assert _duck(d).sql(_NOVELTY_ORACLE).fetchall() == rows
+
+
+def test_novelty_curve_empty_corpus(spark, tmp_path):
+    from mapreduce_sm_spark.operators.corpus_ops import (
+        _NOVELTY_ORACLE,
+        ngram_novelty_curve,
+    )
+
+    d = _write_docs(spark, tmp_path, [])
+    assert ngram_novelty_curve(spark, str(tmp_path)).collect() == []
+    assert _duck(d).sql(_NOVELTY_ORACLE).fetchall() == []
