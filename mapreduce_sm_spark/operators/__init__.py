@@ -89,7 +89,8 @@ from mapreduce_sm_spark.registry import REGISTRY
 # boilerplate_prefix_stats, dedup_containment_pairs,
 # embedding_dimension_stats, langid_confusion_matrix,
 # winnowing_fingerprint_pairs, quality_classifier_gate,
-# temperature_mixture_weights, ngram_novelty_curve.
+# temperature_mixture_weights, ngram_novelty_curve,
+# knn_label_noise_audit, label_centroid_drift.
 REGISTRY.set_front(
     (
         # --- (1) the 2 named r11 carries ---

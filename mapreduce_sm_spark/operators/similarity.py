@@ -33,6 +33,7 @@ from mapreduce_sm_spark.functions.vectors import (
     cosine_sql,
     norm_sql,
 )
+from mapreduce_sm_spark.functions.hashing import hash60_sql
 from mapreduce_sm_spark.registry import REGISTRY
 from mapreduce_sm_spark.session import fan_out, table
 
@@ -1929,4 +1930,240 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dead", F.col("min_g") == F.col("max_g"))
         .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-noise audit (r16, late). Before a labeled corpus trains or
+# filters anything, the standard label-quality screen (the confident-
+# learning / Cleanlab family, Northcutt et al. 2021) asks: do labels
+# agree with the embedding geometry? A label whose members' nearest
+# neighbors are mostly OTHER labels is noisy or ill-defined. This
+# operator measures exact kNN label agreement for a FIXED-SIZE audit
+# panel: the _KNN_AUDIT_PANEL vectors with the smallest
+# hash60('knnaudit|'||vec_id) (deterministic, corpus-size-independent),
+# each retrieving its exact cosine top-_TOP_K over the full corpus
+# (self excluded, the bruteforce tie order), rolled up per declared
+# label into exact per-mille agreement.
+#
+# 100 TB posture: the panel is a bounded TakeOrdered (per-partition
+# top-P on the hash, single tiny reduce) and broadcasts under the
+# module's query-side ceiling; the corpus is scanned once computing
+# codegen'd cosine folds against P queries — the ann_bruteforce_topk
+# serving shape with the panel as the query set. The audit is
+# per-label sampling-based BY DESIGN: an all-vectors kNN graph is the
+# O(n^2) shape this module's LSH/IVF paths exist to avoid.
+# ---------------------------------------------------------------------------
+
+_KNN_AUDIT_PANEL = 50
+_KNN_AUDIT_SALT = "knnaudit"
+
+_KNN_AUDIT_ORACLE = f"""
+WITH panel AS (
+  SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+  FROM embeddings
+  QUALIFY row_number() OVER (
+    ORDER BY {hash60_sql("vec_id::VARCHAR", _KNN_AUDIT_SALT)}, vec_id)
+    <= {_KNN_AUDIT_PANEL}
+),
+nn AS (
+  SELECT q_id, q_label, c_label, rn
+  FROM (
+    SELECT p.q_id, p.q_label, c.label AS c_label,
+           row_number() OVER (PARTITION BY p.q_id
+                              ORDER BY {cosine_sql('p.qv', 'c.embedding')}
+                                       DESC, c.vec_id ASC) AS rn
+    FROM panel p JOIN embeddings c ON c.vec_id <> p.q_id
+  ) WHERE rn <= {_TOP_K}
+)
+SELECT q_label AS label,
+       count(DISTINCT q_id)::BIGINT AS n_panel,
+       count(*) FILTER (WHERE c_label = q_label)::BIGINT AS n_same,
+       (count(*) FILTER (WHERE c_label = q_label) * 1000
+           // (count(DISTINCT q_id) * {_TOP_K}))::BIGINT AS agree_pm
+FROM nn GROUP BY q_label ORDER BY q_label
+"""
+
+
+@REGISTRY.register(
+    "knn_label_noise_audit",
+    oracle=_KNN_AUDIT_ORACLE,
+    description="confident-learning label screen: exact cosine kNN "
+    "label agreement per declared label over a fixed-size deterministic "
+    "audit panel (exact per-mille) — the geometry-vs-label check run "
+    "before a labeled corpus is trusted",
+    tags=("similarity", "quality"),
+)
+def knn_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.functions.hashing import hash60
+
+    emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
+    _assert_broadcastable_query_side(_KNN_AUDIT_PANEL)
+    panel = (
+        emb.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("q_label"),
+            hash60(F.col("vec_id").cast("string"), _KNN_AUDIT_SALT).alias("h"),
+        )
+        .orderBy("h", "q_id")
+        .limit(_KNN_AUDIT_PANEL)
+        .drop("h")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("c_label"),
+    )
+    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("c_id").asc()
+    )
+    nn = (
+        c.join(F.broadcast(panel), F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_label", "c_label", sim.alias("cos"), "c_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+    )
+    same = (F.col("c_label") == F.col("q_label")).cast("long")
+    return (
+        nn.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.countDistinct("q_id").cast("long").alias("n_panel"),
+            F.sum(same).cast("long").alias("n_same"),
+        )
+        .select(
+            "label",
+            "n_panel",
+            "n_same",
+            F.expr(f"n_same * 1000 DIV (n_panel * {_TOP_K})")
+            .cast("long")
+            .alias("agree_pm"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid drift (r16, late). The embedding-space cousin of
+# source_unigram_divergence: which label populations actually sit
+# somewhere ELSE in embedding space? Each label's centroid is compared
+# to the global centroid on an exact integer grid — the screen run
+# before per-label mixture weighting or per-label ANN partitioning
+# assumes labels are geometrically meaningful.
+#
+# Exactness discipline: components quantize to the house milli-grid
+# (floor(x*1000), embedding_dimension_stats' grid); per-(label,dim)
+# integer sums reduce exactly; the MEAN lands on a micro-grid via
+# floor(1000 * s / n) computed with the portable SIGNED floor division
+# (a - pmod(a, b)) div b — pmod makes the subtraction land on an exact
+# multiple of n, so the division is exact and identical in both engines
+# (the bitmap_stream idiom; a bare `/` or `%`-less DIV would split on
+# negative sums, and embedding sums ARE negative). int64-safe while
+# 1000 * |sum of milli-components| fits — |x| <= 1 corpora are safe to
+# ~9.2e12 vectors per (label, dim).
+#
+# 100 TB posture: ONE posexplode pass into a (label x dim)-keyed
+# partial-aggregable groupBy (map-side combine collapses every
+# partition to |labels| * dim rows); everything downstream — global
+# rollup, diff, drift aggregate, top-dim window — runs on that
+# |labels| * dim frame. No join touches corpus-sized data.
+# ---------------------------------------------------------------------------
+
+_DRIFT_FD = (
+    lambda a, b: f"((({a}) - ((({a}) % ({b})) + ({b})) % ({b})) // ({b}))"
+)
+
+_CENTROID_DRIFT_ORACLE = f"""
+WITH g AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         floor(unnest(embedding)::DOUBLE * 1000)::BIGINT AS g
+  FROM embeddings
+),
+per_label AS (
+  SELECT label, dim, sum(g)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM g GROUP BY label, dim
+),
+gl AS (
+  SELECT dim, sum(s)::BIGINT AS sg, sum(n)::BIGINT AS ng
+  FROM per_label GROUP BY dim
+),
+d AS (
+  SELECT l.label, l.dim,
+         {_DRIFT_FD('l.s * 1000', 'l.n')}
+             - {_DRIFT_FD('g.sg * 1000', 'g.ng')} AS diff
+  FROM per_label l JOIN gl g USING (dim)
+),
+agg AS (
+  SELECT label, sum(diff * diff)::BIGINT AS drift_sq
+  FROM d GROUP BY label
+),
+top AS (
+  SELECT label, dim AS top_dim, diff AS top_diff
+  FROM (SELECT *, row_number() OVER (PARTITION BY label
+          ORDER BY abs(diff) DESC, dim ASC) AS rn FROM d)
+  WHERE rn = 1
+),
+nl AS (SELECT label, max(n)::BIGINT AS n_vecs FROM per_label GROUP BY label)
+SELECT label, nl.n_vecs, agg.drift_sq,
+       top.top_dim::BIGINT AS top_dim, top.top_diff::BIGINT AS top_diff
+FROM agg JOIN nl USING (label) JOIN top USING (label) ORDER BY label
+"""
+
+
+@REGISTRY.register(
+    "label_centroid_drift",
+    oracle=_CENTROID_DRIFT_ORACLE,
+    description="embedding-space population screen: exact micro-grid "
+    "squared distance between each label's centroid and the global "
+    "centroid, with the most-drifting dimension — the geometric "
+    "counterpart of source_unigram_divergence",
+    tags=("similarity", "quality", "diagnostics"),
+)
+def label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
+    g = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000).cast("long").alias("g"),
+    )
+    per_label = g.groupBy("label", "dim").agg(
+        F.sum("g").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    gl = per_label.groupBy("dim").agg(
+        F.sum("s").cast("long").alias("sg"),
+        F.sum("n").cast("long").alias("ng"),
+    )
+
+    mu_l = F.expr("(s * 1000 - pmod(s * 1000, n)) DIV n")
+    mu_g = F.expr("(sg * 1000 - pmod(sg * 1000, ng)) DIV ng")
+    d = per_label.join(F.broadcast(gl), "dim").select(
+        "label", "dim", (mu_l - mu_g).cast("long").alias("diff")
+    )
+    agg = d.groupBy("label").agg(
+        F.sum(F.col("diff") * F.col("diff")).cast("long").alias("drift_sq")
+    )
+    wtop = Window.partitionBy("label").orderBy(
+        F.abs(F.col("diff")).desc(), F.col("dim").asc()
+    )
+    top = (
+        d.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("top_dim"),
+            F.col("diff").cast("long").alias("top_diff"),
+        )
+    )
+    nl = per_label.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs")
+    )
+    return (
+        agg.join(nl, "label")
+        .join(top, "label")
+        .select("label", "n_vecs", "drift_sq", "top_dim", "top_diff")
+        .orderBy("label")
     )

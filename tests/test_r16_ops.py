@@ -575,3 +575,124 @@ def test_novelty_curve_empty_corpus(spark, tmp_path):
     d = _write_docs(spark, tmp_path, [])
     assert ngram_novelty_curve(spark, str(tmp_path)).collect() == []
     assert _duck(d).sql(_NOVELTY_ORACLE).fetchall() == []
+
+
+# --- knn_label_noise_audit (wave 3) ---------------------------------------------
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    e = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(e)
+    return e
+
+
+def _duck_emb(path):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}/*.parquet'")
+    return con
+
+
+def test_knn_audit_planted_geometry(spark, tmp_path):
+    """5 vectors, all in the panel (corpus < panel size). Label 1's
+    three vectors cluster on the x axis, label 2's two on the y axis;
+    every query's neighbor list is the other 4 vectors, so same-label
+    counts are exactly (cluster size - 1) per query: label 1 ->
+    n_same 6, agree 6*1000//(3*5) = 400; label 2 -> 2, 200."""
+    from mapreduce_sm_spark.operators.similarity import (
+        _KNN_AUDIT_ORACLE,
+        knn_label_noise_audit,
+    )
+
+    e = _write_embeddings(
+        spark,
+        tmp_path,
+        [
+            (0, [1.0, 0.0], 1),
+            (1, [1.0, 0.25], 1),
+            (2, [1.0, -0.25], 1),
+            (3, [0.0, 1.0], 2),
+            (4, [0.25, 1.0], 2),
+        ],
+    )
+    rows = [
+        tuple(r) for r in knn_label_noise_audit(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [(1, 3, 6, 400), (2, 2, 2, 200)]
+    assert _duck_emb(e).sql(_KNN_AUDIT_ORACLE).fetchall() == rows
+
+
+def test_knn_audit_empty_corpus(spark, tmp_path):
+    from mapreduce_sm_spark.operators.similarity import (
+        _KNN_AUDIT_ORACLE,
+        knn_label_noise_audit,
+    )
+
+    e = _write_embeddings(spark, tmp_path, [])
+    assert knn_label_noise_audit(spark, str(tmp_path)).collect() == []
+    assert _duck_emb(e).sql(_KNN_AUDIT_ORACLE).fetchall() == []
+
+
+# --- label_centroid_drift (wave 3) ----------------------------------------------
+
+
+def test_centroid_drift_hand_computed_signed_floor(spark, tmp_path):
+    """Exercises the SIGNED floor division: label 2's dim-1 sum is
+    negative (-250), and mu = floor(1000*s/n) must floor toward -inf
+    identically in both engines. Micro-grid means: label1 (750000, 0),
+    label2 (-250000, 1000000), global (416666, 333333) — diffs and
+    their squares are hand-traced in full."""
+    from mapreduce_sm_spark.operators.similarity import (
+        _CENTROID_DRIFT_ORACLE,
+        label_centroid_drift,
+    )
+
+    e = _write_embeddings(
+        spark,
+        tmp_path,
+        [
+            (0, [1.0, 0.0], 1),
+            (1, [0.5, 0.0], 1),
+            (2, [-0.25, 1.0], 2),
+        ],
+    )
+    rows = [
+        tuple(r) for r in label_centroid_drift(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [
+        (1, 2, 333334**2 + 333333**2, 1, 333334),
+        (2, 1, 666666**2 + 666667**2, 2, 666667),
+    ]
+    assert _duck_emb(e).sql(_CENTROID_DRIFT_ORACLE).fetchall() == rows
+
+
+def test_centroid_drift_single_label_is_zero(spark, tmp_path):
+    """One label == global population -> every diff is 0 (floor of the
+    same rational on both sides), drift_sq 0, top_dim tie-broken to 1."""
+    from mapreduce_sm_spark.operators.similarity import (
+        _CENTROID_DRIFT_ORACLE,
+        label_centroid_drift,
+    )
+
+    e = _write_embeddings(
+        spark,
+        tmp_path,
+        [(0, [0.3, -0.7], 5), (1, [0.1, 0.2], 5)],
+    )
+    rows = [
+        tuple(r) for r in label_centroid_drift(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [(5, 2, 0, 1, 0)]
+    assert _duck_emb(e).sql(_CENTROID_DRIFT_ORACLE).fetchall() == rows
+
+
+def test_centroid_drift_empty_corpus(spark, tmp_path):
+    from mapreduce_sm_spark.operators.similarity import (
+        _CENTROID_DRIFT_ORACLE,
+        label_centroid_drift,
+    )
+
+    e = _write_embeddings(spark, tmp_path, [])
+    assert label_centroid_drift(spark, str(tmp_path)).collect() == []
+    assert _duck_emb(e).sql(_CENTROID_DRIFT_ORACLE).fetchall() == []
