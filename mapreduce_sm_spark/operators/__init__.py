@@ -90,7 +90,8 @@ from mapreduce_sm_spark.registry import REGISTRY
 # embedding_dimension_stats, langid_confusion_matrix,
 # winnowing_fingerprint_pairs, quality_classifier_gate,
 # temperature_mixture_weights, ngram_novelty_curve,
-# knn_label_noise_audit, label_centroid_drift.
+# knn_label_noise_audit, label_centroid_drift,
+# stream_quality_classifier_equality.
 REGISTRY.set_front(
     (
         # --- (1) the 2 named r11 carries ---

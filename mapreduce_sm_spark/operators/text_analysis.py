@@ -2007,10 +2007,17 @@ FROM scored GROUP BY source ORDER BY source
     tags=("text", "quality"),
 )
 def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    return _qcg_report(_qcg_scored(docs))
+
+
+def _qcg_scored(docs: DataFrame) -> DataFrame:
+    """(source, score) via the row-local hashed-linear fold — the SHARED
+    JVM expressions: the streamed twin routes arriving batches through
+    this exact builder, never a re-implementation."""
     from mapreduce_sm_spark.functions.hashing import hash60
     from mapreduce_sm_spark.functions.text import tokenize_words
 
-    docs = table(spark, sf_dir, "documents").select("source", "text")
     weight = lambda t: (  # noqa: E731 — mirrors _qcg_weight_sql exactly
         (hash60(t) % _QCG_BUCKETS) * _QCG_SPREAD % _QCG_LEVELS - 10
     ).cast("long")
@@ -2019,10 +2026,13 @@ def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, t: acc + weight(t),
     )
+    return docs.select("source", score.alias("score"))
+
+
+def _qcg_report(scored: DataFrame) -> DataFrame:
     kept = (F.col("score") > 0).cast("long")
     return (
-        docs.select("source", score.alias("score"))
-        .groupBy("source")
+        scored.groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum(kept).cast("long").alias("n_kept"),
@@ -2036,4 +2046,175 @@ def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_score",
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# STREAMED classifier gate (r16, late) — the model-gate leg of the
+# maintenance story, completing the symmetry the rule gate already has
+# (gopher_quality_gate / stream_gopher_gate_equality): a crawl pipeline
+# re-scores every arriving batch with its quality classifier, and the
+# hashed-linear score is entirely row-local, so the streamed twin is
+# stateless. Arriving documents flow through the IDENTICAL JVM score
+# fold as the batch report (_qcg_scored — shared code, never a Python
+# re-implementation), a counting-only Arrow kernel sinks per-source
+# PARTIAL counters (n_docs, n_kept, sum_score) through the append-mode
+# exactly-once file sink, and compaction is groupBy(source).sum —
+# partial boundaries follow micro-batch / Arrow batch boundaries
+# (explicitly not deterministic) but the compacted totals are
+# boundary-invariant (count/sum form a commutative monoid), which is
+# the law under audit: compact(stream partials) == batch report, exact
+# per-source full-outer comparison. The comparison uses NULL-SAFE
+# equality, not the gopher twin's -1 sentinel: sum_score is a SIGNED
+# counter and a sentinel could collide with a legitimate value.
+#
+# 100 TB posture: per-micro-batch work is the row-local fold plus a
+# per-Arrow-batch pandas rollup bounded by sources-per-batch; no
+# stream-side shuffle, no state store, no broadcast probe (unlike the
+# streamed decontamination leg there is no reference DATA at all — the
+# weight table is folded into the expression); the sink grows by
+# n_sources x n_commits, not docs.
+# ---------------------------------------------------------------------------
+
+_STREAM_QCG_ORACLE = f"""
+WITH report AS ({_QCG_ORACLE})
+SELECT count(*)::BIGINT AS n_sources,
+       coalesce(sum(n_docs), 0)::BIGINT AS n_docs,
+       coalesce(sum(n_kept), 0)::BIGINT AS n_kept,
+       coalesce(sum(sum_score), 0)::BIGINT AS sum_score,
+       CAST(0 AS BIGINT) AS n_mismatch,
+       true AS stream_equals_batch
+FROM report
+"""
+
+_QCG_PARTIAL_SCHEMA = "source string, n_docs long, n_kept long, sum_score long"
+
+
+def _qcg_partial_counts_arrow(batches):
+    """mapInPandas kernel: per-source PARTIAL classifier counters within
+    each Arrow batch. Pure counting over the JVM-computed score — the
+    model semantics never leave the JVM."""
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        pdf = pdf.copy()
+        pdf["kept"] = pdf["score"] > 0
+        agg = pdf.groupby("source", sort=False).agg(
+            n_docs=("score", "size"),
+            n_kept=("kept", "sum"),
+            sum_score=("score", "sum"),
+        )
+        yield agg.astype("int64").reset_index()
+
+
+@REGISTRY.register(
+    "stream_quality_classifier_equality",
+    oracle=_STREAM_QCG_ORACLE,
+    description="streamed model quality gate: arriving batches scored by "
+    "the batch gate's shared JVM hashed-linear fold, per-source partial "
+    "counters through the exactly-once sink, compacted == batch report "
+    "(null-safe exact per-source audit)",
+    tags=("streaming", "text", "quality", "incremental"),
+)
+def stream_quality_classifier_equality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from mapreduce_sm_spark.streaming.sketch_stream import (
+        documents_text_stream,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    base = tempfile.mkdtemp(prefix="qcg_stream_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    feed_dir, sink, ckpt = (
+        _os.path.join(base, "documents.parquet"),
+        _os.path.join(base, "gate"),
+        _os.path.join(base, "ckpt"),
+    )
+    # 8 part files consumed 2 per trigger => 4 separate sink commits
+    docs.repartition(8).write.mode("overwrite").parquet(feed_dir)
+    stream = documents_text_stream(
+        spark,
+        base,
+        glob="documents.parquet",
+        max_files_per_trigger=2,
+        columns=("source", "text"),
+    )
+    q = (
+        _qcg_scored(stream)
+        .mapInPandas(_qcg_partial_counts_arrow, _QCG_PARTIAL_SCHEMA)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):  # loud, never a silent prefix
+        q.stop()
+        raise RuntimeError(
+            "stream_quality_classifier_equality: stream did not finish in 120s"
+        )
+    try:
+        partials = spark.read.parquet(sink)
+    except AnalysisException as e:
+        if (e.getCondition() or "") not in (
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        ):
+            raise
+        partials = spark.createDataFrame([], _QCG_PARTIAL_SCHEMA)
+    counters = ("n_docs", "n_kept", "sum_score")
+    compacted = partials.groupBy("source").agg(
+        *[F.sum(c).cast("long").alias(c) for c in counters]
+    )
+    batch = quality_classifier_gate(spark, sf_dir).select("source", *counters)
+    zero = F.lit(0).cast("long")
+    # NULL-SAFE per-counter comparison: sum_score is signed, so the
+    # gopher twin's -1 absent-side sentinel could collide with a real
+    # value; eqNullSafe flags absent-vs-present directly.
+    mism = (
+        compacted.select(
+            "source", *[F.col(c).alias(f"a_{c}") for c in counters]
+        )
+        .join(
+            batch.select(
+                "source", *[F.col(c).alias(f"b_{c}") for c in counters]
+            ),
+            "source",
+            "full_outer",
+        )
+        .select(
+            F.when(
+                sum(
+                    (~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))).cast("int")
+                    for c in counters
+                )
+                > 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("bad")
+        )
+        .agg(F.coalesce(F.sum("bad"), zero).cast("long").alias("n_mismatch"))
+    )
+    dig = compacted.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        *[
+            F.coalesce(F.sum(c), zero).cast("long").alias(c)
+            for c in counters
+        ],
+    )
+    return dig.crossJoin(F.broadcast(mism)).select(
+        "n_sources",
+        *counters,
+        "n_mismatch",
+        (F.col("n_mismatch") == 0).alias("stream_equals_batch"),
     )

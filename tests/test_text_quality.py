@@ -252,3 +252,104 @@ def test_stream_gopher_gate_empty_corpus_matches_oracle(spark, tmp_path):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
     assert con.sql(_STREAM_GQ_ORACLE).fetchall()[0] == tuple(row)
+
+
+def test_stream_quality_classifier_equality_law(spark, monkeypatch):
+    """The streamed model gate's compacted per-source counters must
+    equal the batch report exactly (n_mismatch 0 through the NULL-SAFE
+    audit), the digest must match a direct batch recount (including the
+    SIGNED sum_score), and the sink must hold multiple commits."""
+    import os
+    import tempfile
+
+    from tests.conftest import SF_DIR
+
+    from mapreduce_sm_spark.operators.text_analysis import (
+        quality_classifier_gate,
+        stream_quality_classifier_equality,
+    )
+
+    made: list[str] = []
+    real_mkdtemp = tempfile.mkdtemp
+
+    def spy(*a, **kw):
+        d = real_mkdtemp(*a, **kw)
+        if kw.get("prefix", "").startswith("qcg_stream_"):
+            made.append(d)
+        return d
+
+    monkeypatch.setattr(tempfile, "mkdtemp", spy)
+    row = stream_quality_classifier_equality(spark, SF_DIR).collect()[0]
+    assert row["n_mismatch"] == 0 and row["stream_equals_batch"]
+    (base,) = made
+    commits = [
+        f
+        for f in os.listdir(os.path.join(base, "gate", "_spark_metadata"))
+        if f.isdigit() or f.split(".")[0].isdigit()
+    ]
+    assert len(commits) >= 2, commits
+    batch = quality_classifier_gate(spark, SF_DIR).collect()
+    assert row["n_sources"] == len(batch)
+    assert row["n_docs"] == sum(r["n_docs"] for r in batch)
+    assert row["n_kept"] == sum(r["n_kept"] for r in batch)
+    assert row["sum_score"] == sum(r["sum_score"] for r in batch)
+
+
+def test_stream_quality_classifier_empty_corpus_matches_oracle(
+    spark, tmp_path
+):
+    import duckdb
+
+    from mapreduce_sm_spark.operators.text_analysis import (
+        _STREAM_QCG_ORACLE,
+        stream_quality_classifier_equality,
+    )
+
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [], "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(d)
+    row = stream_quality_classifier_equality(spark, str(tmp_path)).collect()[0]
+    assert tuple(row) == (0, 0, 0, 0, 0, True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    assert con.sql(_STREAM_QCG_ORACLE).fetchall()[0] == tuple(row)
+
+
+def test_stream_quality_classifier_negative_sum_source(spark, tmp_path):
+    """A source whose total score is NEGATIVE still audits equal (the
+    null-safe comparison has no sentinel collision to fall into): build
+    a corpus from tokens with known negative weights via hash60_py."""
+    import duckdb
+
+    from mapreduce_sm_spark.functions.hashing import hash60_py
+    from mapreduce_sm_spark.operators.text_analysis import (
+        _STREAM_QCG_ORACLE,
+        stream_quality_classifier_equality,
+    )
+
+    def w(tok):
+        return ((hash60_py(tok) % 1024) * 2654435761) % 21 - 10
+
+    # scan candidate tokens (letters only — digits are outside the
+    # token grammar) for a strictly negative-weight one
+    import itertools
+
+    letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    neg = next(
+        "".join(p)
+        for p in itertools.product(letters, repeat=3)
+        if w("".join(p)) < 0
+    )
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(1, "sNeg", f"{neg.lower()} {neg.lower()}"), (2, "sNeg", neg.lower())],
+        "doc_id long, source string, text string",
+    ).coalesce(1).write.parquet(d)
+    row = stream_quality_classifier_equality(spark, str(tmp_path)).collect()[0]
+    assert row["sum_score"] == 3 * w(neg) < 0
+    assert row["n_kept"] == 0
+    assert row["n_mismatch"] == 0 and row["stream_equals_batch"]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    assert con.sql(_STREAM_QCG_ORACLE).fetchall()[0] == tuple(row)
