@@ -2755,3 +2755,167 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-aware split audit (r16, late). Hash-mod train/test splitting
+# (train_val_test_split) is leakage-blind: a near-duplicate pair split
+# across train and test inflates every evaluation run on that test set
+# (the documented failure the decontamination triple guards against —
+# but INTERNAL to the corpus rather than against an external benchmark,
+# cf. Lee et al. 2022 "Deduplicating Training Data Makes Language
+# Models Better", which measures exactly this eval inflation). The
+# leakage-free recipe is to split by NEAR-DUP CLUSTER: hash the
+# connected-component label instead of the doc_id, so every cluster
+# member lands in the same split by construction.
+#
+# This operator runs BOTH policies over the default 60-bit simhash
+# rung's pair relation and MEASURES the leakage instead of asserting
+# it: naive_cross_pairs counts near-dup pairs split across the naive
+# 10% test carve-out; cluster_cross_pairs is computed the same way from
+# the cluster-hashed assignment (provably 0 — both endpoints of a pair
+# share a component — but the audit recomputes it as a machine check,
+# not a comment). Also reports the test-set size drift the cluster
+# policy introduces (clusters move atomically, so the carve-out is no
+# longer an exact per-doc 10%).
+#
+# 100 TB posture: inherits the measured 60-bit banded candidate join
+# (dedup_simhash60_pairs: 3.0x at x100) and _cc_labels' node-sized
+# label-propagation exchanges; both split assignments are row-local
+# hash60 expressions; the leak counts are two aggregates over the
+# pair frame joined to the vertex-sized component frame. The audit
+# digest is one row.
+# ---------------------------------------------------------------------------
+
+_CLSPLIT_SALT = "clsplit"
+_CLSPLIT_MOD = 10  # 1-in-10 test carve-out
+
+
+def _clsplit_is_test_sql(expr: str) -> str:
+    return f"({hash60_sql(f'({expr})::VARCHAR', _CLSPLIT_SALT)} % {_CLSPLIT_MOD} < 1)"
+
+
+_CLSPLIT_ORACLE = f"""
+WITH RECURSIVE {_simhash60_sql_cte()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig60 a JOIN sig60 b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING60_MAX}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+cc AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents
+  UNION
+  SELECT e.b, cc.r FROM cc JOIN edges e ON cc.v = e.a
+),
+comp AS (SELECT v AS doc_id, min(r) AS component FROM cc GROUP BY v),
+t AS (
+  SELECT doc_id, component,
+         {_clsplit_is_test_sql('doc_id')} AS nt,
+         {_clsplit_is_test_sql('component')} AS ct
+  FROM comp
+),
+pl AS (
+  SELECT a.nt AS ant, b.nt AS bnt, a.ct AS act, b.ct AS bct
+  FROM pairs p JOIN t a ON p.doc_a = a.doc_id
+               JOIN t b ON p.doc_b = b.doc_id
+)
+SELECT (SELECT count(*) FROM t)::BIGINT AS n_docs,
+       (SELECT count(*) FILTER (WHERE nt) FROM t)::BIGINT AS n_test_naive,
+       (SELECT count(*) FILTER (WHERE ct) FROM t)::BIGINT AS n_test_cluster,
+       count(*)::BIGINT AS n_pairs,
+       count(*) FILTER (WHERE ant <> bnt)::BIGINT AS naive_cross_pairs,
+       count(*) FILTER (WHERE act <> bct)::BIGINT AS cluster_cross_pairs
+FROM pl
+"""
+
+
+@REGISTRY.register(
+    "cluster_aware_split_audit",
+    oracle=_CLSPLIT_ORACLE,
+    description="leakage-free splitting audit: near-dup pairs split "
+    "across the naive hash test carve-out (measured) vs the "
+    "cluster-hashed assignment (recomputed 0) over the 60-bit simhash "
+    "pair relation — the internal-leakage counterpart of the "
+    "decontamination triple",
+    tags=("dedup", "sampling", "scale"),
+)
+def cluster_aware_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    release_caches("dedup.clsplit")  # one-generation discipline
+    sig = _simhash60_spark(docs).cache()
+    sig.count()  # materialization barrier (see dedup_ngram_jaccard)
+    pairs = (
+        _banded_hamming_pairs(sig, _HAMMING60_CHUNKS, _HAMMING60_MAX)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    pairs.count()  # two consumers: the CC miner and the leak counts
+    track_caches("dedup.clsplit", sig, pairs)
+    labels = _cc_labels(pairs)
+    comp = docs.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+
+    def is_test(col):
+        return (
+            hash60(F.col(col).cast("string"), _CLSPLIT_SALT) % _CLSPLIT_MOD
+            < 1
+        )
+
+    t = comp.select(
+        "doc_id",
+        is_test("doc_id").alias("nt"),
+        is_test("component").alias("ct"),
+    )
+    zero = F.lit(0).cast("long")
+    docs_dig = t.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.col("nt").cast("long")), zero)
+        .cast("long")
+        .alias("n_test_naive"),
+        F.coalesce(F.sum(F.col("ct").cast("long")), zero)
+        .cast("long")
+        .alias("n_test_cluster"),
+    )
+    pl = pairs.join(
+        t.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("nt").alias("ant"),
+            F.col("ct").alias("act"),
+        ),
+        "doc_a",
+    ).join(
+        t.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("nt").alias("bnt"),
+            F.col("ct").alias("bct"),
+        ),
+        "doc_b",
+    )
+    pair_dig = pl.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum((F.col("ant") != F.col("bnt")).cast("long")), zero
+        )
+        .cast("long")
+        .alias("naive_cross_pairs"),
+        F.coalesce(
+            F.sum((F.col("act") != F.col("bct")).cast("long")), zero
+        )
+        .cast("long")
+        .alias("cluster_cross_pairs"),
+    )
+    return docs_dig.crossJoin(F.broadcast(pair_dig)).select(
+        "n_docs",
+        "n_test_naive",
+        "n_test_cluster",
+        "n_pairs",
+        "naive_cross_pairs",
+        "cluster_cross_pairs",
+    )

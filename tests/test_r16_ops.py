@@ -696,3 +696,69 @@ def test_centroid_drift_empty_corpus(spark, tmp_path):
     e = _write_embeddings(spark, tmp_path, [])
     assert label_centroid_drift(spark, str(tmp_path)).collect() == []
     assert _duck_emb(e).sql(_CENTROID_DRIFT_ORACLE).fetchall() == []
+
+
+# --- cluster_aware_split_audit (wave 3) -----------------------------------------
+
+
+def test_cluster_split_planted_cross_pair(spark, tmp_path):
+    """Plant a near-dup pair whose doc_ids land on OPPOSITE sides of the
+    naive 10% test carve-out (ids chosen via hash60_py so one is test,
+    one train): the naive policy leaks that pair (naive_cross_pairs 1),
+    the cluster policy moves both to the min-id member's split
+    (cluster_cross_pairs 0, recomputed not asserted). A third unrelated
+    doc pairs with nothing."""
+    from mapreduce_sm_spark.functions.hashing import hash60_py
+    from mapreduce_sm_spark.operators.dedup import (
+        _CLSPLIT_ORACLE,
+        cluster_aware_split_audit,
+    )
+
+    def is_test(i):
+        return hash60_py(str(i), "clsplit") % 10 < 1
+
+    test_id = next(i for i in range(1000) if is_test(i))
+    train_id = next(i for i in range(1000) if not is_test(i))
+    dup = "the very same near duplicate text repeated verbatim here"
+    d = _write_docs5(
+        spark,
+        tmp_path,
+        [
+            (test_id, dup, "en", "s", len(dup)),
+            (train_id, dup, "en", "s", len(dup)),
+            (999, "utterly different content with disjoint vocabulary "
+                  "zebra quartz fjord glyph vex", "en", "s", 80),
+        ],
+    )
+    rows = [
+        tuple(r)
+        for r in cluster_aware_split_audit(spark, str(tmp_path)).collect()
+    ]
+    comp_test = is_test(min(test_id, train_id))
+    expected_cluster_tests = 2 * comp_test + is_test(999)
+    assert rows == [
+        (
+            3,
+            1 + is_test(999),
+            expected_cluster_tests,
+            1,
+            1,
+            0,
+        )
+    ]
+    assert _duck(d).sql(_CLSPLIT_ORACLE).fetchall() == rows
+
+
+def test_cluster_split_empty_corpus(spark, tmp_path):
+    from mapreduce_sm_spark.operators.dedup import (
+        _CLSPLIT_ORACLE,
+        cluster_aware_split_audit,
+    )
+
+    d = _write_docs5(spark, tmp_path, [])
+    rows = [
+        tuple(r)
+        for r in cluster_aware_split_audit(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [(0, 0, 0, 0, 0, 0)]
+    assert _duck(d).sql(_CLSPLIT_ORACLE).fetchall() == rows
