@@ -91,7 +91,8 @@ from mapreduce_sm_spark.registry import REGISTRY
 # winnowing_fingerprint_pairs, quality_classifier_gate,
 # temperature_mixture_weights, ngram_novelty_curve,
 # knn_label_noise_audit, label_centroid_drift,
-# stream_quality_classifier_equality, cluster_aware_split_audit.
+# stream_quality_classifier_equality, cluster_aware_split_audit,
+# token_budget_allocation.
 REGISTRY.set_front(
     (
         # --- (1) the 2 named r11 carries ---

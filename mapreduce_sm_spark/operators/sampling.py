@@ -810,3 +810,199 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget allocation (r16, late): the epoch planner the
+# data-constrained scaling literature implies (Muennighoff et al. 2023:
+# under a fixed compute/token budget, small high-value sources repeat
+# for multiple epochs but repetition saturates — cap it — while large
+# sources absorb the rest). Formally: capacitated proportional
+# allocation (water-filling). Given per-source token counts n_s, the
+# budget B = 2 * sum(n_s), weights w_s = isqrt(10^4 n_s) (the
+# registered temperature weights — sub-linear, so small sources draw
+# outsized shares and HIT the cap) and caps c_s = 4 n_s (the 4-epoch
+# repetition ceiling), find the allocation alloc_s = min(c_s, t * w_s)
+# whose water level t exhausts B over uncapped sources.
+#
+# Exact algorithm, identical in both engines: sort sources by cap/
+# weight ratio — which for THIS (cap, weight) pair is c/w =
+# (4/100) * sqrt(n), strictly monotone in n, so the exact ratio order
+# IS (n_tokens, source): no float sort key exists anywhere. Greedy
+# prefix capping with the standard criterion (row i caps iff
+# c_i * S_{i-1} <= R_{i-1} * w_i over the remaining budget R and
+# suffix weight S), made explicitly prefix-closed via a cumulative AND
+# (a running min over the predicate), then the uncapped remainder
+# splits proportionally by exact wide-integer floor division
+# (DECIMAL(38,0) / HUGEINT — products like w * R overflow int64 at
+# corpus scale; the tf_cosine wide-div idiom). The capping induction
+# keeps R non-negative, so every emitted value is a non-negative exact
+# integer. Zero-token sources carry cap 0 / weight 0 and fall out
+# capped-at-zero with no special case.
+#
+# 100 TB posture: ONE row-local token-count rollup (the corpus is
+# never exploded); every subsequent pass — prefix windows, the capped
+# rollup, the allocation — runs on the <= |sources|-row frame with
+# broadcast one-row scalar joins. The unpartitioned windows sit above
+# that Aggregate (the plan-tripwire-sanctioned bounded shape).
+# ---------------------------------------------------------------------------
+
+_TB_BUDGET_X = 2  # B = 2x the corpus
+_TB_EPOCH_CAP = 4  # c_s = 4 epochs
+
+
+def _tb_widediv_sql(num: str, den: str) -> str:
+    return f"(({num})::HUGEINT // ({den})::HUGEINT)::BIGINT"
+
+
+_TB_ORACLE = f"""
+WITH sz AS (
+  SELECT source,
+         sum(len(regexp_extract_all(upper(text), '{WORD_TOKEN_RE_SQL}')))::BIGINT
+             AS n
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n, {_isqrt_sql(f"n * {_TEMP_SCALE}")} AS wgt,
+         {_TB_EPOCH_CAP} * n AS cap
+  FROM sz
+),
+tot AS (
+  SELECT {_TB_BUDGET_X} * coalesce(sum(n), 0)::BIGINT AS b,
+         coalesce(sum(wgt), 0)::BIGINT AS wtot
+  FROM w
+),
+p AS (
+  SELECT source, n, wgt, cap, b, wtot,
+         sum(cap) OVER ord - cap AS pc_prev,
+         sum(wgt) OVER ord - wgt AS pw_prev
+  FROM w CROSS JOIN tot
+  WINDOW ord AS (ORDER BY n, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+f AS (
+  SELECT *,
+         CASE WHEN cap::HUGEINT * (wtot - pw_prev)
+                   <= (b - pc_prev)::HUGEINT * wgt
+              THEN 1 ELSE 0 END AS pred
+  FROM p
+),
+g AS (
+  SELECT *,
+         min(pred) OVER (ORDER BY n, source
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS capped
+  FROM f
+),
+s AS (
+  SELECT coalesce(sum(cap * capped), 0)::BIGINT AS pc_k,
+         coalesce(sum(wgt * capped), 0)::BIGINT AS pw_k
+  FROM g
+),
+a AS (
+  SELECT g.source, g.n, g.wgt, g.cap,
+         CASE WHEN g.capped = 1 THEN g.cap
+              ELSE {_tb_widediv_sql("g.wgt::HUGEINT * (g.b - s.pc_k)",
+                                    "g.wtot - s.pw_k")}
+         END AS alloc,
+         (g.capped = 1) AS capped
+  FROM g CROSS JOIN s
+)
+SELECT source, n AS n_tokens, wgt, cap, alloc,
+       (alloc * 1000 // greatest(n, 1))::BIGINT AS epochs_pm, capped
+FROM a ORDER BY source
+"""
+
+
+@REGISTRY.register(
+    "token_budget_allocation",
+    oracle=_TB_ORACLE,
+    description="capacitated water-filling epoch planner: a 2x-corpus "
+    "token budget split proportionally to the temperature weights with "
+    "a 4-epoch repetition cap per source — exact greedy prefix capping "
+    "(no float sort key: the ratio order reduces to token-count order) "
+    "+ wide-integer proportional remainder",
+    tags=("sampling", "mixture", "scale"),
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    sz = (
+        docs.select("source", F.size(tokenize_words("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n"))
+    )
+    w = sz.select(
+        "source",
+        "n",
+        _isqrt_col(F.col("n") * _TEMP_SCALE).alias("wgt"),
+        (F.lit(_TB_EPOCH_CAP) * F.col("n")).cast("long").alias("cap"),
+    )
+    zero = F.lit(0).cast("long")
+    tot = w.agg(
+        (F.lit(_TB_BUDGET_X) * F.coalesce(F.sum("n"), zero))
+        .cast("long")
+        .alias("b"),
+        F.coalesce(F.sum("wgt"), zero).cast("long").alias("wtot"),
+    )
+    ord_w = Window.orderBy("n", "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "wgt",
+        "cap",
+        "b",
+        "wtot",
+        (F.sum("cap").over(ord_w) - F.col("cap")).alias("pc_prev"),
+        (F.sum("wgt").over(ord_w) - F.col("wgt")).alias("pw_prev"),
+    )
+    pred = F.expr(
+        "CASE WHEN CAST(cap AS DECIMAL(38,0)) * (wtot - pw_prev)"
+        " <= CAST(b - pc_prev AS DECIMAL(38,0)) * wgt THEN 1 ELSE 0 END"
+    )
+    g = p.withColumn("pred", pred).withColumn(
+        "capped", F.min("pred").over(ord_w)
+    )
+    s = g.agg(
+        F.coalesce(F.sum(F.col("cap") * F.col("capped")), zero)
+        .cast("long")
+        .alias("pc_k"),
+        F.coalesce(F.sum(F.col("wgt") * F.col("capped")), zero)
+        .cast("long")
+        .alias("pw_k"),
+    )
+    alloc = F.expr(
+        "CASE WHEN capped = 1 THEN cap ELSE"
+        " CAST(((CAST(wgt AS DECIMAL(38,0)) * (b - pc_k)"
+        "   - (CAST(wgt AS DECIMAL(38,0)) * (b - pc_k)) % (wtot - pw_k))"
+        "  / (wtot - pw_k)) AS BIGINT) END"
+    )
+    return (
+        g.crossJoin(F.broadcast(s))
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            "wgt",
+            "cap",
+            alloc.alias("alloc"),
+            (F.col("capped") == 1).alias("capped"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "wgt",
+            "cap",
+            "alloc",
+            F.expr("alloc * 1000 DIV greatest(n_tokens, 1)")
+            .cast("long")
+            .alias("epochs_pm"),
+            "capped",
+        )
+        .select(
+            "source", "n_tokens", "wgt", "cap", "alloc", "epochs_pm", "capped"
+        )
+        .orderBy("source")
+    )

@@ -762,3 +762,65 @@ def test_cluster_split_empty_corpus(spark, tmp_path):
     ]
     assert rows == [(0, 0, 0, 0, 0, 0)]
     assert _duck(d).sql(_CLSPLIT_ORACLE).fetchall() == rows
+
+
+# --- token_budget_allocation (wave 3) -------------------------------------------
+
+
+def test_token_budget_waterfill_hand_traced(spark, tmp_path):
+    """Full hand trace with a CAPPED source, the case the near-uniform
+    fixture never exercises. sZ: 0 tokens -> zero row, capped at 0.
+    sA: 1 token (w=100, cap=4): predicate 4*1100 <= 202*100 -> capped,
+    4 epochs. sB: 100 tokens (w=1000, cap=400): 400*1000 <= 198*1000
+    fails -> uncapped, alloc = floor(1000*198/1000) = 198 -> 1980 pm
+    (the cap redistribution: sB absorbs what sA could not take)."""
+    from mapreduce_sm_spark.operators.sampling import (
+        _TB_ORACLE,
+        token_budget_allocation,
+    )
+
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "sZ", "123", 3),
+            (2, "sA", "a", 1),
+            (3, "sB", " ".join(["w"] * 100), 199),
+        ],
+    )
+    rows = [
+        tuple(r) for r in token_budget_allocation(spark, str(tmp_path)).collect()
+    ]
+    assert rows == [
+        ("sA", 1, 100, 4, 4, 4000, True),
+        ("sB", 100, 1000, 400, 198, 1980, False),
+        ("sZ", 0, 0, 0, 0, 0, True),
+    ]
+    assert _duck(d).sql(_TB_ORACLE).fetchall() == rows
+
+
+def test_token_budget_allocation_never_exceeds_budget_or_caps(spark):
+    """Conservation laws on the real fixture: every alloc <= cap,
+    sum(alloc) <= B = 2 * sum(n_tokens), and uncapped rows sit at the
+    shared water level (alloc*den floor-consistent)."""
+    from tests.conftest import SF_DIR
+
+    from mapreduce_sm_spark.operators.sampling import token_budget_allocation
+
+    rows = token_budget_allocation(spark, SF_DIR).collect()
+    assert rows
+    total = sum(r["n_tokens"] for r in rows)
+    assert all(r["alloc"] <= r["cap"] for r in rows)
+    assert sum(r["alloc"] for r in rows) <= 2 * total
+    assert all(0 <= r["epochs_pm"] <= 4000 for r in rows)
+
+
+def test_token_budget_allocation_empty_corpus(spark, tmp_path):
+    from mapreduce_sm_spark.operators.sampling import (
+        _TB_ORACLE,
+        token_budget_allocation,
+    )
+
+    d = _write_docs(spark, tmp_path, [])
+    assert token_budget_allocation(spark, str(tmp_path)).collect() == []
+    assert _duck(d).sql(_TB_ORACLE).fetchall() == []
