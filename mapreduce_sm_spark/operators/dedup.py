@@ -2719,6 +2719,13 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
+    # cache the exploded postings: the df count and the cap join-back are
+    # two consumers, and the pair join consumes `kept` twice (a/b
+    # aliases) — uncached, Catalyst re-ran the tokenize+md5+winnow
+    # selection subtree once per consumer (FOUR corpus passes in the
+    # executed plan; the doc_lm_surprisal lesson, plan-pinned to exactly
+    # one Generate explode in tests/test_plans.py)
+    release_caches("dedup.winnow")  # one-generation discipline
     fps = grams.select(
         "doc_id",
         F.explode(
@@ -2729,7 +2736,8 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("fp"),
-    )
+    ).cache()
+    fps.count()  # materialization barrier (see dedup_ngram_jaccard)
     # MOSS common-fingerprint drop: partial-aggregable df count, then a
     # co-partitioned join-back BEFORE any pairing (the oracle applies the
     # same cap). Counting first means a hub fingerprint costs one counter
@@ -2740,7 +2748,9 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _WINNOW_DF_CAP)
         .select("fp")
     )
-    kept = fps.join(low_df, "fp")
+    kept = fps.join(low_df, "fp").cache()
+    kept.count()  # both pair-join sides read this frame
+    track_caches("dedup.winnow", fps, kept)
     a, b = kept.alias("a"), kept.alias("b")
     return (
         a.join(

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from mapreduce_sm_spark.functions.hashing import hash60, hash60_sql
 from mapreduce_sm_spark.functions.text import WORD_TOKEN_RE_SQL, tokenize_words
 from mapreduce_sm_spark.registry import REGISTRY
-from mapreduce_sm_spark.session import table
+from mapreduce_sm_spark.session import release_caches, table, track_caches
 
 _MOD = 10000
 
@@ -786,16 +786,23 @@ def _isqrt_col(x):
 )
 def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("source", "text")
+    release_caches("sampling.temperature")  # one-generation discipline
     sz = (
         docs.select("source", F.size(tokenize_words("text")).alias("nt"))
         .groupBy("source")
         .agg(F.sum("nt").cast("long").alias("n_tokens"))
     )
+    # cache the |sources|-row rollup: the scalar total and the output
+    # projection are two consumers, and an uncached frame would run the
+    # corpus token-count scan once PER consumer (the doc_lm_surprisal
+    # lesson — plan-pinned to one hash exchange in tests/test_plans.py)
     w = sz.select(
         "source",
         "n_tokens",
         _isqrt_col(F.col("n_tokens") * _TEMP_SCALE).alias("wgt"),
-    )
+    ).cache()
+    w.count()  # materialization barrier
+    track_caches("sampling.temperature", w)
     tot = w.agg(F.sum("wgt").cast("long").alias("tw"))
     return (
         w.crossJoin(F.broadcast(tot))
@@ -928,17 +935,23 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents").select("source", "text")
+    release_caches("sampling.budget")  # one-generation discipline
     sz = (
         docs.select("source", F.size(tokenize_words("text")).alias("nt"))
         .groupBy("source")
         .agg(F.sum("nt").cast("long").alias("n"))
     )
+    # cached |sources|-row rollup: totals, prefix windows, the capped
+    # rollup and the final projection all re-read this frame — uncached,
+    # each consumer would repeat the corpus token-count scan
     w = sz.select(
         "source",
         "n",
         _isqrt_col(F.col("n") * _TEMP_SCALE).alias("wgt"),
         (F.lit(_TB_EPOCH_CAP) * F.col("n")).cast("long").alias("cap"),
-    )
+    ).cache()
+    w.count()  # materialization barrier
+    track_caches("sampling.budget", w)
     zero = F.lit(0).cast("long")
     tot = w.agg(
         (F.lit(_TB_BUDGET_X) * F.coalesce(F.sum("n"), zero))

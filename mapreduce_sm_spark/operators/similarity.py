@@ -2129,10 +2129,19 @@ def label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).alias("dim"),
         F.floor(F.col("x").cast("double") * 1000).cast("long").alias("g"),
     )
+    from mapreduce_sm_spark.session import release_caches, track_caches
+
+    # cache the |labels| x dim rollup: the global rollup, the diff join,
+    # and the n_vecs read-out are separate consumers — uncached, each
+    # re-ran the corpus posexplode (FIVE passes in the executed plan;
+    # plan-pinned to exactly one Generate posexplode in tests/test_plans.py)
+    release_caches("similarity.drift")  # one-generation discipline
     per_label = g.groupBy("label", "dim").agg(
         F.sum("g").cast("long").alias("s"),
         F.count("*").cast("long").alias("n"),
-    )
+    ).cache()
+    per_label.count()  # materialization barrier
+    track_caches("similarity.drift", per_label)
     gl = per_label.groupBy("dim").agg(
         F.sum("s").cast("long").alias("sg"),
         F.sum("n").cast("long").alias("ng"),

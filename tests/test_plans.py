@@ -773,3 +773,113 @@ def test_no_unbounded_cartesian_product(spark):
     # the walker must actually SEE the known cross-join sites (scalar
     # 1-row aggregates, centroid frames) — zero means the API drifted
     assert n_cross >= 5, n_cross
+
+
+def test_quality_classifier_single_exchange_no_explode(spark):
+    """quality_classifier_gate: the score is a row-local F.aggregate
+    fold over the token array — the corpus is never exploded and never
+    joined; exactly one hash exchange (the source-sized yield rollup,
+    map-side combined)."""
+    from mapreduce_sm_spark.operators.text_analysis import (
+        quality_classifier_gate,
+    )
+
+    plan = _plan(quality_classifier_gate(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan.replace("BroadcastNestedLoopJoin", "")
+    assert "Generate explode" not in plan
+
+
+def test_temperature_weights_cached_rollup_broadcast_total(spark):
+    """temperature_mixture_weights: the |sources|-row rollup is cached
+    and every consumer reads the InMemoryRelation — the executed tree
+    above the cache definition holds NO FileScan (one corpus scan
+    total); the scalar total rides a broadcast one-row cross join."""
+    from mapreduce_sm_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    plan = _plan(temperature_mixture_weights(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "FileScan" not in plan.split("InMemoryRelation")[0]
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row total
+    assert "SortMergeJoin" not in plan
+    assert "Generate explode" not in plan
+
+
+def test_novelty_curve_one_corpus_explode_no_smj(spark):
+    """ngram_novelty_curve: denominators are ROW-LOCAL (no explode
+    feeds occ), so the plan carries exactly ONE Generate explode (the
+    gram pass into the first-occurrence aggregate). Four hash
+    exchanges: the gh aggregate, the two <= NB-row bucket rollups, and
+    the fan_out width repartition ahead of the gram transform; the
+    bucket joins broadcast — never sort-merge."""
+    from mapreduce_sm_spark.operators.corpus_ops import ngram_novelty_curve
+
+    plan = _plan(ngram_novelty_curve(spark, SF_DIR))
+    assert plan.count("Generate explode") == 1
+    assert plan.count("Exchange hashpartitioning") == 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnowing_cached_postings_no_cartesian(spark):
+    """winnowing_fingerprint_pairs: the exploded postings and the
+    capped `kept` frame are cached — the executed tree above the cache
+    definitions re-runs NEITHER the winnow-selection explode NOR the
+    file scan (one tokenize+md5 pass total; pre-fix the plan replayed
+    it four times); the pair join is an fp equi-join, never a
+    cartesian/BNLJ fan-out."""
+    from mapreduce_sm_spark.operators.dedup import (
+        winnowing_fingerprint_pairs,
+    )
+
+    plan = _plan(winnowing_fingerprint_pairs(spark, SF_DIR))
+    head = plan.split("InMemoryRelation")[0]
+    assert "Generate explode" not in head
+    assert "FileScan" not in head
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_budget_waterfill_cached_rollup(spark):
+    """token_budget_allocation: ONE corpus token rollup, cached; the
+    waterfill's windows/scalars all read the InMemoryRelation (no
+    FileScan above the cache definition); no explode, no sort-merge
+    join — everything past the rollup is |sources|-row work."""
+    from mapreduce_sm_spark.operators.sampling import token_budget_allocation
+
+    plan = _plan(token_budget_allocation(spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "FileScan" not in plan.split("InMemoryRelation")[0]
+    assert "Generate explode" not in plan.split("InMemoryRelation")[0]
+    assert "SortMergeJoin" not in plan
+
+
+def test_centroid_drift_cached_grid_one_posexplode(spark):
+    """label_centroid_drift: the (label x dim) integer-grid rollup is
+    cached — the executed tree above the cache definition holds neither
+    the corpus posexplode nor a file scan (pre-fix the plan replayed
+    the posexplode five times); no cartesian anywhere."""
+    from mapreduce_sm_spark.operators.similarity import label_centroid_drift
+
+    plan = _plan(label_centroid_drift(spark, SF_DIR))
+    head = plan.split("InMemoryRelation")[0]
+    assert "Generate posexplode" not in head
+    assert "FileScan" not in head
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan
+
+
+
+def test_knn_audit_bounded_panel_broadcast(spark):
+    """knn_label_noise_audit: the audit panel is a bounded TakeOrdered
+    (never a global sort) and rides a broadcast into the corpus-scan
+    cosine join — the ann_bruteforce serving shape."""
+    from mapreduce_sm_spark.operators.similarity import knn_label_noise_audit
+
+    plan = _plan(knn_label_noise_audit(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # panel broadcast, != join cond
+    assert "CartesianProduct" not in plan
