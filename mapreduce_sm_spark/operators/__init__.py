@@ -92,7 +92,7 @@ from mapreduce_sm_spark.registry import REGISTRY
 # temperature_mixture_weights, ngram_novelty_curve,
 # knn_label_noise_audit, label_centroid_drift,
 # stream_quality_classifier_equality, cluster_aware_split_audit,
-# token_budget_allocation.
+# token_budget_allocation, readability_scores, kmv_anotb_difference.
 REGISTRY.set_front(
     (
         # --- (1) the 2 named r11 carries ---

@@ -1484,3 +1484,171 @@ def stream_quantile_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("stream_equals_batch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV A-NOT-B difference (r16, late) — the third set operation. The
+# union/intersection estimators above answer overlap; retention and
+# churn questions need the DIFFERENCE (|A \ B|: which clickstream users
+# are NOT customers?), and the theta-sketch family has a dedicated
+# construction for it (Apache DataSketches' AnotB; Beyer et al. SIGMOD
+# 2007 foundations): with theta = min over the two sketches of (tau if
+# saturated else M), the sample {h in KMV(A) : h < theta} is a uniform
+# theta-fraction sample of A's distinct hashes, and removing the
+# members also present in KMV(B) leaves a theta-fraction sample of
+# A \ B — so est_diff = floor(delta * M / theta). When neither sketch
+# is saturated, theta = M and the formula degenerates to the EXACT
+# difference with no special case (the sketches then hold every
+# distinct hash).
+#
+# The oracle replays the entire construction bit-for-bit (shared
+# 60-bit md5 hash, exact order statistics, HUGEINT/DECIMAL(38,0) floor
+# division) and also carries the exact |A \ B| alongside — every column
+# hash-checked, no literal-TRUE booleans.
+#
+# 100 TB posture: identical to the overlap op — each side is one
+# distinct + TakeOrdered(k); the A-sample filter and the anti join run
+# on k-row broadcast frames.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_theta(sk: DataFrame, k: int = _KMV_K):
+    """1-row [n, theta]: tau when saturated, else M (exact mode)."""
+    return sk.agg(
+        F.count("*").cast("long").alias("n"),
+        F.when(F.count("*") < k, F.lit(_KMV_M).cast("long"))
+        .otherwise(F.max("h"))
+        .alias("theta"),
+    )
+
+
+def _kmv_anotb(a: DataFrame, b: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """1-row [n_a, theta, delta, est_diff] (see module comment)."""
+    ta = _kmv_theta(a, k).select(
+        F.col("n").alias("n_a"), F.col("theta").alias("theta_a")
+    )
+    tb = _kmv_theta(b, k).select(F.col("theta").alias("theta_b"))
+    th = ta.crossJoin(F.broadcast(tb)).select(
+        "n_a", F.least("theta_a", "theta_b").alias("theta")
+    )
+    sample = a.crossJoin(F.broadcast(th.select("theta"))).filter(
+        F.col("h") < F.col("theta")
+    )
+    delta = sample.join(b, "h", "left_anti").agg(
+        F.count("*").cast("long").alias("delta")
+    )
+    return (
+        th.crossJoin(F.broadcast(delta))
+        .select(
+            "n_a",
+            "theta",
+            "delta",
+            F.expr(
+                f"CAST((CAST(delta AS DECIMAL(38,0)) * CAST({_KMV_M} AS"
+                " DECIMAL(38,0))) div CAST(theta AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("est_diff"),
+        )
+    )
+
+
+def _kmv_anotb_oracle() -> str:
+    from mapreduce_sm_spark.functions.hashing import hash60_sql
+
+    h = hash60_sql("CAST(k AS VARCHAR)")
+    k, m = _KMV_K, _KMV_M
+
+    def pair(tag: str, aset: str, bset: str) -> str:
+        return f"""
+t_{tag} AS (
+  SELECT (SELECT count(*) FROM sk_{aset}) AS n_a,
+         least(
+           (SELECT CASE WHEN count(*) < {k} THEN {m} ELSE max(h) END
+            FROM sk_{aset}),
+           (SELECT CASE WHEN count(*) < {k} THEN {m} ELSE max(h) END
+            FROM sk_{bset})) AS theta
+),
+d_{tag} AS (
+  SELECT t.n_a, t.theta,
+         (SELECT count(*) FROM sk_{aset} s
+          WHERE s.h < t.theta
+            AND s.h NOT IN (SELECT h FROM sk_{bset})) AS delta
+  FROM t_{tag} t
+),
+r_{tag} AS (
+  SELECT '{tag}' AS set_pair,
+         (SELECT count(*) FROM
+            (SELECT k FROM {aset} EXCEPT SELECT k FROM {bset}))
+             AS exact_diff,
+         n_a, theta, delta,
+         CAST((delta::HUGEINT * {m}::HUGEINT) // theta::HUGEINT AS BIGINT)
+             AS est_diff
+  FROM d_{tag}
+)"""
+
+    return f"""
+WITH
+events_users AS (SELECT DISTINCT user_id AS k FROM events),
+order_customers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+building_customers AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+sk_events_users AS (
+  SELECT h FROM (SELECT {h} AS h FROM events_users) ORDER BY h LIMIT {k}
+),
+sk_order_customers AS (
+  SELECT h FROM (SELECT {h} AS h FROM order_customers) ORDER BY h LIMIT {k}
+),
+sk_building_customers AS (
+  SELECT h FROM (SELECT {h} AS h FROM building_customers) ORDER BY h LIMIT {k}
+),{pair("not_building", "events_users", "building_customers")},{pair("not_order", "events_users", "order_customers")}
+SELECT * FROM r_not_building
+UNION ALL
+SELECT * FROM r_not_order
+ORDER BY set_pair
+"""
+
+
+@REGISTRY.register(
+    "kmv_anotb_difference",
+    oracle=_kmv_anotb_oracle(),
+    description="theta-style A-not-B set difference from mergeable KMV "
+    "synopses (DataSketches AnotB): theta-fraction sample of A minus "
+    "B's sketch members, exact-mode degeneration when unsaturated — "
+    "the churn/retention question union+intersection cannot answer; "
+    "oracle replays the whole sketch bit-for-bit",
+    tags=("sketch", "scale"),
+)
+def kmv_anotb_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    bld = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    sk_ev = _kmv_sketch(ev, "k")
+    pairs = []
+    for tag, aset, bset, sk_b in (
+        ("not_building", ev, bld, _kmv_sketch(bld, "k")),
+        ("not_order", ev, orders, _kmv_sketch(orders, "k")),
+    ):
+        exact = (
+            aset.distinct()
+            .join(bset.distinct(), "k", "left_anti")
+            .agg(F.count("*").cast("long").alias("exact_diff"))
+        )
+        row = (
+            exact.crossJoin(F.broadcast(_kmv_anotb(sk_ev, sk_b)))
+            .select(
+                F.lit(tag).alias("set_pair"),
+                "exact_diff",
+                "n_a",
+                "theta",
+                "delta",
+                "est_diff",
+            )
+        )
+        pairs.append(row)
+    return pairs[0].unionAll(pairs[1]).orderBy("set_pair")

@@ -2218,3 +2218,106 @@ def stream_quality_classifier_equality(
         "n_mismatch",
         (F.col("n_mismatch") == 0).alias("stream_equals_batch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scores (r16, late). Readability is a standard curation
+# axis (FineWeb-Edu-style educational-quality filtering correlates with
+# it; classic layout: Flesch 1948 reading ease). The score needs a
+# syllable count, which at corpus scale is always a deterministic
+# proxy — here the standard cheap one: the number of vowel-group runs
+# ([AEIOUY]+), identical regexps on both engines.
+#
+# Exactness: Flesch reading ease 206.835 - 1.015*(W/S) - 84.6*(Y/W)
+# lands on an integer MILLI-grid with each rational term floored
+# independently: fre_milli = 206835 - (1015*W) div S - (84600*Y) div
+# max(W,1) — both divisions non-negative, so plain DIV / // agree.
+# Sentences floor at 1 (a fragment is one sentence). The per-source
+# MEAN of fre_milli IS signed (low-vowel word soup scores negative), so
+# it uses the portable signed floor division (a - pmod(a,b)) div b —
+# the label_centroid_drift discipline.
+#
+# 100 TB posture: three regexp counts per row, all row-local; the only
+# exchange is the source-sized rollup (map-side combined). No join, no
+# explode.
+# ---------------------------------------------------------------------------
+
+_FRE_EASY_MILLI = 60_000  # the conventional "plain English" floor
+
+_READABILITY_ORACLE = f"""
+WITH d AS (
+  SELECT source,
+         len(regexp_extract_all(upper(text), '[A-Z][A-Z'']*'))::BIGINT AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS s,
+         len(regexp_extract_all(upper(text), '[AEIOUY]+'))::BIGINT AS y
+  FROM documents
+),
+f AS (
+  SELECT source,
+         206835 - (1015 * w) // s - (84600 * y) // greatest(w, 1) AS fre
+  FROM d
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       ((sum(fre) - ((sum(fre) % count(*)) + count(*)) % count(*))
+           // count(*))::BIGINT AS mean_fre_milli,
+       count(*) FILTER (WHERE fre >= {_FRE_EASY_MILLI})::BIGINT AS n_easy,
+       (count(*) FILTER (WHERE fre >= {_FRE_EASY_MILLI}) * 1000
+           // count(*))::BIGINT AS easy_pm
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+@REGISTRY.register(
+    "readability_scores",
+    oracle=_READABILITY_ORACLE,
+    description="Flesch reading ease on an exact milli-grid (vowel-run "
+    "syllable proxy, per-term floors, signed-floor mean) rolled up per "
+    "source — the readability axis of curation quality filtering",
+    tags=("text", "quality"),
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "text")
+    d = docs.select(
+        "source",
+        F.expr(
+            "CAST(size(regexp_extract_all(upper(text), \"[A-Z][A-Z']*\", 0))"
+            " AS BIGINT)"
+        ).alias("w"),
+        F.greatest(
+            F.expr(
+                "CAST(size(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT)"
+            ),
+            F.lit(1).cast("long"),
+        ).alias("s"),
+        F.expr(
+            "CAST(size(regexp_extract_all(upper(text), '[AEIOUY]+', 0))"
+            " AS BIGINT)"
+        ).alias("y"),
+    )
+    fre = (
+        F.lit(206835).cast("long")
+        - F.expr("(1015 * w) DIV s")
+        - F.expr("(84600 * y) DIV greatest(w, 1)")
+    )
+    easy = (F.col("fre") >= _FRE_EASY_MILLI).cast("long")
+    return (
+        d.select("source", fre.alias("fre"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("fre").cast("long").alias("sum_fre"),
+            F.sum(easy).cast("long").alias("n_easy"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            # portable signed floor division (sum_fre can be negative)
+            F.expr("(sum_fre - pmod(sum_fre, n_docs)) DIV n_docs")
+            .cast("long")
+            .alias("mean_fre_milli"),
+            "n_easy",
+            F.expr("n_easy * 1000 DIV n_docs").cast("long").alias("easy_pm"),
+        )
+        .orderBy("source")
+    )

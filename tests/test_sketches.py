@@ -351,3 +351,38 @@ def test_qsketch_exact_rank_invariant_under_parts_count(spark, monkeypatch):
         monkeypatch.setattr(sk, "_qsk_exact_parts", lambda _s, p=parts: p)
         got = [tuple(r) for r in sk.quantile_sketch_order_price(spark, SF_DIR).collect()]
         assert got == base, f"contract drifted at parts={parts}"
+
+
+# --- kmv_anotb_difference (r16 wave 4) ------------------------------------------
+
+
+def test_kmv_anotb_exact_mode_unsaturated(spark):
+    """Neither sketch saturated -> theta = M and the estimator
+    DEGENERATES to the exact difference with no special case."""
+    from mapreduce_sm_spark.operators.sketches import _KMV_M, _kmv_anotb
+
+    a = spark.createDataFrame([(10,), (20,), (30,)], "h long")
+    b = spark.createDataFrame([(20,), (99,)], "h long")
+    row = _kmv_anotb(a, b, k=8).collect()[0]
+    assert tuple(row) == (3, _KMV_M, 2, 2)
+
+
+def test_kmv_anotb_saturated_theta_sampling(spark):
+    """A saturated at k=4 -> theta = tau_A = 4; the sample is A's
+    hashes strictly below theta ({1,2,3}), minus B's members ({2,3})
+    -> delta 1, est = floor(1 * M / 4) = 2^58."""
+    from mapreduce_sm_spark.operators.sketches import _kmv_anotb
+
+    a = spark.createDataFrame([(1,), (2,), (3,), (4,)], "h long")
+    b = spark.createDataFrame([(2,), (3,), (50,), (60,)], "h long")
+    row = _kmv_anotb(a, b, k=4).collect()[0]
+    assert tuple(row) == (4, 4, 1, 1 << 58)
+
+
+def test_kmv_anotb_empty_a_side(spark):
+    from mapreduce_sm_spark.operators.sketches import _KMV_M, _kmv_anotb
+
+    a = spark.createDataFrame([], "h long")
+    b = spark.createDataFrame([(7,)], "h long")
+    row = _kmv_anotb(a, b, k=4).collect()[0]
+    assert tuple(row) == (0, _KMV_M, 0, 0)

@@ -353,3 +353,54 @@ def test_stream_quality_classifier_negative_sum_source(spark, tmp_path):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
     assert con.sql(_STREAM_QCG_ORACLE).fetchall()[0] == tuple(row)
+
+
+def test_readability_hand_traced_signed_floor_mean(spark, tmp_path):
+    """Hand-traced Flesch milli-grid values, including two NEGATIVE
+    scores whose mean exercises the signed floor division (floor of
+    -81272.5 is -81273, not -81272 — a truncating division would split
+    the engines). sA doc: 'Go. On we go.' -> w=4, s=2, y=4 ->
+    206835 - 2030 - 84600 = 120205 (easy). sB: 200/201 one-sentence
+    vowel runs -> -80765 and -81780, mean floor(-162545/2) = -81273."""
+    import duckdb
+
+    from mapreduce_sm_spark.operators.text_analysis import (
+        _READABILITY_ORACLE,
+        readability_scores,
+    )
+
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [
+            (1, "sA", "Go. On we go."),
+            (2, "sB", " ".join(["a"] * 200)),
+            (3, "sB", " ".join(["a"] * 201)),
+        ],
+        "doc_id long, source string, text string",
+    ).coalesce(1).write.parquet(d)
+    rows = [tuple(r) for r in readability_scores(spark, str(tmp_path)).collect()]
+    assert rows == [
+        ("sA", 1, 120205, 1, 1000),
+        ("sB", 2, -81273, 0, 0),
+    ]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    assert con.sql(_READABILITY_ORACLE).fetchall() == rows
+
+
+def test_readability_empty_corpus(spark, tmp_path):
+    import duckdb
+
+    from mapreduce_sm_spark.operators.text_analysis import (
+        _READABILITY_ORACLE,
+        readability_scores,
+    )
+
+    d = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [], "doc_id long, source string, text string"
+    ).coalesce(1).write.parquet(d)
+    assert readability_scores(spark, str(tmp_path)).collect() == []
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    assert con.sql(_READABILITY_ORACLE).fetchall() == []
