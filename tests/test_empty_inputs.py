@@ -48,8 +48,9 @@ def test_all_batch_queries_survive_empty_inputs(spark, empty_sf_dir):
             assert len(rows) <= 1 or name in (
                 "calendar_spine_orders",
                 "profile_orders_columns",
-                # fixed 2-row report: one row per compared set pair
+                # fixed 2-row reports: one row per compared set pair
                 "kmv_audience_overlap",
+                "kmv_anotb_difference",
                 # fixed 6-row report: one row per quantile level, NULL
                 # estimates on an empty corpus (ADVICE r10)
                 "quantile_sketch_order_price",

@@ -408,6 +408,28 @@ def test_no_unpartitioned_window_over_unbounded_subtree(spark):
         c = cls(n)
         if c in bounded_gate:
             return True
+        if c == "InMemoryRelation":
+            # a cached frame hides its subtree from the logical walker;
+            # it is bounded iff the plan it MATERIALIZED is aggregate/
+            # limit-shaped before any scan or join — scan the cached
+            # physical plan top-down past AQE/codegen/Project wrapper
+            # lines and judge on the FIRST decisive operator
+            # (token_budget_allocation's cached per-source rollup is the
+            # motivating case — caching must not blind the tripwire, nor
+            # grant a blanket pass to a cached corpus-scale frame)
+            bounding = ("HashAggregate", "SortAggregate",
+                        "ObjectHashAggregate", "TakeOrderedAndProject",
+                        "GlobalLimit", "LocalTableScan")
+            unbounding = ("FileScan", "Scan parquet", "SortMergeJoin",
+                          "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                          "CartesianProduct", "ShuffledHashJoin",
+                          "InMemoryTableScan", "Generate")
+            for line in n.cachedPlan().toString().splitlines():
+                if any(m in line for m in bounding):
+                    return True
+                if any(m in line for m in unbounding):
+                    return False
+            return False
         kids = children(n)
         if not kids:
             return c in leaf_ok
