@@ -573,11 +573,13 @@ def lm_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mapreduce_sm_spark.session import release_caches, track_caches
 
+    from mapreduce_sm_spark.functions.hashing import hash60
+
     docs = table(spark, sf_dir, "documents")
     # per_doc is doc-count-sized and 3 narrow columns, but consumed by
     # the corpus-mean scalar AND the gate join — uncached, each consumer
     # replays the LM-cascade joins over the (cached) bigram multiset.
-    # Cache it alongside kt under the same tag.
+    # Cache it alongside q/kt under the same tag.
     release_caches("corpus.lm_curation")
     per_doc = (
         _doc_surprisal_frame(spark, sf_dir)
@@ -585,12 +587,26 @@ def lm_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     track_caches("corpus.lm_curation", per_doc)
+    # barrier: g's broadcast build and the gate join are concurrent
+    # first readers of the lazy per_doc cache (see the doc_bi barrier)
+    per_doc.count()
     g = per_doc.agg(
         F.sum("total_bits").alias("gt"), F.sum("n_bigrams").alias("gn")
     )
-    # quality gate — exact integer cross-multiply (DECIMAL(38,0) products)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    # quality gate — exact integer cross-multiply (DECIMAL(38,0)
+    # products). The surviving frame is projected NARROW in the same
+    # pass: the dedup key travels as its 60-bit hash and the token count
+    # as a long, so the tail's three consumers (dedup groupBy, keeper
+    # join-back, per-source census) share ONE parquet text decode +
+    # gate join instead of re-scanning text per consumer (r16 opt
+    # round: tail 2.8 s -> 1.2 s at sf0.1). hash60 as the dedup group
+    # key relies on the same documented injectivity-on-corpus argument
+    # as the shingle/minhash family (_shingle_sets): an md5-60 collision
+    # would merge two distinct normalized texts; the oracle gate
+    # re-verifies exact parity on every fixture.
     q = (
-        docs.join(per_doc, "doc_id")
+        docs.join(per_doc.select("doc_id", "n_bigrams", "total_bits"), "doc_id")
         .crossJoin(F.broadcast(g))
         .filter(
             F.expr(
@@ -598,21 +614,26 @@ def lm_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " <= 21 * CAST(n_bigrams AS DECIMAL(38,0)) * gt"
             )
         )
-        .select("doc_id", "source", "text")
-    )
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
-    dd = q.groupBy(norm.alias("nrm")).agg(F.min("doc_id").alias("keep_doc_id"))
-    # kt (doc-count-sized, 3 narrow columns) feeds the budgets AND the
-    # sample AND two report aggregates — cache it (the mixture-sampler
-    # rationale); q itself recomputes from the cached per_doc frame, so
-    # its extra consumers cost a parquet re-scan, not a cascade replay
-    kt = (
-        q.join(dd, q.doc_id == dd.keep_doc_id)
         .select(
             "doc_id",
             "source",
+            hash60(norm).alias("nh"),
             F.size(tokenize_words("text")).cast("long").alias("tk"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    track_caches("corpus.lm_curation", q)
+    # materialization barrier (the dedup_ngram_jaccard lesson): AQE
+    # launches the report's broadcast-build jobs concurrently, and
+    # concurrent FIRST readers of a lazy cache each recompute it
+    q.count()
+    dd = q.groupBy("nh").agg(F.min("doc_id").alias("keep_doc_id"))
+    # kt (doc-count-sized, 3 narrow columns) feeds the budgets AND the
+    # sample AND two report aggregates — cache it (the mixture-sampler
+    # rationale); its build is a narrow join of the cached q frame
+    kt = (
+        q.join(dd, q.doc_id == dd.keep_doc_id)
+        .select("doc_id", "source", "tk")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     track_caches("corpus.lm_curation", kt)

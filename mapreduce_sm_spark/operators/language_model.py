@@ -38,6 +38,26 @@ toks AS (
 )
 """
 
+
+def _adjacent_pairs_col(tok_col: str):
+    """array<struct<w1,w2>> of adjacent pairs of an ALREADY-MATERIALIZED
+    token-array column. The column indirection is load-bearing: passing
+    the tokenizer expression itself would re-evaluate the regexp inside
+    every element_at call of the lambda (Catalyst does not CSE across
+    higher-order-function lambda boundaries), turning one regexp pass per
+    doc into ~2(n-1) — measured 9x slower on the sf0.1 doc_bi build."""
+    t = F.col(tok_col)
+    n = F.size(t)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+        ),
+    )
+
 # The oracle builds bigrams with a lead() window over positioned tokens —
 # semantically identical to the engine's array-side adjacent pairing.
 _BIGRAM_ORACLE = f"""
@@ -72,19 +92,14 @@ LIMIT 300
 )
 def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    t = tokenize_words("text")
-    n = F.size(t)
-    # adjacent pairs built array-side: one output row per bigram
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
+    # tokenize ONCE into a materialized column before pairing: inlining
+    # the tokenizer into the transform lambda re-runs regexp_extract_all
+    # inside every element_at call — ~2(n-1) full-text regexp passes per
+    # doc instead of 1 (measured 9x on the doc_bi build, r16 opt round)
+    base = docs.select(tokenize_words("text").alias("t"))
+    bi = base.select(F.explode(_adjacent_pairs_col("t")).alias("b")).select(
+        "b.w1", "b.w2"
     )
-    pairs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
-        ),
-    )
-    bi = docs.select(F.explode(pairs).alias("b")).select("b.w1", "b.w2")
     agg = bi.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
     p = (
         F.col("cnt").cast("double")
@@ -210,25 +225,16 @@ LIMIT 100
 )
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    t = tokenize_words("text")
-    n = F.size(t)
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    pairs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
-        ),
-    )
+    # tokenize-once column indirection — see _adjacent_pairs_col
+    base = docs.select(tokenize_words("text").alias("t"))
     bc = (
-        docs.select(F.explode(pairs).alias("b"))
+        base.select(F.explode(_adjacent_pairs_col("t")).alias("b"))
         .select("b.w1", "b.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("cnt_ab"))
     )
     uc = (
-        docs.select(F.explode(t).alias("word"))
+        base.select(F.explode("t").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
@@ -348,21 +354,12 @@ def _doc_surprisal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_lm_surprisal's top-40 cut, shared with
     corpus_ops.lm_curation_report's quality gate."""
     docs = table(spark, sf_dir, "documents")
-    t = tokenize_words("text")
-    n = F.size(t)
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    pairs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
-        ),
-    )
     from pyspark import StorageLevel
 
     from mapreduce_sm_spark.session import release_caches, track_caches
 
+    # tokenize-once column indirection — see _adjacent_pairs_col
+    base = docs.select("doc_id", tokenize_words("text").alias("t"))
     # doc_bi feeds BOTH the scoring join and the cascaded LM aggregates;
     # without a persist Catalyst computes the explode+aggregate subtree
     # once per consumer (three corpus explode passes in the executed
@@ -370,16 +367,22 @@ def _doc_surprisal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the c12/c1 cascade then runs over the cached multiset.
     release_caches("lm.surprisal")
     doc_bi = (
-        docs.select("doc_id", F.explode(pairs).alias("b"))
+        base.select("doc_id", F.explode(_adjacent_pairs_col("t")).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("k"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     track_caches("lm.surprisal", doc_bi)
+    # materialization barrier (the dedup_ngram_jaccard lesson): the LM
+    # broadcast-build jobs and the scoring join read doc_bi concurrently
+    # under AQE, and concurrent FIRST readers of a lazy cache each
+    # recompute the explode+aggregate subtree (measured 7-17 s swings at
+    # sf0.1 without the barrier; stable ~6-8 s with it)
+    doc_bi.count()
     c12 = doc_bi.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = docs.select(F.explode(t).alias("w")).agg(
+    vocab = base.select(F.explode("t").alias("w")).agg(
         F.count_distinct("w").alias("v")
     )
     # floor(-log2 p) in pure integer arithmetic — see derivation above
