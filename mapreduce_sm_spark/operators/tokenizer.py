@@ -121,11 +121,15 @@ seq0 AS (
     )
 
 
-def _adjacent_pairs(syms_col: str):
-    """Exploded (s1, s2, freq-carrying) adjacent symbol pairs, built
-    array-side like bigram_lm_counts so the explode emits exactly one row
-    per pair — no positional self-join of the symbol stream."""
-    l = F.split(F.col(syms_col), " ")
+def _adjacent_pairs(arr_col: str):
+    """Exploded (s1, s2, freq-carrying) adjacent symbol pairs of an
+    ALREADY-SPLIT array column, built array-side like bigram_lm_counts so
+    the explode emits exactly one row per pair — no positional self-join
+    of the symbol stream. Takes the materialized array column, not the
+    syms string: inlining the split here would re-run it inside every
+    element_at call of the lambda (the language_model.py
+    _adjacent_pairs_col lesson — no CSE across lambda boundaries)."""
+    l = F.col(arr_col)
     idx = F.when(F.size(l) >= 2, F.sequence(F.lit(1), F.size(l) - 1)).otherwise(
         F.array().cast("array<int>")
     )
@@ -166,7 +170,8 @@ def _bpe_learn(
     try:
         for rank in range(1, n_merges + 1):
             pair_counts = (
-                seq.select(F.explode(_adjacent_pairs("syms")).alias("b"), "freq")
+                seq.select(F.split(F.col("syms"), " ").alias("l"), "freq")
+                .select(F.explode(_adjacent_pairs("l")).alias("b"), "freq")
                 .groupBy("b.s1", "b.s2")
                 .agg(F.sum("freq").alias("cnt"))
             )

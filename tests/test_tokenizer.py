@@ -59,8 +59,10 @@ def test_single_symbol_word_passes_through(spark):
 
 
 def test_adjacent_pairs_count(spark):
-    df = spark.createDataFrame([("A B C",), ("Z",)], "syms string").select(
-        F.size(_adjacent_pairs("syms")).alias("n")
+    df = (
+        spark.createDataFrame([("A B C",), ("Z",)], "syms string")
+        .select(F.split(F.col("syms"), " ").alias("l"))
+        .select(F.size(_adjacent_pairs("l")).alias("n"))
     )
     assert [r["n"] for r in df.collect()] == [2, 0]
 
