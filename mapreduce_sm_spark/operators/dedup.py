@@ -2203,12 +2203,19 @@ _EVAL_GRAM_BROADCAST_BOUND = 1 << 24
 def _eval_gram_static(docs: DataFrame, gram_hashes) -> DataFrame:
     """The FIXED eval suite, reduced to one broadcastable row of
     distinct gram hashes (array may be empty; never a plan literal),
-    capacity-guarded per the _EVAL_GRAM_BROADCAST_BOUND contract."""
+    capacity-guarded per the _EVAL_GRAM_BROADCAST_BOUND contract.
+
+    gram_hashes takes an ALREADY-MATERIALIZED token-array column name —
+    the tokenize runs once per doc in its own projection (inlining it
+    would re-run the regexp inside every slice call of the gram lambda;
+    the language_model _adjacent_pairs_col lesson)."""
     from mapreduce_sm_spark.functions.guards import bounded_broadcast_array
+    from mapreduce_sm_spark.functions.text import tokenize_words
 
     return (
         docs.filter(F.col("doc_id") % 10 == 0)
-        .select(F.explode(gram_hashes("text")).alias("gh"))
+        .select(tokenize_words("text").alias("t"))
+        .select(F.explode(gram_hashes("t")).alias("gh"))
         .agg(F.array_sort(F.collect_set("gh")).alias("ev_grams"))
         .select(
             bounded_broadcast_array(
@@ -2269,8 +2276,9 @@ def stream_decontamination_equality(
         "doc_id", "source", "text", "n_chars"
     )
 
-    def gram_hashes(col: str) -> F.Column:
-        t = tokenize_words(col)
+    def gram_hashes(tok_col: str) -> F.Column:
+        # takes the materialized token-array column (see _eval_gram_static)
+        t = F.col(tok_col)
         return F.when(
             F.size(t) >= n,
             F.transform(
@@ -2312,11 +2320,16 @@ def stream_decontamination_equality(
     )
     flagged = (
         stream.filter(F.col("doc_id") % 10 != 0)
-        .crossJoin(F.broadcast(eval_static))
         .select(
             "source",
             F.col("n_chars").cast("long").alias("n_chars"),
-            F.arrays_overlap(gram_hashes("text"), F.col("ev_grams")).alias(
+            tokenize_words("text").alias("t"),
+        )
+        .crossJoin(F.broadcast(eval_static))
+        .select(
+            "source",
+            "n_chars",
+            F.arrays_overlap(gram_hashes("t"), F.col("ev_grams")).alias(
                 "lk"
             ),
         )
