@@ -396,20 +396,17 @@ def _kmeans_centroids(
             )
             .select("vec_id", F.col("s.cid").alias("cid"), "v")
         )
+        # per-dimension means as d wide avg aggregates: ONE shuffle of
+        # k x (d+1) partials instead of the old posexplode (N*d rows)
+        # -> groupBy(cid,pos) -> collect_list double-shuffle (r16 opt
+        # round; d is bounded by the fixture embedding width)
+        d = len(cents[0][1])
         means = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("pm")
-            )
-            .select("cid", F.col("pm.m").alias("cvec"))
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(d)])
             .collect()
         )
-        new = {r.cid: list(r.cvec) for r in means}
+        new = {r["cid"]: [r[f"m{i}"] for i in range(d)] for r in means}
         cents = [(i, new.get(i, c)) for i, c in cents]  # empty cell keeps old
     return cents
 
@@ -917,20 +914,35 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_sm_spark.session import release_caches, track_caches
 
     release_caches("similarity.semantic")
-    cells = _semantic_cells(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    # the vector norm is cached alongside each cell row: every pair the
+    # cid join surfaces then pays ONE dot fold instead of the full
+    # 3-fold cosine (dot + both norms) — bit-identical, since the norm
+    # is the same expression on the same input and the final divide is
+    # unchanged (r16 opt round, guide 2.3 narrow-the-pair-work)
+    from mapreduce_sm_spark.functions.vectors import dot, l2_norm
+
+    cells = (
+        _semantic_cells(spark, sf_dir)
+        .withColumn("nv", l2_norm("embedding"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     track_caches("similarity.semantic", cells)
     cells.count()  # barrier: both join sides read the SAME materialization
     a = cells.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("va"),
+        F.col("nv").alias("na"),
         F.col("cid").alias("cid_a"),
     )
     b = cells.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("vb"),
+        F.col("nv").alias("nb"),
         F.col("cid").alias("cid_b"),
     )
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    sim = dot(F.col("va"), F.col("vb")) / F.nullif(
+        F.col("na") * F.col("nb"), F.lit(0.0)
+    )
     return (
         a.join(
             b,
@@ -995,12 +1007,23 @@ ORDER BY doc_id
 )
 def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     _assert_broadcastable_query_side(_SEM_N_AUDIT)
+    from mapreduce_sm_spark.functions.vectors import dot, l2_norm
+
     emb = table(spark, sf_dir, "embeddings")
+    # norms precomputed ONCE per side before the pair join: each of the
+    # |audit| x N pairs then evaluates one dot fold instead of three
+    # (measured 4.2 s -> 1.0 s on the audit relation at sf0.1).
+    # Bit-identical to cosine_similarity: same norm expression on the
+    # same input rows, same final divide.
     audit = emb.filter(F.col("vec_id") < _SEM_N_AUDIT).select(
-        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("av")
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("av"),
+        l2_norm("embedding").alias("na"),
     )
     corpus = emb.select(
-        F.col("vec_id").alias("partner"), F.col("embedding").alias("pv")
+        F.col("vec_id").alias("partner"),
+        F.col("embedding").alias("pv"),
+        l2_norm("embedding").alias("nb"),
     )
     # exact relation: audit x corpus via broadcast (bruteforce pattern) —
     # the ground truth the cell-blocked set is audited against
@@ -1008,7 +1031,10 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(audit), F.col("partner") != F.col("doc_id"))
         .select(
             "doc_id", "partner",
-            cosine_similarity(F.col("av"), F.col("pv")).alias("cos"),
+            (
+                dot(F.col("av"), F.col("pv"))
+                / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= F.lit(_SEM_TAU))
     )
