@@ -227,49 +227,47 @@ def pagerank_int(
     edges: (src string, dst string). No driver collect: N and the
     dangling sum travel as 1-row broadcast frames.
     """
-    release_caches("graph.pagerank")  # one-generation discipline, session.py
-    edges = edges.cache()
-    edges.count()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .cache()
-    )
-    nodes.count()
-    nn = nodes.agg(F.count("*").alias("n"))
-    outdeg = (
-        edges.groupBy("src")
-        .agg(F.count("*").alias("od"))
-        .select(F.col("src").alias("od_node"), "od")
-    )
+    from pyspark.sql import Window
 
-    # r12 iteration-shape rework: the loop's ONLY edge-sized input is
-    # materialized ONCE, outdeg fused in and hash-partitioned on src —
-    # the cached InMemoryTableScan reports that partitioning, so the
-    # per-iteration join against r satisfies its src-side distribution
-    # requirement for free and the per-iteration exchanges are all
-    # NODE-sized (r to src-hash, the partially-aggregated in_sum). The
-    # previous shape re-shuffled the edge set every iteration (edges
-    # joined a derived contrib frame) and ran a second node join inside
-    # the loop. At 100 TB this is the difference between iterations x
-    # |E| and one |E| exchange total.
+    release_caches("graph.pagerank")  # one-generation discipline, session.py
+    # r16 opt-round setup rework (guide 2.4): the loop's ONLY edge-sized
+    # input is built in ONE pass — out-degree fused in with a window
+    # over src, whose exchange IS the src-hash partitioning the
+    # per-iteration join needs. The previous shape cached the raw edge
+    # set, self-joined it against a separate outdeg aggregate and
+    # re-partitioned: two extra cache materializations and an extra
+    # edge-sized exchange per invocation, for the same cached frame.
+    # The cached InMemoryTableScan reports the src partitioning, so the
+    # per-iteration exchanges are all NODE-sized (r to src-hash, the
+    # partially-aggregated in_sum). At 100 TB this is the difference
+    # between iterations x |E| and one |E| exchange total.
     edges_od = (
-        edges.join(outdeg, F.col("src") == F.col("od_node"))
-        .select("src", "dst", "od")
-        .repartition("src")
+        edges.select("src", "dst")
+        .withColumn("od", F.count("*").over(Window.partitionBy("src")))
         .cache()
     )
     edges_od.count()
-    # nodes with no out-edge are a STATIC set; only their rank sum
-    # changes per iteration
-    dang_nodes = nodes.join(
-        outdeg, F.col("node") == F.col("od_node"), "left_anti"
-    ).cache()
-    dang_nodes.count()
+    # nodes with no out-edge are a STATIC set; carry the flag IN the
+    # rank frame so the per-iteration dangling mass is a filter+sum over
+    # r instead of a semi-join against a separate cached node set
+    nodes = (
+        edges_od.select(F.col("src").alias("node"))
+        .union(edges_od.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    srcs = edges_od.select(F.col("src").alias("node")).distinct()
+    nodes_fl = (
+        nodes.join(srcs.withColumn("has_out", F.lit(True)), "node", "left")
+        .select(
+            "node", F.coalesce("has_out", F.lit(False)).alias("has_out")
+        )
+        .cache()
+    )
+    nodes_fl.count()
+    nn = nodes_fl.agg(F.count("*").alias("n"))
 
-    r = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", F.expr(f"{mass} div n").alias("rank")
+    r = nodes_fl.crossJoin(F.broadcast(nn)).select(
+        "node", "has_out", F.expr(f"{mass} div n").alias("rank")
     )
     base = F.expr(f"(15 * ({mass} div n)) div 100")
     prev_r: DataFrame | None = None
@@ -290,15 +288,16 @@ def pagerank_int(
             .agg(F.sum("c").alias("in_sum"))
             .withColumnRenamed("dst", "node")
         )
-        dang = r.join(dang_nodes, "node", "left_semi").agg(
+        dang = r.filter(~F.col("has_out")).agg(
             F.coalesce(F.sum("rank"), F.lit(0)).alias("dang")
         )
         r = (
-            nodes.crossJoin(F.broadcast(nn))
+            nodes_fl.crossJoin(F.broadcast(nn))
             .crossJoin(F.broadcast(dang))
             .join(in_sum, "node", "left")
             .select(
                 "node",
+                "has_out",
                 (
                     base
                     + F.expr(
@@ -307,13 +306,11 @@ def pagerank_int(
                 ).alias("rank"),
             )
         )
-    # the LAST iteration's cached frame plus edges/nodes/edges_od stay
+    # the LAST iteration's cached frame plus edges_od/nodes_fl stay
     # live for the caller's collect over the returned lazy plan; the next
     # invocation reclaims them (one-generation cache discipline)
-    track_caches(
-        "graph.pagerank", edges, nodes, edges_od, dang_nodes, prev_r
-    )
-    return r
+    track_caches("graph.pagerank", edges_od, nodes_fl, prev_r)
+    return r.select("node", "rank")
 
 
 def _pagerank_oracle() -> str:
