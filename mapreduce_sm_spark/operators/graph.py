@@ -135,10 +135,22 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles")
         )
     )
+    # summary degrees re-derived from the CACHED oriented frame, not the
+    # pre-orientation deg: orientation maps each undirected edge to
+    # exactly one directed row, so undirected deg(v) = in(v) + out(v)
+    # over oriented — same multiset, but this branch reads cache blocks
+    # instead of replaying the edge self-join + distinct a second time
+    # (r16 opt round: full query 6.8-7.1 s -> 5.0-5.6 s at sf0.1)
+    deg_o = (
+        oriented.select(F.col("src").alias("node"))
+        .unionAll(oriented.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
     # exact int64 arithmetic throughout (module contract): deg*(deg-1) is
     # even, so `div 2` is exact; a double `/ 2` sum would lose low bits
     # past 2^53 while the oracle sums exactly
-    summary = deg.agg(
+    summary = deg_o.agg(
         F.count("*").alias("n_nodes"),
         F.coalesce(F.expr("sum(deg) div 2"), F.lit(0))
         .cast("long")

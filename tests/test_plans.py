@@ -335,24 +335,44 @@ def test_quantile_exact_rank_is_distributed(spark):
         assert "TakeOrderedAndProject" in below or "keys=[pid" in below, line
 
 
+def _execution_nodes(jnode, acc):
+    """Flatten the EXECUTED plan tree to simpleString lines, stopping at
+    InMemoryTableScan leaves so a cached relation's STORED build plan
+    (which legitimately contains its one build exchange) is not walked —
+    the toString() dump prints those nested plans inline, which is what
+    a naive string assertion trips over (r16 opt round)."""
+    cls = jnode.getClass().getSimpleName()
+    acc.append(jnode.simpleString(200))
+    if "InMemoryTableScan" in cls:
+        return acc
+    if "QueryStage" in cls:  # Shuffle/Broadcast/TableCacheQueryStageExec
+        return _execution_nodes(jnode.plan(), acc)
+    if "AdaptiveSparkPlan" in cls:
+        return _execution_nodes(jnode.executedPlan(), acc)
+    ch = jnode.children()
+    for i in range(ch.length()):
+        _execution_nodes(ch.apply(i), acc)
+    return acc
+
+
 def test_pagerank_loop_exchanges_are_node_sized(spark):
     """r12 iteration-shape rework: the per-iteration join against the
     rank frame must consume the cached, src-partitioned edge frame
-    without re-exchanging it — the final iteration layer's executed plan
+    without re-exchanging it — the final iteration layer's EXECUTION
     carries NO hash exchange on src; every exchange is on a node-sized
-    frame (the rank/in_sum side)."""
+    frame (the rank/in_sum side). Walks the executed tree, not the
+    string dump: the dump inlines each cached relation's stored build
+    plan, whose single legitimate build exchange IS on src."""
     from mapreduce_sm_spark.operators.graph import pagerank_supply_graph
 
     df = pagerank_supply_graph(spark, SF_DIR)
     df.collect()
-    plan = (
-        df._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-        .split("== Initial Plan ==")[0]
-    )
-    assert "InMemoryTableScan" in plan
-    assert "Exchange hashpartitioning(src" not in plan, plan
+    nodes = _execution_nodes(df._jdf.queryExecution().executedPlan(), [])
+    assert any("InMemoryTableScan" in n for n in nodes)
+    offenders = [
+        n for n in nodes if "Exchange hashpartitioning(src" in n
+    ]
+    assert not offenders, offenders
 
 
 def test_semantic_dedup_cell_equality_join(spark):
