@@ -319,22 +319,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .dropDuplicates(["doc_a", "doc_b"])
+        # cached + materialized (r16 opt round): the candidate set is 2
+        # longs/row — cheap to hold — and caching it removes the reason
+        # the verify joins were previously PINNED to sort-merge (AQE's
+        # broadcast builds re-executed the uncached self-join + dedup
+        # upstream, measured 2-5x swings). With the pairs cached, AQE
+        # picks the strategy by size: at fixture scale it broadcasts the
+        # narrow candidate side and the small sets side, so the heavy
+        # (pair x shingle-array) intermediate never enters a sort; at
+        # corpus scale both sides outgrow the threshold and AQE falls
+        # back to the same sort-merge the hints forced.
+        .cache()
     )
-    # verification reuses the cached long arrays directly. The joins are
-    # PINNED to sort-merge: left adaptive, AQE sometimes broadcasts the
-    # CANDIDATE side (~1M narrow rows), and each broadcast build re-executes
-    # the expensive self-join + pair-dedup upstream — measured 2-5x wall
-    # swings. SMJ streams the candidates once, and is also the strategy a
-    # full-corpus run needs (neither side is broadcastable at 100 TB).
+    cand.count()  # materialization barrier (see sh above)
+    track_caches("dedup.ngram_jaccard", cand)
+    # verification reuses the cached long arrays directly
     sets = sh.select("doc_id", "n", F.col("s").alias("hs"))
     pairs = (
-        cand.hint("merge")
-        .join(
+        cand.join(
             sets.select(
                 F.col("doc_id").alias("doc_a"),
                 F.col("hs").alias("sa"),
                 F.col("n").alias("na"),
-            ).hint("merge"),
+            ),
             "doc_a",
         )
         .join(
@@ -342,7 +349,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").alias("doc_b"),
                 F.col("hs").alias("sb"),
                 F.col("n").alias("nb"),
-            ).hint("merge"),
+            ),
             "doc_b",
         )
     )
