@@ -95,16 +95,28 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: the corpus scan is one input split at fixture sizes; the
     # per-row cosine work (|Q| dot products of 64 dims) is the cost, so
     # widen before it
+    from mapreduce_sm_spark.functions.vectors import dot, l2_norm
+
     emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
     _assert_broadcastable_query_side(_N_QUERIES)
+    # norms once per side before the pair fan-out (one dot fold per
+    # pair instead of three — bit-identical; see dedup_semantic_embedding)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        l2_norm("embedding").alias("nq"),
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        l2_norm("embedding").alias("nc"),
+    )
     # RAW cosine: the fold is bit-identical in both engines (functions/
     # vectors.py), so ranking and emitting the unrounded double is exactly
     # portable; a round(x, 6) would add the scaled-round tie channel.
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    sim = dot(F.col("qv"), F.col("cv")) / F.nullif(
+        F.col("nq") * F.col("nc"), F.lit(0.0)
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
         c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
@@ -195,20 +207,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so `q.bucket == c.bucket` builds a self-referential (trivially-true)
     # predicate that only works through positional disambiguation and
     # warns on every run — distinct names make the join key structural
+    from mapreduce_sm_spark.functions.vectors import dot, l2_norm
+
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qv"),
         F.col("bucket").alias("q_bucket"),
+        l2_norm("embedding").alias("nq"),
     )
     c = emb.select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("cv"),
         F.col("bucket").alias("c_bucket"),
+        l2_norm("embedding").alias("nc"),
     )
     # RAW cosine: the fold is bit-identical in both engines (functions/
     # vectors.py), so ranking and emitting the unrounded double is exactly
     # portable; a round(x, 6) would add the scaled-round tie channel.
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    # Norms precomputed per side — one dot fold per candidate pair
+    # (bit-identical; see dedup_semantic_embedding).
+    sim = dot(F.col("qv"), F.col("cv")) / F.nullif(
+        F.col("nq") * F.col("nc"), F.lit(0.0)
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
         c.join(
@@ -271,9 +291,14 @@ ORDER BY vec_a, vec_b
     tags=("similarity", "dedup", "lsh"),
 )
 def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_sm_spark.functions.vectors import dot, l2_norm
+
+    # norm once per vector BEFORE the band explode — each verified pair
+    # then pays one dot fold (bit-identical; see dedup_semantic_embedding)
     emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "label", "embedding",
         _bucket_spark(F.col("embedding")).alias("bucket"),
+        l2_norm("embedding").alias("nv"),
     )
     bands = F.array(
         *[
@@ -288,12 +313,15 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     keyed = emb.select(
-        "vec_id", "label", "embedding", F.explode(bands).alias("bd")
-    ).select("vec_id", "label", "embedding", "bd.band_id", "bd.band_val")
+        "vec_id", "label", "embedding", "nv", F.explode(bands).alias("bd")
+    ).select(
+        "vec_id", "label", "embedding", "nv", "bd.band_id", "bd.band_val"
+    )
     a = keyed.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label"),
         F.col("embedding").alias("va"),
+        F.col("nv").alias("na"),
         F.col("band_id").alias("bid_a"),
         F.col("band_val").alias("bv_a"),
     )
@@ -301,12 +329,15 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("vb"),
+        F.col("nv").alias("nb"),
         F.col("band_id").alias("bid_b"),
         F.col("band_val").alias("bv_b"),
     )
     # RAW cosine: bit-identical fold in both engines, so the >= threshold
     # decision and the emitted double agree exactly without rounding
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    sim = dot(F.col("va"), F.col("vb")) / F.nullif(
+        F.col("na") * F.col("nb"), F.lit(0.0)
+    )
     return (
         a.join(
             b,
@@ -1571,15 +1602,36 @@ def stream_semantic_index_equality(
 _QUANT_RECALL_FLOOR_PPM = 900_000  # int8 keeps top-5: measured 0.99
 
 
-def _quant_cols(vcol: F.Column) -> tuple[F.Column, F.Column]:
-    """(scale, int8 code array) of an embedding column — doubles in,
-    exact integers out; zero vectors quantize to all-zero codes."""
-    v = F.transform(vcol, lambda x: x.cast("double"))
-    s = F.array_max(F.transform(v, F.abs))
-    q = F.when(s == 0.0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
-        F.transform(v, lambda x: F.floor(x * F.lit(127.0) / s))
+def _quant_scale(vcol: F.Column) -> F.Column:
+    """max(|x_i|) scale of an embedding column (comparison-only)."""
+    return F.array_max(
+        F.transform(vcol, lambda x: F.abs(x.cast("double")))
     )
-    return s, q
+
+
+def _quant_codes(vcol: F.Column, scol: F.Column) -> F.Column:
+    """int8 code array from an embedding column and its MATERIALIZED
+    scale column — doubles in, exact integers out; zero vectors
+    quantize to all-zero codes. The scale must be a plain column
+    reference: inlining the array_max expression here would re-run it
+    inside every element of the transform lambda (O(d^2) per row — no
+    CSE across lambda boundaries, the _adjacent_pairs_col lesson)."""
+    return F.when(
+        scol == 0.0,
+        F.transform(vcol, lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            vcol, lambda x: F.floor(x.cast("double") * F.lit(127.0) / scol)
+        )
+    )
+
+
+def _quant_cols(vcol: F.Column) -> tuple[F.Column, F.Column]:
+    """(scale, int8 code array) — single-projection form kept for the
+    contract tests; operator code should layer _quant_scale into its
+    own select first and call _quant_codes on the materialized column."""
+    s = _quant_scale(vcol)
+    return s, _quant_codes(vcol, s)
 
 
 _QUANT_ORACLE = f"""
@@ -1636,21 +1688,36 @@ FROM ranked
 def ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_sm_spark.functions.vectors import cosine_similarity
 
+    from mapreduce_sm_spark.functions.vectors import dot, l2_norm
+
     emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
     _assert_broadcastable_query_side(_N_QUERIES)
-    s, q = _quant_cols(F.col("embedding"))
-    quant = emb.select("vec_id", "embedding", s.alias("s"), q.alias("q"))
+    # layered selects: scale materialized first, codes computed from the
+    # plain column (see _quant_codes), norms once per side for the
+    # exact-cosine branch (one dot fold per pair; bit-identical)
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        _quant_scale(F.col("embedding")).alias("s"),
+        l2_norm("embedding").alias("nv"),
+    )
+    quant = base.select(
+        "vec_id", "embedding", "s", "nv",
+        _quant_codes(F.col("embedding"), F.col("s")).alias("q"),
+    )
     qs = quant.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qv"),
         F.col("q").alias("qq"),
         F.col("s").alias("s_a"),
+        F.col("nv").alias("n_a"),
     )
     cs = quant.select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("cv"),
         F.col("q").alias("cq"),
         F.col("s").alias("s_b"),
+        F.col("nv").alias("n_b"),
     )
     idot = F.aggregate(
         F.zip_with(F.col("qq"), F.col("cq"), lambda a, b: a * b),
@@ -1660,7 +1727,10 @@ def ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cs.join(F.broadcast(qs), F.col("q_id") != F.col("c_id")).select(
         "q_id",
         "c_id",
-        cosine_similarity(F.col("qv"), F.col("cv")).alias("cos"),
+        (
+            dot(F.col("qv"), F.col("cv"))
+            / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0.0))
+        ).alias("cos"),
         ((idot.cast("double") * F.col("s_a")) * F.col("s_b")).alias("score"),
     )
     we = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
@@ -1734,12 +1804,17 @@ def _eval_vec_static(emb: DataFrame) -> DataFrame:
     """The FIXED eval suite as one broadcastable row (scalar aggregate —
     bounded by node type for the plan tripwires; empty corpus yields an
     empty array and every probe is cleanly false), capacity-guarded per
-    the _EVAL_VEC_BROADCAST_BOUND contract."""
+    the _EVAL_VEC_BROADCAST_BOUND contract. Each element carries its
+    precomputed norm so the probe lambda pays one dot fold per
+    (train, eval) pair instead of the full 3-fold cosine (r16 opt
+    round; bit-identical — same norm expression, same final divide)."""
     from mapreduce_sm_spark.functions.guards import bounded_broadcast_array
+    from mapreduce_sm_spark.functions.vectors import l2_norm
 
     return (
         emb.filter(F.col("vec_id") % 10 == 0)
-        .agg(F.collect_list("embedding").alias("evs"))
+        .select("embedding", l2_norm("embedding").alias("nv"))
+        .agg(F.collect_list(F.struct("embedding", "nv")).alias("evs"))
         .select(
             bounded_broadcast_array(
                 F.col("evs"),
@@ -1747,7 +1822,7 @@ def _eval_vec_static(emb: DataFrame) -> DataFrame:
                 op="semantic_decontamination_split",
                 fallback="cell-blocked semantic index "
                 "(the semantic_dedup machinery)",
-                typ="array<array<float>>",
+                typ="array<struct<embedding:array<float>,nv:double>>",
             ).alias("evs")
         )
     )
@@ -1790,17 +1865,25 @@ ORDER BY label
 def semantic_decontamination_split(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from mapreduce_sm_spark.functions.vectors import dot, l2_norm
+
     emb = table(spark, sf_dir, "embeddings")
     ev_static = _eval_vec_static(emb)
+    # train-side norm computed once per row, eval-side norms riding the
+    # broadcast structs: the exists-probe pays one dot per pair
     train = fan_out(
         emb.filter(F.col("vec_id") % 10 != 0), "vec_id"
-    ).select("vec_id", "label", "embedding")
+    ).select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("ne")
+    )
     probed = train.crossJoin(F.broadcast(ev_static)).select(
         "label",
         F.exists(
             "evs",
-            lambda v: F.coalesce(
-                cosine_similarity(F.col("embedding"), v) >= _SDECON_TAU,
+            lambda s: F.coalesce(
+                dot(F.col("embedding"), s["embedding"])
+                / F.nullif(F.col("ne") * s["nv"], F.lit(0.0))
+                >= _SDECON_TAU,
                 F.lit(False),
             ),
         ).alias("lk"),
