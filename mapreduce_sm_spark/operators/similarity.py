@@ -465,25 +465,35 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         )
         .select(F.col("vec_id").alias("c_id"), "cv", F.col("s.cid").alias("cid"))
     )
+    from mapreduce_sm_spark.functions.vectors import l2_norm as _l2n
+
+    corpus = corpus.withColumn("nc", _l2n("cv"))
 
     # query-side probe list: the nprobe nearest cells per query vector;
     # probes (|Q|*nprobe rows) get broadcast into the cell join below
     _assert_broadcastable_query_side(_N_QUERIES * nprobe)
     w_probe = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    from mapreduce_sm_spark.functions.vectors import dot, l2_norm
+
     probes = (
         emb.filter(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qvd"),
-                F.col("embedding").alias("qv"))
+                F.col("embedding").alias("qv"),
+                l2_norm("embedding").alias("nq"))
         .crossJoin(F.broadcast(cdf))
-        .select("q_id", "qv", "cid", _l2(F.col("qvd"), F.col("cvec")).alias("d2"))
+        .select("q_id", "qv", "nq", "cid",
+                _l2(F.col("qvd"), F.col("cvec")).alias("d2"))
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= nprobe)
-        .select("q_id", "qv", "cid")
+        .select("q_id", "qv", "nq", "cid")
     )
 
     # search only inside probed cells; RAW cosine to stay comparable with
-    # ann_bruteforce_topk's raw emission in the recall contract
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    # ann_bruteforce_topk's raw emission in the recall contract (norms
+    # precomputed per side — bit-identical, one dot fold per pair)
+    sim = dot(F.col("qv"), F.col("cv")) / F.nullif(
+        F.col("nq") * F.col("nc"), F.lit(0.0)
+    )
     w_rank = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
         corpus.join(F.broadcast(probes), "cid")
@@ -1952,15 +1962,24 @@ ORDER BY q_id, rank
 def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
     _assert_broadcastable_query_side(_N_QUERIES)
+    from mapreduce_sm_spark.functions.vectors import dot, l2_norm
+
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("qv"),
+        l2_norm("embedding").alias("nq"),
     )
     c = emb.select(
-        F.col("vec_id").alias("c_id"), "label", F.col("embedding").alias("cv")
+        F.col("vec_id").alias("c_id"), "label",
+        F.col("embedding").alias("cv"),
+        l2_norm("embedding").alias("nc"),
     )
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    # norms precomputed per side — one dot fold per candidate pair
+    # (bit-identical; see dedup_semantic_embedding)
+    sim = dot(F.col("qv"), F.col("cv")) / F.nullif(
+        F.col("nq") * F.col("nc"), F.lit(0.0)
+    )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("c_id").asc()
     )
@@ -2108,11 +2127,14 @@ def knn_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fan_out(table(spark, sf_dir, "embeddings"), "vec_id")
     _assert_broadcastable_query_side(_KNN_AUDIT_PANEL)
+    from mapreduce_sm_spark.functions.vectors import dot, l2_norm
+
     panel = (
         emb.select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("qv"),
             F.col("label").alias("q_label"),
+            l2_norm("embedding").alias("nq"),
             hash60(F.col("vec_id").cast("string"), _KNN_AUDIT_SALT).alias("h"),
         )
         .orderBy("h", "q_id")
@@ -2123,8 +2145,13 @@ def knn_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("cv"),
         F.col("label").alias("c_label"),
+        l2_norm("embedding").alias("nc"),
     )
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    # norms precomputed per side — one dot fold per candidate pair
+    # (bit-identical; see dedup_semantic_embedding)
+    sim = dot(F.col("qv"), F.col("cv")) / F.nullif(
+        F.col("nq") * F.col("nc"), F.lit(0.0)
+    )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("c_id").asc()
     )
