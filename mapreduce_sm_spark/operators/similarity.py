@@ -412,6 +412,8 @@ def _kmeans_centroids(
     track_caches("similarity.kmeans", vecs)
     init = vecs.orderBy("vec_id").limit(k).select("v").collect()
     cents = [(i, list(r.v)) for i, r in enumerate(init)]
+    if not cents:  # empty corpus: nothing to iterate (d is undefined)
+        return cents
     for _ in range(iters):
         cdf = spark.createDataFrame(cents, schema="cid int, cvec array<double>")
         # argmin as min(struct(d2, cid)) — struct ordering is lexicographic,
