@@ -932,18 +932,18 @@ def _semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     if k > _SEM_FLAT_MAX_K:
         return _hier_cells(spark, emb, k)
     cents = _kmeans_centroids(spark, emb.select("vec_id", "v"), k, _IVF_ITERS)
-    cdf = spark.createDataFrame(cents, schema="cid int, cvec array<double>")
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
-    return (
-        emb.crossJoin(F.broadcast(cdf))
-        .select(
-            "vec_id", "embedding", "cid",
-            _l2(F.col("v"), F.col("cvec")).alias("d2"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _SEM_NPROBE)
-        .select("vec_id", "embedding", "cid")
-    )
+    # row-local probe against centroid LITERALS — the streaming path's
+    # shared _sem_probe_cells_expr (lexicographic array_sort == the old
+    # window's ORDER BY d2, cid; verified identical cells). Removes the
+    # K-row broadcast cross join AND the vec_id window exchange; safe
+    # at flat scale because K <= _SEM_FLAT_MAX_K bounds the literal
+    # tree (the hier path ships large centroid sets as broadcast DATA
+    # instead — its documented plan-compilation lesson).
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(_sem_probe_cells_expr(cents, F.col("v"))).alias("p"),
+    ).select("vec_id", "embedding", F.col("p.cid").alias("cid"))
 
 
 def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
