@@ -451,43 +451,52 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         "embedding",
     )
     cents = _kmeans_centroids(spark, emb.select("vec_id", "v"), _IVF_K, _IVF_ITERS)
-    cdf = spark.createDataFrame(cents, schema="cid int, cvec array<double>")
 
-    # corpus-side cell assignment (argmin L2 over broadcast centroids),
-    # min-struct aggregate: partial-aggregable, no per-key sort
-    corpus = (
-        emb.crossJoin(F.broadcast(cdf))
-        .select(
-            "vec_id", "embedding", "cid", _l2(F.col("v"), F.col("cvec")).alias("d2")
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct("d2", "cid")).alias("s"),
-            F.first("embedding").alias("cv"),
-        )
-        .select(F.col("vec_id").alias("c_id"), "cv", F.col("s.cid").alias("cid"))
+    from mapreduce_sm_spark.functions.vectors import dot, l2_norm
+
+    # row-local scoring against centroid LITERALS (the flat
+    # _semantic_cells shape — K = _IVF_K bounds the literal tree):
+    # lexicographic array_sort == ORDER BY d2, cid, so element 1 is the
+    # old min-struct argmin and the first nprobe are the old probe
+    # window's rows. Removes the K-row broadcast cross joins, the
+    # corpus-sized argmin aggregate and the probe window exchange.
+    lit_vec = lambda c: F.array(*[F.lit(float(x)) for x in c])  # noqa: E731
+    cent_arr = F.array(
+        *[
+            F.struct(lit_vec(c).alias("cvec"), F.lit(int(cid)).alias("cid"))
+            for cid, c in cents
+        ]
     )
-    from mapreduce_sm_spark.functions.vectors import l2_norm as _l2n
 
-    corpus = corpus.withColumn("nc", _l2n("cv"))
+    def scored(vcol):
+        return F.array_sort(
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(
+                    _l2(vcol, c["cvec"]).alias("d2"), c["cid"].alias("cid")
+                ),
+            )
+        )
+
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        F.element_at(scored(F.col("v")), 1)["cid"].alias("cid"),
+        l2_norm("embedding").alias("nc"),
+    )
 
     # query-side probe list: the nprobe nearest cells per query vector;
     # probes (|Q|*nprobe rows) get broadcast into the cell join below
     _assert_broadcastable_query_side(_N_QUERIES * nprobe)
-    w_probe = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
-    from mapreduce_sm_spark.functions.vectors import dot, l2_norm
-
     probes = (
         emb.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qvd"),
-                F.col("embedding").alias("qv"),
-                l2_norm("embedding").alias("nq"))
-        .crossJoin(F.broadcast(cdf))
-        .select("q_id", "qv", "nq", "cid",
-                _l2(F.col("qvd"), F.col("cvec")).alias("d2"))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", "qv", "nq", "cid")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            l2_norm("embedding").alias("nq"),
+            F.explode(F.slice(scored(F.col("v")), 1, nprobe)).alias("p"),
+        )
+        .select("q_id", "qv", "nq", F.col("p.cid").alias("cid"))
     )
 
     # search only inside probed cells; RAW cosine to stay comparable with
