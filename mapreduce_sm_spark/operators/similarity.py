@@ -454,6 +454,14 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
 
     from mapreduce_sm_spark.functions.vectors import dot, l2_norm
 
+    if not cents:  # empty corpus: no cells, no probes (typed empty)
+        return emb.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vec_id").alias("c_id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(0).cast("int").alias("rank"),
+        ).where(F.lit(False))
+
     # row-local scoring against centroid LITERALS (the flat
     # _semantic_cells shape — K = _IVF_K bounds the literal tree):
     # lexicographic array_sort == ORDER BY d2, cid, so element 1 is the
@@ -941,6 +949,10 @@ def _semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     if k > _SEM_FLAT_MAX_K:
         return _hier_cells(spark, emb, k)
     cents = _kmeans_centroids(spark, emb.select("vec_id", "v"), k, _IVF_ITERS)
+    if not cents:  # empty corpus: no centroids, no cells (typed empty)
+        return emb.select(
+            "vec_id", "embedding", F.lit(0).cast("int").alias("cid")
+        ).where(F.lit(False))
     # row-local probe against centroid LITERALS — the streaming path's
     # shared _sem_probe_cells_expr (lexicographic array_sort == the old
     # window's ORDER BY d2, cid; verified identical cells). Removes the
