@@ -2083,37 +2083,40 @@ def exact_ngram_decontamination(
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
 
     # The eval/train split is applied to `docs` BEFORE the tokenize
-    # project, deliberately (ADVICE r15): the two gram consumers are a
-    # self-join topology, so the subtree replays once per side no
-    # matter what — the choice is what the replay costs. With the
-    # modulo filter innermost, Catalyst's CombineFilters emits the
-    # pushed scan conjunct as And(doc_id % 10, size(tokenize) >= n)
-    # and the boolean short-circuit skips the regexp tokenize for the
-    # other side's rows — each scan tokenizes only its DISJOINT slice,
-    # i.e. tokenize+explode total exactly one corpus pass (plan-pinned
-    # in tests/test_plans.py). Filtering on the gram frame instead (the
-    # pre-r16 shape) ordered the conjunct the other way and tokenized
-    # the whole corpus twice. The residual duplicated work is the
-    # second scan's parquet text-column decode; persisting the gram
-    # frame to avoid it would pin an O(corpus-grams) cache — the wrong
-    # trade at 100 TB, where the eval suite is a separate small
-    # benchmark table and the eval branch never scans the corpus at
-    # all (the fixture's modulo carve-out is the only reason it does).
+    # project (ADVICE r15): the two gram consumers are a self-join
+    # topology, so the subtree replays once per side no matter what —
+    # each scan tokenizes only its DISJOINT modulo slice. r17
+    # tokenize-once fix (VERDICT r16 item 1, guide §4/§2.3): the old
+    # `.filter(F.size("t") >= n)` was pushed below the tokenize
+    # projection as a scan conjunct `size(regexp_extract_all(...)) >= n`,
+    # so every doc paid the regexp TWICE per side — once in the pushed
+    # Filter, once again in the Project (no CSE across the
+    # Filter/Project operator boundary; plan showed 4 regexp_extract_all
+    # nodes). Folding the length guard into the gram expression instead
+    # (short arrays yield an EMPTY gram array, which explode drops —
+    # identical row set by construction) leaves nothing to push down, so
+    # the tokenize runs exactly once per doc per side (2 nodes).
+    # The residual duplicated work is the second scan's parquet text-
+    # column decode; persisting the gram frame to avoid it would pin an
+    # O(corpus-grams) cache — the wrong trade at 100 TB, where the eval
+    # suite is a separate small benchmark table and the eval branch
+    # never scans the corpus at all (the fixture's modulo carve-out is
+    # the only reason it does).
     def grams_of(frame: DataFrame) -> DataFrame:
-        toks = (
-            fan_out(frame, "doc_id")
-            .select("doc_id", tokenize_words("text").alias("t"))
-            .filter(F.size("t") >= n)
+        toks = fan_out(frame, "doc_id").select(
+            "doc_id", tokenize_words("text").alias("t")
         )
-        return toks.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - n + 1),
-                    lambda i: hash60(F.array_join(F.slice("t", i, n), " ")),
-                )
-            ).alias("gh"),
-        )
+        # `t` is referenced three times below, so CollapseProject keeps
+        # the tokenize materialized in its own Project (the
+        # _adjacent_pairs_col lesson)
+        grams = F.when(
+            F.size("t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - n + 1),
+                lambda i: hash60(F.array_join(F.slice("t", i, n), " ")),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+        return toks.select("doc_id", F.explode(grams).alias("gh"))
 
     eval_keys = (
         grams_of(docs.filter(F.col("doc_id") % 10 == 0))

@@ -662,11 +662,11 @@ def test_exact_ngram_decon_broadcast_semi_and_filter_order(spark):
        eval sizes, shuffling the corpus-scale train gram stream into a
        sort-merge would be the wrong plan (sort-merge remains the
        documented, still-correct fallback for eval-heavy regimes).
-    2. Each scan's conjunct evaluates the cheap eval/train modulo
-       split BEFORE size(tokenize(text)), so the regexp tokenize runs
-       only on each side's disjoint slice — one corpus tokenize pass
-       total across the two scans (the pre-r16 shape ordered the
-       conjunct the other way and tokenized the corpus twice)."""
+    2. r17 tokenize-once (VERDICT r16 item 1): the regexp tokenize
+       appears exactly ONCE per modulo side (2 nodes total) — never
+       duplicated into a pushed-down scan Filter (`size(regexp(...))`,
+       the pre-r17 shape: 4 nodes, every doc tokenized twice per side).
+       The cheap modulo split itself must still reach both scans."""
     import re
 
     from mapreduce_sm_spark.operators.dedup import (
@@ -686,18 +686,12 @@ def test_exact_ngram_decon_broadcast_semi_and_filter_order(spark):
         r"BroadcastHashJoin \[gh#\d+L\], \[gh#\d+L\], LeftSemi, BuildRight",
         final,
     ), final
-    # (2) modulo short-circuits the tokenize in BOTH scan conjuncts:
-    # train side (NOT ... % 10) and eval side (... % 10) each precede
-    # size(regexp_extract_all(...)) in their Filter's AND tree
-    assert re.search(
-        r"NOT \(\(doc_id#\d+L % 10\) = 0\)\) AND "
-        r"\(size\(regexp_extract_all",
-        final,
-    ), final
-    assert re.search(
-        r" \(\(doc_id#\d+L % 10\) = 0\)\) AND \(size\(regexp_extract_all",
-        final,
-    ), final
+    # (2a) exactly one tokenize per side survives in the executed plan
+    assert final.count("regexp_extract_all") == 2, final
+    # (2b) the modulo split is pushed to both text scans (train: NOT =0,
+    # eval: =0) so each side decodes only its disjoint slice
+    assert re.search(r"NOT \(\(doc_id#\d+L % 10\) = 0\)", final), final
+    assert re.search(r" \(\(doc_id#\d+L % 10\) = 0\)", final), final
 
 
 def test_no_unbounded_cartesian_product(spark):
