@@ -587,37 +587,52 @@ def lm_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     track_caches("corpus.lm_curation", per_doc)
-    # barrier: g's broadcast build and the gate join are concurrent
-    # first readers of the lazy per_doc cache (see the doc_bi barrier)
-    per_doc.count()
-    g = per_doc.agg(
+    # r17 (VERDICT r16 item 6): barrier + corpus-mean scalars in ONE
+    # job — the agg materializes the per_doc cache exactly like the old
+    # count() barrier did, and returns the two exact long sums the gate
+    # needs, so the old 1-row `g` frame's separately-serialized
+    # broadcast-build job disappears (A/B at sf0.1: ~5.1 s vs ~5.9 s
+    # warm, winner at every alternating pair). Driver state is two
+    # longs — never corpus-sized.
+    grow = per_doc.agg(
         F.sum("total_bits").alias("gt"), F.sum("n_bigrams").alias("gn")
-    )
+    ).collect()[0]
+    gt, gn = int(grow["gt"] or 0), int(grow["gn"] or 0)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
     # quality gate — exact integer cross-multiply (DECIMAL(38,0)
     # products). The surviving frame is projected NARROW in the same
-    # pass: the dedup key travels as its 60-bit hash and the token count
-    # as a long, so the tail's three consumers (dedup groupBy, keeper
+    # pass: the dedup key travels as a hash and the token count as a
+    # long, so the tail's three consumers (dedup groupBy, keeper
     # join-back, per-source census) share ONE parquet text decode +
     # gate join instead of re-scanning text per consumer (r16 opt
-    # round: tail 2.8 s -> 1.2 s at sf0.1). hash60 as the dedup group
-    # key relies on the same documented injectivity-on-corpus argument
-    # as the shingle/minhash family (_shingle_sets): an md5-60 collision
-    # would merge two distinct normalized texts; the oracle gate
-    # re-verifies exact parity on every fixture.
+    # round: tail 2.8 s -> 1.2 s at sf0.1). r17 (VERDICT r16 item 2):
+    # the key is BOTH md5 halves (2 x 60 bits from one md5 call —
+    # subexpression elimination computes the digest once), not the
+    # single 60-bit prefix: this operator's dedup stage is EXACT by
+    # contract, and at 10^9 docs the birthday bound on 60 bits gives a
+    # ~35-40% chance of silently merging two distinct normalized texts;
+    # at 120 bits it is ~4e-19. Same plan shape (16-byte key vs 8).
+    # same exact-integer cross-multiply as before, with the corpus
+    # totals as long literals (identical values, identical
+    # DECIMAL(38,0)*LONG typing) instead of columns from a broadcast
+    # 1-row frame
     q = (
         docs.join(per_doc.select("doc_id", "n_bigrams", "total_bits"), "doc_id")
-        .crossJoin(F.broadcast(g))
         .filter(
             F.expr(
-                "20 * CAST(total_bits AS DECIMAL(38,0)) * gn"
-                " <= 21 * CAST(n_bigrams AS DECIMAL(38,0)) * gt"
+                f"20 * CAST(total_bits AS DECIMAL(38,0)) * {gn}L"
+                f" <= 21 * CAST(n_bigrams AS DECIMAL(38,0)) * {gt}L"
             )
         )
         .select(
             "doc_id",
             "source",
-            hash60(norm).alias("nh"),
+            F.conv(F.substring(F.md5(norm), 1, 15), 16, 10)
+            .cast("long")
+            .alias("nh"),
+            F.conv(F.substring(F.md5(norm), 16, 15), 16, 10)
+            .cast("long")
+            .alias("nh2"),
             F.size(tokenize_words("text")).cast("long").alias("tk"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -627,7 +642,7 @@ def lm_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # launches the report's broadcast-build jobs concurrently, and
     # concurrent FIRST readers of a lazy cache each recompute it
     q.count()
-    dd = q.groupBy("nh").agg(F.min("doc_id").alias("keep_doc_id"))
+    dd = q.groupBy("nh", "nh2").agg(F.min("doc_id").alias("keep_doc_id"))
     # kt (doc-count-sized, 3 narrow columns) feeds the budgets AND the
     # sample AND two report aggregates — cache it (the mixture-sampler
     # rationale); its build is a narrow join of the cached q frame
@@ -637,6 +652,9 @@ def lm_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     track_caches("corpus.lm_curation", kt)
+    # (no count() barrier on kt: its build is a narrow join of the
+    # already-materialized q cache, so a concurrent double-build costs
+    # ~nothing — A/B with the barrier measured a wash, r17)
     ps = kt.groupBy("source").agg(F.sum("tk").alias("tokens_s"))
     bud = ps.agg(F.min("tokens_s").alias("b"))
     key = F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))
