@@ -137,6 +137,13 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_K = 5
 _JACCARD_PM4 = 8000  # gate: floor(j * 1e4) >= 8000  <=>  j >= 0.8 exactly
+# bucket-histogram candidate-pruning geometry (r17): hash60 values are
+# uniform in [0, 2^60), so shiftright by 55 yields 32 uniform buckets.
+# For near-disjoint candidate sets of ~200 shingles (lambda ~6.4/bucket)
+# the min-sum bound lands ~0.64 — comfortably below the 0.8 gate — while
+# a true J>=0.8 pair always passes (the bound is exact-conservative).
+_JHIST_B = 32
+_JHIST_SHIFT = 55
 # The prefix filter threshold needs only to be < the smallest true
 # Jaccard the output gate can admit (now exactly 0.8), so 0.78 is
 # recall-safe while keeping prefixes (and the candidate join's fan-out,
@@ -333,10 +340,64 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand.count()  # materialization barrier (see sh above)
     track_caches("dedup.ngram_jaccard", cand)
+    # r17 (VERDICT r16 item 3): PPJoin+-grade candidate pruning. The
+    # positional prefix bound admits ~465k candidates for 79 final
+    # pairs at sf0.1 (a single early shared rare token leaves the bound
+    # ~na), and the exact verify then ships two ~200-long shingle
+    # arrays per pair — the dominant shuffle at the x10 decade. Instead
+    # of PPJoin+'s per-candidate binary suffix probe (row-local array
+    # access doesn't fit a relational join), each doc carries a
+    # _JHIST_B-bucket histogram of its shingle hashes (top-5 hash bits
+    # => uniform buckets): |A∩B| <= sum_b min(ha[b], hb[b]) bucket-wise,
+    # so floor(ub*1e4/(na+nb-ub)) is a GUARANTEED upper bound on
+    # jaccard_pm4 (f(i)=floor(i*1e4/(na+nb-i)) is nondecreasing in i).
+    # Pairs whose bound is below the gate can never pass the exact
+    # filter — pruning them is equivalence-by-construction. The prune
+    # join moves _JHIST_B ints per doc instead of ~n longs; only
+    # survivors (two orders of magnitude fewer) reach the array join,
+    # which AQE then broadcasts at every scale instead of falling back
+    # to a corpus-wide sort-merge of array payloads.
+    hist = F.transform(
+        F.sequence(F.lit(0), F.lit(_JHIST_B - 1)),
+        lambda bkt: F.size(
+            F.filter("s", lambda x: F.shiftright(x, _JHIST_SHIFT) == bkt)
+        ),
+    )
+    sig = sh.select(
+        "doc_id", F.col("n").cast("long").alias("hn"), hist.alias("hg")
+    )
+    ub = F.aggregate(
+        F.zip_with("ha", "hb", lambda x, y: F.least(x, y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    kept = (
+        cand.join(
+            sig.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hn").alias("hna"),
+                F.col("hg").alias("ha"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("hn").alias("hnb"),
+                F.col("hg").alias("hb"),
+            ),
+            "doc_b",
+        )
+        .filter(
+            _idiv(ub * F.lit(10000), F.col("hna") + F.col("hnb") - ub)
+            >= _JACCARD_PM4
+        )
+        .select("doc_a", "doc_b")
+    )
     # verification reuses the cached long arrays directly
     sets = sh.select("doc_id", "n", F.col("s").alias("hs"))
     pairs = (
-        cand.join(
+        kept.join(
             sets.select(
                 F.col("doc_id").alias("doc_a"),
                 F.col("hs").alias("sa"),

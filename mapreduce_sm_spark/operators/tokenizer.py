@@ -167,6 +167,15 @@ def _bpe_learn(
     ).persist()
 
     merges: list[tuple[int, str, str, int]] = []
+    # r17 (VERDICT r16 item 5): ONE job per merge round instead of two.
+    # The old loop ran nxt.count() to materialize each generation before
+    # unpersisting its parent; now the NEXT round's TakeOrdered collect
+    # is the materializing first (and only) reader — it computes
+    # pair_counts from the lazily-persisted generation, caching every
+    # partition it scans — and the parent is unpersisted right after
+    # that collect returns. Holds two vocab-sized generations briefly
+    # instead of one; halves the sequential job count of the recurrence.
+    prev: DataFrame | None = None  # parent generation, still cached
     try:
         for rank in range(1, n_merges + 1):
             pair_counts = (
@@ -178,6 +187,12 @@ def _bpe_learn(
             # the loop-carried scalar: ONE row to the driver per merge —
             # these rows are the output (see module docstring)
             best = pair_counts.orderBy(F.desc("cnt"), "s1", "s2").limit(1).collect()
+            # seq is now fully materialized; the parent's blocks are
+            # dead weight (MEMORY_AND_DISK: eviction spills, never a
+            # silent recompute)
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best:
                 break
             bx, by, cnt = best[0]["s1"], best[0]["s2"], int(best[0]["cnt"])
@@ -202,15 +217,20 @@ def _bpe_learn(
                 ).otherwise(F.concat(a, F.lit(" "), x)),
             )
             nxt = seq.select(folded.alias("syms"), "freq").persist()
-            try:
-                nxt.count()  # materialize before dropping the parent generation
-            except Exception:
-                nxt.unpersist()  # don't leak the half-materialized generation
-                raise
-            seq.unpersist()
+            prev = seq
             seq = nxt
+        if apply_last:
+            # the caller consumes the final dictionary with concurrent
+            # readers (AQE broadcast builds) — materialize it first, the
+            # usual concurrent-first-reader barrier
+            seq.count()
+            if prev is not None:
+                prev.unpersist()
+                prev = None
     except Exception:
         seq.unpersist()
+        if prev is not None:
+            prev.unpersist()
         raise
     if apply_last:
         return merges, seq

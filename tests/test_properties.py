@@ -250,3 +250,48 @@ def test_priority_sample_exact_when_corpus_fits(spark):
     rows2 = priority_sample(docs2, k=5).collect()
     assert len(rows2) == 5
     assert rows2[0]["exact_total_weight"] == sum(10 + i for i in range(6))
+
+
+# ---------------------------------------------------------------------------
+# r17 histogram candidate pruning (dedup_ngram_jaccard): the bucket min-sum
+# is a GUARANTEED upper bound on |A∩B|, and the pm4 bound derived from it is
+# monotone — so a pair passing the exact floor(J*1e4) >= 8000 gate can never
+# be pruned. Mirrors the Spark expressions over realistic hash60 values.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.frozensets(st.integers(0, 4000), min_size=1, max_size=60),
+    st.frozensets(st.integers(0, 4000), min_size=1, max_size=60),
+)
+def test_histogram_prune_bound_conservative(sa_raw, sb_raw):
+    from mapreduce_sm_spark.functions.hashing import hash60_py
+    from mapreduce_sm_spark.operators.dedup import (
+        _JACCARD_PM4,
+        _JHIST_B,
+        _JHIST_SHIFT,
+    )
+
+    sa = {hash60_py(str(x)) for x in sa_raw}
+    sb = {hash60_py(str(x)) for x in sb_raw}
+
+    def hist(s):
+        h = [0] * _JHIST_B
+        for x in s:
+            h[x >> _JHIST_SHIFT] += 1
+        return h
+
+    ha, hb = hist(sa), hist(sb)
+    ub = sum(min(a, b) for a, b in zip(ha, hb))
+    inter = len(sa & sb)
+    na, nb = len(sa), len(sb)
+    # (1) min-sum dominates the true intersection
+    assert ub >= inter
+    # (2) bucket ids stay inside the histogram (hash60 < 2^60)
+    assert all(0 <= x >> _JHIST_SHIFT < _JHIST_B for x in sa | sb)
+    # (3) a pair passing the exact gate always passes the pruned gate
+    exact_pm4 = (inter * 10000) // (na + nb - inter)
+    bound_pm4 = (ub * 10000) // (na + nb - ub)
+    if exact_pm4 >= _JACCARD_PM4:
+        assert bound_pm4 >= _JACCARD_PM4
