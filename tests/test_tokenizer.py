@@ -402,11 +402,13 @@ def test_stream_dict_oracle_empty_corpus_matches_spark(spark, tmp_path):
 def test_bpe_learn_exception_path_leaves_no_cached_generations(
     spark, monkeypatch
 ):
-    """VERDICT r14 item 4's Done criterion: force the mid-merge
-    materialization (nxt.count()) to throw and assert _bpe_learn
-    unpersists BOTH generations — the freshly persisted nxt (inner
-    except) and the parent seq (outer except) — leaving zero residual
-    cached blocks beyond what the session already held."""
+    """VERDICT r14 item 4's Done criterion, r17 shape: the per-round
+    TakeOrdered collect is now the materializing action (the fused
+    one-job-per-round loop), so force the THIRD round's collect to
+    throw — at that point BOTH a lazily-persisted current generation
+    and a still-cached parent exist — and assert _bpe_learn unpersists
+    both, leaving zero residual cached blocks beyond what the session
+    already held."""
     import pytest
 
     from mapreduce_sm_spark.operators import tokenizer as tk
@@ -414,12 +416,17 @@ def test_bpe_learn_exception_path_leaves_no_cached_generations(
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
 
-    def boom(self):
-        raise RuntimeError("forced mid-merge failure")
+    cls = type(spark.range(1))  # the CONCRETE class (DataFrame is an ABC)
+    real_collect = cls.collect
+    calls = {"n": 0}
 
-    # patch the CONCRETE class (pyspark.sql.DataFrame is an ABC in
-    # Spark 4; instances are pyspark.sql.classic.dataframe.DataFrame)
-    monkeypatch.setattr(type(spark.range(1)), "count", boom)
+    def boom(self):
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            raise RuntimeError("forced mid-merge failure")
+        return real_collect(self)
+
+    monkeypatch.setattr(cls, "collect", boom)
     with pytest.raises(RuntimeError, match="forced mid-merge"):
         tk._bpe_learn(spark, SF_DIR)
     monkeypatch.undo()
