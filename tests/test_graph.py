@@ -79,3 +79,48 @@ def test_triangle_empty_edge_set_emits_zeros(spark):
     empty = spark.createDataFrame([], "p1 long, p2 long")
     row = triangle_stats(empty).collect()[0]
     assert tuple(row) == (0, 0, 0, 0)
+
+
+def test_pagerank_hub_window_skew_completes_exactly(spark):
+    """r17 (VERDICT r16 item 7 / ADVICE r16): the one-pass edge build
+    computes out-degree with count(*) over a src-partitioned window, so
+    a hub source's entire out-edge set lands in ONE WindowExec buffer
+    (AQE skew handling does not apply to window exchanges; the buffer
+    spills via ExternalAppendOnlyUnsafeRowArray rather than OOMing).
+    Pin the behavior at a synthetic 100k-out-degree hub: the run must
+    complete and match the hand-computed integer recurrence exactly —
+    the skew costs buffering, never correctness.
+
+    Graph: h -> d_0..d_{N-1}; every d_i is dangling. n = N + 1 nodes.
+    r0 = mass div n for all; base = (15 * (mass div n)) div 100;
+    iter: in_sum(d_i) = r(h) div N, dang = N * r(d),
+          r'(h) = base + (85 * (dang div n)) div 100
+          r'(d) = base + (85 * (r(h) div N + dang div n)) div 100
+    """
+    from pyspark.sql import functions as F
+
+    n_out = 100_000
+    mass = 1_000_000_000
+    edges = spark.range(n_out).select(
+        F.lit("h").alias("src"),
+        F.concat(F.lit("d"), F.col("id")).alias("dst"),
+    )
+
+    n = n_out + 1
+    r_h = r_d = mass // n
+    base = (15 * (mass // n)) // 100
+    for _ in range(2):
+        in_d = r_h // n_out
+        dang = n_out * r_d
+        r_h, r_d = (
+            base + (85 * (dang // n)) // 100,
+            base + (85 * (in_d + dang // n)) // 100,
+        )
+
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_int(edges, 2, mass)
+        .filter(F.col("node").isin("h", "d0", f"d{n_out - 1}"))
+        .collect()
+    }
+    assert got == {"h": r_h, "d0": r_d, f"d{n_out - 1}": r_d}
