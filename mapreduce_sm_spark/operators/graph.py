@@ -270,18 +270,19 @@ def pagerank_int(
     edges_od.count()
     # nodes with no out-edge are a STATIC set; carry the flag IN the
     # rank frame so the per-iteration dangling mass is a filter+sum over
-    # r instead of a semi-join against a separate cached node set
-    nodes = (
-        edges_od.select(F.col("src").alias("node"))
-        .union(edges_od.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    srcs = edges_od.select(F.col("src").alias("node")).distinct()
+    # r instead of a semi-join against a separate cached node set.
+    # r17: the flag is folded into ONE partial-aggregable groupBy over
+    # the union of endpoint roles (has_out = max(is_src)) — the old
+    # shape ran distinct(union) + a second distinct + a left join, i.e.
+    # three node-or-edge-sized exchanges for the same (node, has_out)
+    # set; this is one exchange of 2|E| pre-aggregated rows.
     nodes_fl = (
-        nodes.join(srcs.withColumn("has_out", F.lit(True)), "node", "left")
-        .select(
-            "node", F.coalesce("has_out", F.lit(False)).alias("has_out")
+        edges_od.select(F.col("src").alias("node"), F.lit(True).alias("s"))
+        .union(
+            edges_od.select(F.col("dst").alias("node"), F.lit(False).alias("s"))
         )
+        .groupBy("node")
+        .agg(F.max("s").alias("has_out"))
         .cache()
     )
     nodes_fl.count()
