@@ -383,6 +383,36 @@ def _l2(a, b) -> F.Column:
     )
 
 
+def _lit_relation(spark: SparkSession, rows, cols) -> DataFrame:
+    """LocalRelation of small (int | array<double>) rows parsed from ONE
+    SQL literal instead of spark.createDataFrame.
+
+    Bit-exact: repr() emits the shortest string that round-trips the
+    Python double, and Spark's `<digits>D` literal parse is correctly
+    rounded, so every element comes back bit-identical (pinned in
+    tests/test_similarity_contracts.py down to denormals and -0.0).
+    Why: createDataFrame's driver->JVM conversion costs ~0.2-0.3 s per
+    call even for k<=64 rows; inside the per-iteration Lloyd loops that
+    fixed cost is paid `iters` times per training run (guide 5: keep
+    driver work out of iterative loops). The relation stays a
+    LocalRelation feeding the same BroadcastExchange, so the plan below
+    it is unchanged.
+
+    cols: (name, kind) pairs, kind in {"int", "vec"}; rows must be
+    non-empty (callers guard the empty-corpus path already)."""
+    def fmt(v, kind: str) -> str:
+        if kind == "int":
+            return str(int(v))
+        return "array(%s)" % ", ".join(repr(float(x)) + "D" for x in v)
+
+    body = ", ".join(
+        "struct(%s)" % ", ".join(fmt(v, kind) for v, (_, kind) in zip(row, cols))
+        for row in rows
+    )
+    names = ", ".join(f"col{i + 1} AS {name}" for i, (name, _) in enumerate(cols))
+    return spark.sql(f"SELECT {names} FROM (SELECT inline(array({body})))")
+
+
 def _kmeans_centroids(
     spark: SparkSession, vecs: DataFrame, k: int, iters: int
 ) -> list[tuple[int, list[float]]]:
@@ -415,7 +445,9 @@ def _kmeans_centroids(
     if not cents:  # empty corpus: nothing to iterate (d is undefined)
         return cents
     for _ in range(iters):
-        cdf = spark.createDataFrame(cents, schema="cid int, cvec array<double>")
+        # literal relation, not createDataFrame: the conversion path costs
+        # ~0.2-0.3 s/call and runs once per iteration (see _lit_relation)
+        cdf = _lit_relation(spark, cents, (("cid", "int"), ("cvec", "vec")))
         # argmin as min(struct(d2, cid)) — struct ordering is lexicographic,
         # so this is the (d2, cid)-minimum with map-side partial aggregation
         # and NO per-key sort (a row_number window would sort N*K rows).
@@ -826,7 +858,7 @@ def _hier_train(
             f"> SPARKSM_MAX_KMEANS_K={_MAX_KMEANS_K}"
         )
     coarse = _kmeans_centroids(spark, emb.select("vec_id", "v"), k1, _IVF_ITERS)
-    cdf1 = spark.createDataFrame(coarse, schema="c1 int, cvec1 array<double>")
+    cdf1 = _lit_relation(spark, coarse, (("c1", "int"), ("cvec1", "vec")))
     w1 = Window.partitionBy("vec_id").orderBy(F.col("d1").asc(), F.col("c1").asc())
     from pyspark import StorageLevel
 
@@ -857,9 +889,10 @@ def _hier_train(
     )
     fine = {(r.c1, r.c2): list(r.fvec) for r in finit}
     for _ in range(_IVF_ITERS):
-        fdf = spark.createDataFrame(
+        fdf = _lit_relation(
+            spark,
             [(c1, c2, v) for (c1, c2), v in sorted(fine.items())],
-            schema="c1 int, c2 int, fvec array<double>",
+            (("c1", "int"), ("c2", "int"), ("fvec", "vec")),
         )
         assigned = (
             pts.join(F.broadcast(fdf), "c1")  # equality join: own cell only
@@ -900,9 +933,10 @@ def _hier_assign_windowed(
     """Batch (windowed) assignment over the trained scheme: join the
     persisted coarse-probe frame with the fine centroids of each probed
     cell (EQUALITY join on c1) and keep the nearest per (vec_id, c1)."""
-    fdf = spark.createDataFrame(
+    fdf = _lit_relation(
+        spark,
         [(c1, c2, v) for (c1, c2), v in sorted(fine.items())],
-        schema="c1 int, c2 int, fvec array<double>",
+        (("c1", "int"), ("c2", "int"), ("fvec", "vec")),
     )
     w2 = Window.partitionBy("vec_id", "c1").orderBy(
         F.col("d2").asc(), F.col("c2").asc()

@@ -552,3 +552,29 @@ def test_semantic_decontamination_complements_lexical(spark, tmp_path):
     assert sum(r["n_train_excluded"] for r in lex) == 0  # lexically clean
     sem = semantic_decontamination_split(spark, str(tmp_path)).collect()
     assert sum(r["n_train_excluded"] for r in sem) == 1  # semantically caught
+
+
+def test_lit_relation_bit_exact(spark):
+    """_lit_relation must reproduce createDataFrame's doubles BIT-exactly
+    (the Lloyd loops feed its output into distance arithmetic whose
+    results are pinned by the oracle): repr() round-trips every double
+    and Spark's `D` literal parse is correctly rounded — checked here on
+    denormals, extremes, -0.0 and a 1/3-style repeating fraction."""
+    import struct as st
+
+    from mapreduce_sm_spark.operators.similarity import _lit_relation
+
+    rows = [
+        (0, [1e-308, -1e308, 0.0, -0.0, 1 / 3, 2**-1074,
+             1.7976931348623157e308, 0.1, -2.5e-15]),
+        (1, [float(i) / 7 for i in range(9)]),
+    ]
+    ref = spark.createDataFrame(
+        rows, schema="cid int, cvec array<double>"
+    ).collect()
+    got = _lit_relation(spark, rows, (("cid", "int"), ("cvec", "vec"))).collect()
+    assert got[0].__fields__ == ["cid", "cvec"]
+    bits = lambda xs: [st.pack("<d", x) for x in xs]  # noqa: E731
+    assert {r.cid: bits(r.cvec) for r in ref} == {
+        r.cid: bits(r.cvec) for r in got
+    }
