@@ -20,7 +20,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mapreduce_sm_spark.benchwatch import become_subreaper  # noqa: E402
 from mapreduce_sm_spark.benchwatch import foreign_cpu, snapshot  # noqa: E402
