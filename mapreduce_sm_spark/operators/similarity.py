@@ -383,6 +383,13 @@ def _l2(a, b) -> F.Column:
     )
 
 
+# literal-relation size ceiling (scalar elements): past this the SQL
+# parse costs more than createDataFrame's conversion (measured crossover
+# between 4k and 33k elements; 8k keeps every bench-scale k-means call
+# on the fast path with ~2x margin)
+_LIT_RELATION_MAX_ELEMS = int(os.environ.get("SPARKSM_LIT_RELATION_MAX_ELEMS", "8192"))
+
+
 def _lit_relation(spark: SparkSession, rows, cols) -> DataFrame:
     """LocalRelation of small (int | array<double>) rows parsed from ONE
     SQL literal instead of spark.createDataFrame.
@@ -398,8 +405,27 @@ def _lit_relation(spark: SparkSession, rows, cols) -> DataFrame:
     LocalRelation feeding the same BroadcastExchange, so the plan below
     it is unchanged.
 
+    The parse wins ONLY for small relations: measured crossover sits
+    between 4k and 33k scalar elements (k=64 x d=64: 0.47 vs 0.48 s;
+    k=512 x d=64: 2.6 vs 0.41 s — the ANTLR parse is super-linear in
+    expression count). Above _LIT_RELATION_MAX_ELEMS this falls back to
+    createDataFrame, so a large-K hierarchical build never pays a parse
+    penalty.
+
     cols: (name, kind) pairs, kind in {"int", "vec"}; rows must be
     non-empty (callers guard the empty-corpus path already)."""
+    n_elems = sum(
+        len(v) if kind == "vec" else 1
+        for row in rows
+        for v, (_, kind) in zip(row, cols)
+    )
+    if n_elems > _LIT_RELATION_MAX_ELEMS:
+        schema = ", ".join(
+            f"{name} {'int' if kind == 'int' else 'array<double>'}"
+            for name, kind in cols
+        )
+        return spark.createDataFrame(rows, schema=schema)
+
     def fmt(v, kind: str) -> str:
         if kind == "int":
             return str(int(v))

@@ -578,3 +578,13 @@ def test_lit_relation_bit_exact(spark):
     assert {r.cid: bits(r.cvec) for r in ref} == {
         r.cid: bits(r.cvec) for r in got
     }
+    # past the size ceiling the helper must fall back to createDataFrame
+    # (the SQL parse is super-linear; crossover measured ~4k-33k elems)
+    big = [(i, [float(i) + j / 3 for j in range(64)]) for i in range(200)]
+    ref2 = spark.createDataFrame(
+        big, schema="cid int, cvec array<double>"
+    ).collect()
+    got2 = _lit_relation(spark, big, (("cid", "int"), ("cvec", "vec"))).collect()
+    assert {r.cid: bits(r.cvec) for r in ref2} == {
+        r.cid: bits(r.cvec) for r in got2
+    }
